@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata alongside; decode / feature-extraction runs
+  * per-partition so a real implementation amortizes codec/model setup per
+  * batch (the Scala analogue of `mapInPandas` batch shape).
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake (dimensions derived from payload
+  * length) — the Spark-side plumbing (schema, encoder, per-partition
+  * batching, partitioning) is real and tested, and the fake is chosen to be
+  * SQL-computable so the whole path has a DuckDB oracle.
+  */
+object Multimodal {
+
+  /** Binary payload row: what an image/audio ingest table looks like. */
+  final case class MediaBlob(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted features (width/height stand in for any per-item metadata a
+    * real decoder would emit). */
+  final case class MediaFeature(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long)
+
+  /** STUB decode — a real build links an image codec here. Deterministic
+    * fake: dimensions are a pure function of payload length, so results are
+    * reproducible and oracle-checkable. */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    val n = payload.length
+    (n % 640 + 1, n % 480 + 1)
+  }
+
+  /** documents.text → binary payload table (the ingest shape). */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+
+  /** Per-partition feature extraction over binary payloads. A real decoder
+    * would initialize its codec once per partition here — that is the whole
+    * point of the mapPartitions batch shape. */
+  def extractFeatures(spark: SparkSession, blobs: DataFrame)
+      : Dataset[MediaFeature] = {
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      // per-partition init of a (stub) codec happens here, once
+      it.map { b =>
+        val (w, h) = decodeStub(b.payload)
+        MediaFeature(b.doc_id, w, h, w.toLong * h)
+      }
+    }
+  }
+
+  val qMultimodalFeatures: (SparkSession, String) => DataFrame = (s, d) =>
+    extractFeatures(s, withBinaryPayload(Tables.documents(s, d)))
+      .toDF()
+      .orderBy("doc_id")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_features", qMultimodalFeatures, Some(
+      "SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, octet_length(encode(text)) % 480 + 1 AS height, CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) * (octet_length(encode(text)) % 480 + 1) AS n_pixels FROM documents ORDER BY doc_id"))
+  )
+}

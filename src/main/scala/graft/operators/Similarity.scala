@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Similarity search over `embeddings.embedding: array<float>`.
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. One broadcast of
+  *    the query vector, a codegen'd higher-order-function dot product per
+  *    row, TakeOrderedAndProject for the top-k — no shuffle of the corpus.
+  *  - Pairwise near-dup (cosine >= t): O(n²) baseline, oracle-checked.
+  *  - IVF-style cluster-pruned search: the 100 TB scale path — partition
+  *    the corpus by a coarse quantizer (here: per-`label` centroids, exact
+  *    decimal sums so centroids are order-independent and deterministic),
+  *    probe only the nearest cluster(s). At scale the corpus would be
+  *    bucketed/partitioned by centroid id on disk so a probe reads one
+  *    partition, not the full table.
+  *
+  * All arithmetic is done in DOUBLE after an explicit element cast (float
+  * summation order would otherwise be engine-dependent); fold order is the
+  * array order in both Spark `aggregate` and the DuckDB oracle, so results
+  * are bit-identical.
+  */
+object Similarity {
+
+  private def toDouble(arr: Column): Column =
+    transform(arr, x => x.cast("double"))
+
+  /** Sequential left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // --- q_cosine_topk: top-10 most similar to the vec_id=0 query vector ---
+  val qCosineTopk: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(toDouble(col("embedding")).as("qe"))
+    e.select(col("vec_id"), toDouble(col("embedding")).as("ce"))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        round(cosine(col("ce"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // --- q_embed_near_dup: all pairs with cosine >= 0.4 ---
+  val qEmbedNearDup: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("ce"))
+    val a = e.select(col("vec_id").as("vec_a"), col("ce").as("ce_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("ce").as("ce_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("ce_a"), col("ce_b")))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // --- q_ann_ivf: cluster-pruned approximate search (scale path) ---
+  // Coarse quantizer: per-label centroids via exact DECIMAL element sums
+  // (order-independent → deterministic across partitionings). The testdata
+  // labels are not real clusters (intra-label cosine ≈ 0), but the operator
+  // shape — centroid table, nearest-centroid probe, cluster-local top-k —
+  // is the IVF contract. No oracle: rows-only driver check.
+  val qAnnIvf: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding"))
+        .as("ce"))
+    val dims = e.select(col("label"), posexplode(col("ce")).as(Seq("pos", "v")))
+    val centroids = dims
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+      .select(col("label").as("c_label"),
+        transform(col("ps"), p => p.getField("cv")).as("centroid"))
+    val qv = e.filter(col("vec_id") === 0L).select(col("ce").as("qe"))
+    val nearest = centroids.crossJoin(broadcast(qv))
+      .select(col("c_label"), col("qe"),
+        cosine(col("centroid"), col("qe")).as("csim"))
+      .orderBy(col("csim").desc, col("c_label").asc)
+      .limit(1)
+    e.join(broadcast(nearest), col("label") === col("c_label"))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("ce"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val cosineSql =
+    "list_dot_product(ce, qe) / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cosine_topk", qCosineTopk, Some(
+      s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    QueryDef("q_embed_near_dup", qEmbedNearDup, Some(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
+    QueryDef("q_ann_ivf", qAnnIvf, None)
+  )
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline needs (language ID, quality scoring,
+  * token counting, fingerprinting). All pure Column expressions: they stay
+  * inside whole-stage codegen, no UDFs, and scale embarrassingly
+  * (per-row, no shuffle until the final ORDER BY which exists only for
+  * oracle determinism).
+  */
+object TextAnalysis {
+
+  /** Marker score over the `padded` column: length delta of
+    * non-overlapping left-to-right removal — identical semantics in Spark
+    * and DuckDB `replace` (occurrence count × marker length). */
+  private def markerScore(marker: String): Column =
+    length(col("padded")) - length(expr(s"replace(padded, '$marker', '')"))
+
+  private val wsTokens: Column = split(trim(col("text")), "\\s+")
+
+  // --- q_text_stats: length / token counts / ratios ---
+  val qTextStats: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        size(wsTokens).as("n_tokens"),
+        size(array_distinct(wsTokens)).as("n_distinct"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(wsTokens)).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  // --- q_lang_id: marker-stopword n-gram heuristic with fixed tie order ---
+  // Deterministic scoring (not ML): per-language marker phrases counted via
+  // replace(), argmax with precedence en>fr>es>de>zh, 'und' if no signal.
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "zh" -> Seq("的", "了"))
+
+  val qLangId: (SparkSession, String) => DataFrame = (s, d) => {
+    val padded = concat(lit(" "), col("text"), lit(" ")).as("padded")
+    val withPad = Tables.documents(s, d).select(col("doc_id"), padded)
+    val scored = langMarkers.foldLeft(withPad) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang",
+        ms.map(m => markerScore(m)).reduce(_ + _))
+    }
+    val Seq(en, fr, es, de, zh) =
+      Seq("s_en", "s_fr", "s_es", "s_de", "s_zh").map(col)
+    scored.select(col("doc_id"),
+      when(en + fr + es + de + zh === 0, "und")
+        .when(en >= fr && en >= es && en >= de && en >= zh, "en")
+        .when(fr >= es && fr >= de && fr >= zh, "fr")
+        .when(es >= de && es >= zh, "es")
+        .when(de >= zh, "de")
+        .otherwise("zh").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  // --- q_quality_score: length / punctuation / stopword composite ---
+  val qQualityScore: (SparkSession, String) => DataFrame = (s, d) => {
+    val padded = concat(lit(" "), col("text"), lit(" ")).as("padded")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), padded)
+      .select(col("doc_id"),
+        round(
+          lit(0.4) * least(lit(1.0), size(wsTokens).cast("double") / 100d) +
+            lit(0.4) * least(lit(1.0), length(col("text")).cast("double") / 500d) +
+            lit(0.2) * when(markerScore(" the ") > 0, 1.0)
+              .otherwise(0.0),
+          4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // --- q_token_count: whitespace + BPE-ish regex tokenization counts ---
+  val qTokenCount: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(wsTokens).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+          .as("re_tokens"))
+      .orderBy("doc_id")
+
+  // --- q_doc_fingerprint: content fingerprint of normalized text ---
+  // md5 over whitespace-normalized lowercase text: the exact-dedup /
+  // shard-stable content id. (A Rabin-Karp winnowing fingerprint lives in
+  // graft.functions.Fingerprint with unit tests; md5 is the oracle-able
+  // contract here.)
+  val qDocFingerprint: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(to_binary(lower(regexp_replace(col("text"), "\\s+", " ")),
+          lit("utf-8"))).as("fp"))
+      .orderBy("doc_id")
+
+  private def langScoreSql(ms: Seq[String]): String =
+    ms.map(m =>
+      s"(length(padded) - length(replace(padded, '$m', '')))")
+      .mkString(" + ")
+
+  private val langIdOracle: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      s"${langScoreSql(ms)} AS s_$l"
+    }.mkString(", ")
+    s"""SELECT doc_id, CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und' WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en' WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_de AND s_es >= s_zh THEN 'es' WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_pred FROM (SELECT doc_id, $scores FROM (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)) ORDER BY doc_id"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_stats", qTextStats, Some(
+      "SELECT doc_id, length(text) AS n_chars2, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct, CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len FROM documents ORDER BY doc_id")),
+    QueryDef("q_lang_id", qLangId, Some(langIdOracle)),
+    QueryDef("q_quality_score", qQualityScore, Some(
+      "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
+    QueryDef("q_token_count", qTokenCount, Some(
+      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens, len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens FROM documents ORDER BY doc_id")),
+    QueryDef("q_doc_fingerprint", qDocFingerprint, Some(
+      "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id"))
+  )
+}
