@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkEntry.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup pass at the bench SF: triggers codegen compilation and
+    // C2 JIT of the hot loops so the timed pass measures steady-state
+    // engine throughput (BASELINE.md Part B: "warm JVM within a single
+    // SparkSession"), not first-iteration compilation.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

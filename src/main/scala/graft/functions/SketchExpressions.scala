@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native sketch expressions (MinHash signature, SimHash) for the dedup
+  * scale path.
+  *
+  * The equivalent built-in HOF formulation (k× `transform` + `array_min`,
+  * 64× `aggregate` bit votes) is interpreted per element with boxed
+  * lambdas — measured 42 s (MinHash) / 5 s (SimHash) over 5,000 docs at
+  * sf0.1. These expressions do one primitive pass per row. They are
+  * CodegenFallback (one virtual call per ROW, not per element×hash): the
+  * inner k×n loop is compiled Scala, which is what matters — per-row
+  * overhead is noise at any scale because rows are coarse (a whole
+  * document's shingle set).
+  */
+
+/** k-permutation MinHash signature over an array<long> of shingle hashes.
+  * sig[i] = min over h of ((h mod p)·a[i] + b[i]) mod p. Returns
+  * array<long> of length k; null input → null; empty input → p for every
+  * slot (a defined, stable sentinel). */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long],
+    p: Long) extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = a.length
+    val mins = Array.fill(k)(p)
+    var j = 0
+    while (j < n) {
+      val h = java.lang.Math.floorMod(arr.getLong(j), p)
+      var i = 0
+      while (i < k) {
+        val v = java.lang.Math.floorMod(h * a(i) + b(i), p)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array<long> of token hashes (frequency-weighted:
+  * duplicates vote multiple times). Bit i of the result is 1 iff more
+  * token hashes have bit i set than clear. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object SketchFunctions {
+  def minhashSig(hashes: Column, a: Array[Long], b: Array[Long], p: Long)
+      : Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), a, b, p))
+
+  def simhash64(tokenHashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
+}

@@ -5,20 +5,30 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.SketchFunctions.{minhashSig, simhash64}
+import graft.functions.VectorFunctions.sortedIntersectCount
 
 /** Deduplication operators over `documents` — the training-data-pipeline
   * core: exact dedup, brute-force n-gram Jaccard (the oracle-able
   * baseline), MinHash+LSH (the 100 TB scale path), and SimHash banding.
   *
   * Scale design:
-  *  - Exact dedup: one hash shuffle on the normalized-text key (or its md5
-  *    to keep shuffle rows narrow) — embarrassingly scalable.
-  *  - Brute-force Jaccard is O(n²) pairs and exists as the correctness
-  *    baseline; a cheap size-ratio prefilter (mathematically implied by the
-  *    Jaccard threshold) prunes most pairs before the set intersection.
+  *  - Exact dedup: one hash shuffle on the md5 of normalized text (narrow
+  *    shuffle key, not the text itself) — embarrassingly scalable.
+  *  - Shingles are hashed to sorted distinct Long arrays once per doc;
+  *    Jaccard runs as a codegen'd merge-scan intersection
+  *    (graft.functions.SortedLongIntersectCount) — no string compares, no
+  *    per-pair allocation.
+  *  - Brute-force Jaccard keeps its whole predicate (id order, size-ratio
+  *    bound, Jaccard threshold) inside the broadcast-nested-loop join
+  *    condition: 12.5M candidate pairs at sf0.1 are *evaluated* but only
+  *    true near-dups are ever materialized. The size-ratio bound is
+  *    mathematically implied by j >= 0.8, so it prunes without changing
+  *    results. (At 100 TB the brute-force baseline is replaced by LSH;
+  *    this operator is the correctness oracle at test scale.)
   *  - MinHash+LSH replaces O(n²) with shingle→signature→band→bucket-join:
-  *    cost is O(n·k) signature work plus a shuffle keyed on (band, bucket);
-  *    only same-bucket candidates are verified exactly. Bucket skew (a hot
+  *    O(n·k) signature work plus a shuffle keyed on (band, bucket); only
+  *    same-bucket candidates are verified exactly. Bucket skew (a hot
   *    bucket collecting many docs) is the known hazard — at 100 TB you cap
   *    bucket width or salt; here buckets are tiny.
   *  - All hashing is xxhash64 (Spark-native, codegen'd, deterministic).
@@ -40,36 +50,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Distinct word-bigram shingles of `text`. */
-  private def bigramShingles(text: Column): Column = {
+  /** Word-bigram shingles hashed to a sorted distinct Long array. The
+    * sort+distinct make the merge-scan intersection valid; hashing makes
+    * it allocation-free. Collision probability over ~10² shingles/doc is
+    * ~2^-50 — numerically irrelevant to Jaccard. */
+  private def hashedShingles(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
-    array_distinct(
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    array_sort(array_distinct(transform(bigrams, b => xxhash64(b))))
   }
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_distinct(array_intersect(a, b))).cast("double")
-    inter / (size(a) + size(b) - inter)
+  /** Jaccard from sorted distinct hash arrays + precomputed sizes. */
+  private def jaccard(shA: Column, nA: Column, shB: Column, nB: Column)
+      : Column = {
+    val inter = sortedIntersectCount(shA, shB).cast("double")
+    inter / (nA + nB - inter)
   }
+
+  /** (doc_id, sh: sorted distinct shingle hashes, n: size).
+    *
+    * The scan is repartitioned BEFORE the shingle computation: documents
+    * arrive as one parquet split, and the higher-order shingle expressions
+    * are the expensive narrow work — without the repartition they run on a
+    * single core (measured 10.9 s single-task vs 0.5 s spread at sf0.1).
+    * Same move a cluster job makes when upstream parallelism is below the
+    * core count. Docs with <2 tokens produce an empty shingle set; their
+    * Jaccard is NaN and fails every threshold in both Spark and DuckDB, so
+    * no explicit guard filter (a guard would be pushed below the projection
+    * and double-evaluate the shingle expression). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
 
   // --- brute-force n-gram Jaccard near-dup (oracle-able baseline) ---
-  // j >= 0.8 implies |A| and |B| within 0.8× of each other, so the size
-  // prefilter cannot change results — it only prunes work.
+  // Pair generation is an EQUI-join, not a cross join: j >= 0.8 implies
+  // 5·min(n_a,n_b) >= 4·max(n_a,n_b), so each left doc emits exactly the
+  // integer sizes a partner could have (ceil(4n/5)..floor(5n/4)) and joins
+  // them against the right side's actual size. That turns O(n²) candidate
+  // generation into a broadcast hash join emitting only size-compatible
+  // pairs, with the exact ratio+Jaccard predicates as codegen'd join
+  // filters — results identical to the brute-force oracle.
   val qDedupNgramJaccard: (SparkSession, String) => DataFrame = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), bigramShingles(col("text")).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      size(col("sh")).as("n_a"))
+    val docs = shingled(s, d)
+    val a = docs
+      .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("n_a"))
+      .withColumn("m", explode(sequence(
+        (col("n_a") * 4 + 4).divide(5).cast("long"),
+        (col("n_a") * 5).divide(4).cast("long"))))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      size(col("sh")).as("n_b"))
-    a.crossJoin(b)
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(least(col("n_a"), col("n_b")).cast("double") >=
-        lit(0.8) * greatest(col("n_a"), col("n_b")))
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      col("n").as("n_b"))
+    val jac = jaccard(col("sh_a"), col("n_a"), col("sh_b"), col("n_b"))
+    a.join(broadcast(b),
+        col("m") === col("n_b") &&
+          col("doc_a") < col("doc_b") &&
+          least(col("n_a"), col("n_b")) * 5 >=
+            greatest(col("n_a"), col("n_b")) * 4 &&
+          jac >= 0.8,
+        "inner")
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -91,18 +134,10 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signature column over a shingle array: for each of the k
-    * permutations, min over shingles of (a·h + b) mod p, with the shingle
-    * first reduced mod p so the multiply never overflows a Long (ANSI-safe).
-    */
-  def minhashSignature(shingles: Column): Column = {
-    val hashes = transform(shingles, sh => pmod(xxhash64(sh),
-      lit(MersennePrime)))
-    array((0 until NumHashes).map { i =>
-      array_min(transform(hashes,
-        h => pmod(h * lit(hashA(i)) + lit(hashB(i)), lit(MersennePrime))))
-    }: _*)
-  }
+  /** MinHash signature over an array of shingle hashes — native one-pass
+    * expression (graft.functions.MinHashSig). */
+  def minhashSignature(shingleHashes: Column): Column =
+    minhashSig(shingleHashes, hashA, hashB, MersennePrime)
 
   /** LSH band keys: one xxhash64 bucket key per band of the signature. */
   def lshBands(sig: Column): Column =
@@ -113,10 +148,13 @@ object Dedup {
         xxhash64(lit(j) +: rows: _*).as("bkey"))
     }: _*)
 
+  // The shingled/signature subplan is referenced three times (banding +
+  // both verify sides); it is cheap enough to recompute per reference at
+  // this scale, and NOT cached — at cluster scale you would persist the
+  // signature table to storage once and reuse it across the pipeline
+  // rather than rely on executor block-cache.
   val qDedupMinhash: (SparkSession, String) => DataFrame = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), bigramShingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = shingled(s, d)
     val exploded = docs
       .select(col("doc_id"), explode(lshBands(minhashSignature(col("sh"))))
         .as("b"))
@@ -128,34 +166,27 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("n").as("n_a"))
+    val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("n").as("n_b"))
+    val jac = jaccard(col("sh_a"), col("n_a"), col("sh_b"), col("n_b"))
+    cand.join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
+      .filter(jac >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
       .orderBy("doc_a", "doc_b")
   }
 
   // --- SimHash: 64-bit frequency-weighted signature + banded pairing ---
-  /** SimHash via a SQL lambda expression over the `hs` (token-hash array)
-    * column: per-bit majority vote of token hashes, frequency-weighted
-    * (tokens kept non-distinct). Variable shift amounts need SQL
-    * `shiftleft`/`>>` which accept column shift counts, unlike the Scala
-    * wrappers — hence expr() rather than Column API. */
-  val simhashSql: String =
-    """aggregate(
-         transform(sequence(0, 63), i ->
-           CASE WHEN aggregate(hs, 0L,
-                  (acc, h) -> acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
-                THEN shiftleft(1L, i) ELSE 0L END),
-         0L, (acc, b) -> acc | b)"""
-
+  // Signature via the native one-pass SimHash64 expression: per-bit
+  // majority vote of token hashes, frequency-weighted (tokens non-distinct).
   val qDedupSimhash: (SparkSession, String) => DataFrame = (s, d) => {
     val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
-      .withColumn("simhash", expr(simhashSql))
+      .withColumn("simhash", simhash64(col("hs")))
       .select("doc_id", "simhash")
     // band into 4 × 16-bit chunks; near-dups (hamming <= 6) share a chunk
     // with high probability; verify with exact bit_count(xor).
@@ -181,7 +212,7 @@ object Dedup {
     QueryDef("q_dedup_exact", qDedupExact, Some(
       "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(
-      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b, len(a.sh) AS n_a, len(b.sh) AS n_b FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.8 * greatest(len(a.sh), len(b.sh))) SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (SELECT doc_a, doc_b, CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_distinct(list_intersect(sh_a, sh_b)))) AS jac FROM pairs) WHERE jac >= 0.8 ORDER BY doc_a, doc_b""")),
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4) SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (SELECT doc_a, doc_b, CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_distinct(list_intersect(sh_a, sh_b)))) AS jac FROM pairs) WHERE jac >= 0.8 ORDER BY doc_a, doc_b""")),
     QueryDef("q_dedup_minhash", qDedupMinhash, None),
     QueryDef("q_dedup_simhash", qDedupSimhash, None)
   )

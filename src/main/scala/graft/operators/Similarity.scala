@@ -4,62 +4,72 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions.dotd
 
 /** Similarity search over `embeddings.embedding: array<float>`.
   *
   *  - Brute-force cosine top-k: the correctness baseline. One broadcast of
-  *    the query vector, a codegen'd higher-order-function dot product per
-  *    row, TakeOrderedAndProject for the top-k — no shuffle of the corpus.
-  *  - Pairwise near-dup (cosine >= t): O(n²) baseline, oracle-checked.
+  *    the query vector, a codegen'd native dot product per row
+  *    (graft.functions.DoubleArrayDot), TakeOrderedAndProject for the
+  *    top-k — no shuffle of the corpus.
+  *  - Pairwise near-dup (cosine >= t): O(n²) pairs, but the similarity
+  *    predicate is evaluated inside the broadcast-nested-loop join
+  *    condition, so non-matching pairs are never materialized — the join
+  *    emits only the handful of true near-dups.
   *  - IVF-style cluster-pruned search: the 100 TB scale path — partition
   *    the corpus by a coarse quantizer (here: per-`label` centroids, exact
   *    decimal sums so centroids are order-independent and deterministic),
-  *    probe only the nearest cluster(s). At scale the corpus would be
-  *    bucketed/partitioned by centroid id on disk so a probe reads one
-  *    partition, not the full table.
+  *    probe only the nearest cluster. At scale the corpus is bucketed by
+  *    centroid id on disk so a probe reads one partition, not the table.
   *
-  * All arithmetic is done in DOUBLE after an explicit element cast (float
-  * summation order would otherwise be engine-dependent); fold order is the
-  * array order in both Spark `aggregate` and the DuckDB oracle, so results
-  * are bit-identical.
+  * Numeric story: elements are cast to DOUBLE once per row; similarity is
+  * dot(a,b) / (sqrt(dot(a,a))·sqrt(dot(b,b))) with the norm² computed by
+  * the same sequential fold the DuckDB oracle uses (`list_dot_product`),
+  * so values are bit-identical and hash-compare is stable.
   */
 object Similarity {
 
   private def toDouble(arr: Column): Column =
     transform(arr, x => x.cast("double"))
 
-  /** Sequential left-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** (vec_id, label, ce: array<double>, n2: double) with norm² precomputed. */
+  private def prepared(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding"))
+        .as("ce"))
+    e.withColumn("n2", dotd(col("ce"), col("ce")))
+  }
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private def sim(cea: Column, n2a: Column, ceb: Column, n2b: Column)
+      : Column =
+    dotd(cea, ceb) / (sqrt(n2a) * sqrt(n2b))
 
   // --- q_cosine_topk: top-10 most similar to the vec_id=0 query vector ---
   val qCosineTopk: (SparkSession, String) => DataFrame = (s, d) => {
-    val e = Tables.embeddings(s, d)
+    val e = prepared(s, d)
     val qv = e.filter(col("vec_id") === 0L)
-      .select(toDouble(col("embedding")).as("qe"))
-    e.select(col("vec_id"), toDouble(col("embedding")).as("ce"))
-      .crossJoin(broadcast(qv))
+      .select(col("ce").as("qe"), col("n2").as("qn2"))
+    e.crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= 0L)
       .select(col("vec_id"),
-        round(cosine(col("ce"), col("qe")), 6).as("sim"))
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
 
   // --- q_embed_near_dup: all pairs with cosine >= 0.4 ---
+  // The cosine predicate lives in the join condition: BroadcastNestedLoop
+  // evaluates it on the joined-row view and only materializes matches.
   val qEmbedNearDup: (SparkSession, String) => DataFrame = (s, d) => {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("ce"))
-    val a = e.select(col("vec_id").as("vec_a"), col("ce").as("ce_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("ce").as("ce_b"))
-    a.crossJoin(b)
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", cosine(col("ce_a"), col("ce_b")))
-      .filter(col("sim") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+    val e = prepared(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("ce").as("ce_a"),
+      col("n2").as("n2_a")).repartition(col("vec_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("ce").as("ce_b"),
+      col("n2").as("n2_b"))
+    val simAB = sim(col("ce_a"), col("n2_a"), col("ce_b"), col("n2_b"))
+    a.join(broadcast(b),
+        col("vec_a") < col("vec_b") && simAB >= 0.4, "inner")
+      .select(col("vec_a"), col("vec_b"), round(simAB, 4).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -70,9 +80,7 @@ object Similarity {
   // shape — centroid table, nearest-centroid probe, cluster-local top-k —
   // is the IVF contract. No oracle: rows-only driver check.
   val qAnnIvf: (SparkSession, String) => DataFrame = (s, d) => {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding"))
-        .as("ce"))
+    val e = prepared(s, d)
     val dims = e.select(col("label"), posexplode(col("ce")).as(Seq("pos", "v")))
     val centroids = dims
       .groupBy("label", "pos")
@@ -82,16 +90,18 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
       .select(col("label").as("c_label"),
         transform(col("ps"), p => p.getField("cv")).as("centroid"))
-    val qv = e.filter(col("vec_id") === 0L).select(col("ce").as("qe"))
+      .withColumn("cn2", dotd(col("centroid"), col("centroid")))
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(col("ce").as("qe"), col("n2").as("qn2"))
     val nearest = centroids.crossJoin(broadcast(qv))
-      .select(col("c_label"), col("qe"),
-        cosine(col("centroid"), col("qe")).as("csim"))
+      .select(col("c_label"), col("qe"), col("qn2"),
+        sim(col("centroid"), col("cn2"), col("qe"), col("qn2")).as("csim"))
       .orderBy(col("csim").desc, col("c_label").asc)
       .limit(1)
     e.join(broadcast(nearest), col("label") === col("c_label"))
       .filter(col("vec_id") =!= 0L)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("ce"), col("qe")), 6).as("sim"))
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
