@@ -20,6 +20,7 @@ object Registry {
   /** All declared queries, in declaration order. */
   lazy val all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Relational2.defs ++
       operators.Events.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++

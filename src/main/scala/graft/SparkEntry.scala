@@ -22,6 +22,8 @@ object SparkEntry {
       // events.parquet stores TIMESTAMP(NANOS) which Spark has no native
       // type for; read as Long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

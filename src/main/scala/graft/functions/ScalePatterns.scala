@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns as reusable library functions: skew-resistant salted
+  * aggregation and bucketed co-located joins. These are the techniques the
+  * 100 TB deployment reaches for when a key distribution or a repeated
+  * join makes the default shuffle the bottleneck; each has an
+  * equivalence/no-shuffle test in ScalePatternsSpec.
+  */
+object ScalePatterns {
+
+  /** Two-stage salted sum/count: stage 1 aggregates on (key, salt) so a
+    * hot key's rows spread over `buckets` reducers; stage 2 merges the
+    * partials per key. Result is identical to a direct groupBy-sum for
+    * decimal/long values (order-independent aggregates).
+    *
+    * With AQE's skew handling this is rarely needed for joins, but
+    * aggregation skew (one giant group) still wants the salt. */
+  def saltedSum(df: DataFrame, key: Column, value: Column, buckets: Int)
+      : DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()),
+        lit(buckets.toLong)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(value).as("__partial"), count(lit(1)).as("__pcnt"))
+    salted
+      .groupBy(col("key"))
+      .agg(sum(col("__partial")).as("sum"), sum(col("__pcnt")).as("cnt"))
+  }
+
+  /** Write both sides bucketed+sorted by the join key so subsequent joins
+    * are exchange-free (co-located sort-merge). Returns the table names.
+    * The write cost is paid once; every later join on `key` skips its
+    * shuffle — the standard layout for a fact table joined daily. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): String = {
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    table
+  }
+}

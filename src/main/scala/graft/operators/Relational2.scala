@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Second operator batch: aggregation/set/date surface beyond the
+  * reference's literal needs — the standard relational vocabulary a user
+  * of the engine expects (SURVEY.md §2.4/§2.7/§2.8 "built-in when needed"
+  * rows), each with a DuckDB oracle.
+  */
+object Relational2 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  // Distinct aggregate (hash-based distinct inside agg; Spark plans a
+  // two-phase expand+agg — scales with the usual caveat that per-group
+  // distinct cardinality must fit the shuffle).
+  val qAggDistinct: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nparts"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  // ROLLUP grouping sets; null markers mapped to 'ALL' (no real NULLs in
+  // these columns, so the mapping is unambiguous in both engines).
+  val qAggRollup: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("cnt"), col("sum_price"))
+      .orderBy("status", "prio")
+
+  // EXCEPT (distinct) — customers minus those with an in-progress order.
+  val qSetExcept: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .except(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  // INTERSECT (distinct) — customers having both open and finished orders.
+  val qSetIntersect: (SparkSession, String) => DataFrame = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  // Date arithmetic: interval add, extraction, diff from an epoch date.
+  val qDateArith: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("due"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("age_days"))
+      .orderBy("o_orderkey")
+
+  // Guarded lookup (J5): left outer + visible nulls — the guarded
+  // next(..., None) of the reference (`:177,207`).
+  val qLookupGuarded: (SparkSession, String) => DataFrame = (s, d) => {
+    val latest = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderkey")).as("latest_p_order"))
+    Tables.customer(s, d)
+      .join(latest, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("latest_p_order"))
+      .orderBy("c_custkey")
+  }
+
+  // Corpus vocabulary: token frequencies, top 50 — explode + count, the
+  // canonical "build a vocab over 100 TB" shape (shuffle on token).
+  val qVocabTopk: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(50)
+
+  // Top-k per group: 3 longest docs per source (WindowGroupLimit path).
+  val qTopkPerGroup: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
+  // Deterministic stratified-style sample: hash-bucket on a salted md5 of
+  // the key — reproducible across engines/runs (unlike rand()-based
+  // sampling), the right primitive for holdout splits of a 100 TB corpus.
+  val qSampleStratified: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .filter(
+        ascii(substring(md5(to_binary(
+          concat(lit("salt"), col("doc_id").cast("string")),
+          lit("utf-8"))), 1, 1)) % 4 === 0)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  // Text normalization: strip non-alphanumerics, collapse whitespace,
+  // lowercase — the canonical cleaning step before shingling/fingerprints.
+  val qTextNormalize: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"))
+      .orderBy("doc_id")
+
+  // Docs ⋈ embeddings on shared key domain (doc_id = vec_id): the
+  // text+vector join every multimodal pipeline needs; dim side broadcast.
+  val qDocEmbeddingJoin: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .join(broadcast(Tables.embeddings(s, d)),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("label"), col("n_chars"), col("lang"))
+      .orderBy("doc_id")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_agg_distinct", qAggDistinct, Some(
+      "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nparts, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+    QueryDef("q_agg_rollup", qAggRollup, Some(
+      "SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, prio")),
+    QueryDef("q_set_except", qSetExcept, Some(
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P' ORDER BY c_custkey")),
+    QueryDef("q_set_intersect", qSetIntersect, Some(
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' ORDER BY o_custkey")),
+    QueryDef("q_date_arith", qDateArith, Some(
+      "SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due, year(o_orderdate) AS yr, month(o_orderdate) AS mo, datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS age_days FROM orders ORDER BY o_orderkey")),
+    QueryDef("q_lookup_guarded", qLookupGuarded, Some(
+      "SELECT c_custkey, (SELECT MAX(o_orderkey) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') AS latest_p_order FROM customer ORDER BY c_custkey")),
+    QueryDef("q_vocab_topk", qVocabTopk, Some(
+      "SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 50")),
+    QueryDef("q_topk_per_group", qTopkPerGroup, Some(
+      "SELECT source, rk, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents) WHERE rk <= 3 ORDER BY source, rk")),
+    QueryDef("q_sample_stratified", qSampleStratified, Some(
+      "SELECT doc_id, lang, source FROM documents WHERE ascii(substr(md5('salt' || CAST(doc_id AS VARCHAR)), 1, 1)) % 4 = 0 ORDER BY doc_id")),
+    QueryDef("q_text_normalize", qTextNormalize, Some(
+      "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents ORDER BY doc_id")),
+    QueryDef("q_doc_embedding_join", qDocEmbeddingJoin, Some(
+      "SELECT doc_id, label, n_chars, lang FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"))
+  )
+}

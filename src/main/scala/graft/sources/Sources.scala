@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table sources/sinks beyond parquet (SURVEY.md §2.1): the reference's
+  * whole-file JSON store (S1 scan `dags/subscription_flow.py:27-29`, S2
+  * rewrite `:32-34`) plus CSV. Always schema-explicit — at 100 TB schema
+  * inference is a full extra pass over the data.
+  */
+object Sources {
+
+  /** S1 — JSON array-file scan (the reference's store format is one JSON
+    * array per table, hence multiLine). */
+  def readJsonTable(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).option("multiLine", value = true).json(path)
+
+  /** Line-delimited JSON scan — the scalable variant (splittable, unlike
+    * multiLine arrays; this is what a 100 TB JSON corpus must use). */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S2 — whole-store rewrite, as line-delimited JSON. The reference
+    * rewrites its file in place; the Spark shape is an overwrite of an
+    * immutable derived table. coalesce(1) mirrors the single-file store at
+    * fixture scale — a real deployment drops it and writes partitioned. */
+  def writeJsonTable(df: DataFrame, path: String,
+      singleFile: Boolean = true): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  def readCsvTable(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).option("header", value = true).csv(path)
+
+  def writeCsvTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", value = true)
+      .csv(path)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Sources
+
+/** JSON/CSV source+sink roundtrips (SURVEY.md §2.1 S1/S2): the reference's
+  * JSON-array store format must read back exactly, including the golden
+  * fixture data. */
+class SourcesSpec extends SparkSpec {
+
+  private val plansSchema = StructType(Seq(
+    StructField("subscription_plan_id", LongType),
+    StructField("subscription_plan_name", StringType),
+    StructField("subscription_price", DoubleType),
+    StructField("subscription_plan_start_date", StringType),
+    StructField("subscription_plan_end_date", StringType)))
+
+  test("S1: multiLine JSON array file reads with explicit schema") {
+    // write a JSON-array file in the reference's store format
+    val dir = Files.createTempDirectory("graft_json").toString
+    val f = s"$dir/plans.json"
+    Files.writeString(java.nio.file.Paths.get(f),
+      """[
+        |  {"subscription_plan_id": 1, "subscription_plan_name": "Free", "subscription_price": 0, "subscription_plan_start_date": "2025-01-01", "subscription_plan_end_date": "2025-12-31"},
+        |  {"subscription_plan_id": 2, "subscription_plan_name": "Pro", "subscription_price": 29, "subscription_plan_start_date": "2025-01-01", "subscription_plan_end_date": "2025-12-31"}
+        |]""".stripMargin)
+    val df = Sources.readJsonTable(spark, f, plansSchema)
+    assert(df.count() === 2)
+    val pro = df.filter(col("subscription_plan_name") === "Pro").head()
+    assert(pro.getAs[Long]("subscription_plan_id") === 2L)
+    assert(pro.getAs[Double]("subscription_price") === 29.0)
+  }
+
+  test("S2 + S1: JSON sink then line-delimited scan roundtrips the store") {
+    val dir = Files.createTempDirectory("graft_json_rt").toString + "/store"
+    Sources.writeJsonTable(plansFixture, dir)
+    val back = Sources.readJsonLines(spark, dir, plansSchema)
+    assert(back.orderBy("subscription_plan_id").collect().toSeq ===
+      plansFixture.orderBy("subscription_plan_id").collect().toSeq)
+  }
+
+  test("CSV sink + scan roundtrips with schema") {
+    val subsSchema = StructType(Seq(
+      StructField("subscription_id", LongType),
+      StructField("user_id", LongType),
+      StructField("subscription_plan_id", LongType),
+      StructField("subscription_status", StringType),
+      StructField("start_date", StringType),
+      StructField("end_date", StringType),
+      StructField("payment_status", StringType)))
+    val dir = Files.createTempDirectory("graft_csv").toString + "/subs"
+    Sources.writeCsvTable(subsFixture, dir)
+    val back = Sources.readCsvTable(spark, dir, subsSchema)
+    assert(back.orderBy("subscription_id").collect().toSeq ===
+      subsFixture.orderBy("subscription_id").collect().toSeq)
+  }
+}
