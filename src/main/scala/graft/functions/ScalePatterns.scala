@@ -36,6 +36,19 @@ object ScalePatterns {
     * shuffle — the standard layout for a fact table joined daily. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int): String = {
+    val spark = df.sparkSession
+    // The in-memory catalog forgets tables across JVM runs while the
+    // warehouse directory persists — clear both so overwrite is reliable.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath
+      else wh
+    val loc = new java.io.File(whPath, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)

@@ -54,7 +54,7 @@ object Dedup {
     * sort+distinct make the merge-scan intersection valid; hashing makes
     * it allocation-free. Collision probability over ~10² shingles/doc is
     * ~2^-50 — numerically irrelevant to Jaccard. */
-  private def hashedShingles(text: Column): Column = {
+  def hashedShingles(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     val bigrams = transform(sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
@@ -117,10 +117,10 @@ object Dedup {
   }
 
   // --- MinHash + LSH (the scale path; verified against true Jaccard) ---
-  private val NumHashes = 32
+  val NumHashes = 32
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  val MersennePrime = 2147483647L // 2^31 - 1
   // Deterministic permutation constants from a fixed-seed LCG (no runtime
   // randomness — resumable, cluster-stable).
   private val (hashA, hashB) = {
@@ -211,7 +211,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --- per-source corpus sketch via the mergeable MinHash aggregate ---
+  // Group-level signatures built with MinHashMergeAgg (element-wise min is
+  // exactly the signature of the UNION of the group's shingle sets), then
+  // pairwise similarity estimated as matching-slot fraction. At 100 TB
+  // this is the one-pass "near-dup profile across shards/days" job:
+  // partials merge on any partition layout. Rows-only (xxhash64 sketch has
+  // no DuckDB counterpart).
+  val qMinhashSourceSketch: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.functions.MinHashMergeAgg.minhashMerge
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("text"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("source"),
+        minhashSignature(hashedShingles(col("text"))).as("sig"))
+    val sketches = docs.groupBy("source")
+      .agg(minhashMerge(col("sig"), NumHashes, MersennePrime).as("sketch"))
+    val a = sketches.select(col("source").as("src_a"),
+      col("sketch").as("sk_a"))
+    val b = sketches.select(col("source").as("src_b"),
+      col("sketch").as("sk_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (aggregate(zip_with(col("sk_a"), col("sk_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / NumHashes)
+          .as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_minhash_source_sketch", qMinhashSourceSketch, None),
     QueryDef("q_dedup_exact", qDedupExact, Some(
       "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(

@@ -131,7 +131,24 @@ object Relational2 {
       .select(col("doc_id"), col("label"), col("n_chars"), col("lang"))
       .orderBy("doc_id")
 
+  // S1/S2 — JSON scan+sink roundtrip (the reference's store format,
+  // dags/subscription_flow.py:27-34): the query itself writes the nation
+  // dim as JSON and reads it back schema-explicit; the oracle reads the
+  // same rows from parquet, so the roundtrip must be lossless to match.
+  val qScanJson: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_json"
+    graft.sources.Sources.writeJsonTable(
+      Tables.nation(s, d).select("n_nationkey", "n_name"), tmp)
+    graft.sources.Sources.readJsonLines(s, tmp, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType))))
+      .orderBy("n_nationkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_scan_json", qScanJson, Some(
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("q_agg_distinct", qAggDistinct, Some(
       "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nparts, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
     QueryDef("q_agg_rollup", qAggRollup, Some(
