@@ -30,6 +30,23 @@ object ScalePatterns {
       .agg(sum(col("__partial")).as("sum"), sum(col("__pcnt")).as("cnt"))
   }
 
+  /** Delta-style MERGE emulation over immutable tables (the scale form of
+    * the reference's whole-file rewrite, SURVEY §2 J6): rows in `updates`
+    * replace same-key rows in `base`; new keys are appended. Column sets
+    * must match. One shuffle on the key (or none, if both sides are
+    * bucketed by it via writeBucketed). */
+  def upsertByKey(base: DataFrame, updates: DataFrame, key: String)
+      : DataFrame = {
+    val cols = base.columns
+    require(updates.columns.sameElements(cols),
+      "upsertByKey requires identical column sets")
+    val u = updates.columns.foldLeft(updates)((df, c) =>
+      df.withColumnRenamed(c, s"__u_$c"))
+    base.join(u, base(key) === u(s"__u_$key"), "full_outer")
+      .select(cols.map(c =>
+        coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+  }
+
   /** Write both sides bucketed+sorted by the join key so subsequent joins
     * are exchange-free (co-located sort-merge). Returns the table names.
     * The write cost is paid once; every later join on `key` skips its

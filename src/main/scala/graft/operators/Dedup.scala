@@ -240,12 +240,58 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  // --- near-dup clustering: connected components over verified pairs ---
+  // Iterative min-label propagation (driver loop, ~diameter iterations,
+  // localCheckpoint per round to cut lineage): canonical id of each
+  // near-dup cluster = min doc_id reachable. This is the distributed CC
+  // loop a 100 TB dedup job runs after LSH+verify — each iteration is one
+  // self-contained shuffle on node id; at cluster scale you checkpoint to
+  // storage instead of locally.
+  val qDedupClusters: (SparkSession, String) => DataFrame = (s, d) => {
+    val pairs = qDedupNgramJaccard(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.select(col("node"), col("lbl"))
+        .unionByName(propagated)
+        .groupBy("node")
+        .agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared DuckDB CTE producing the verified near-dup pairs with exact
+    * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */
+  private val ngramPairsCte =
+    """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4), pairs AS (SELECT doc_a, doc_b, jac FROM (SELECT doc_a, doc_b, CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_distinct(list_intersect(sh_a, sh_b)))) AS jac FROM cand) WHERE jac >= 0.8)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_minhash_source_sketch", qMinhashSourceSketch, None),
     QueryDef("q_dedup_exact", qDedupExact, Some(
       "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(
-      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4) SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (SELECT doc_a, doc_b, CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_distinct(list_intersect(sh_a, sh_b)))) AS jac FROM pairs) WHERE jac >= 0.8 ORDER BY doc_a, doc_b""")),
+      s"WITH $ngramPairsCte SELECT doc_a, doc_b, round(jac, 4) AS jac FROM pairs ORDER BY doc_a, doc_b")),
+    QueryDef("q_dedup_clusters", qDedupClusters, Some(
+      s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY doc_id")),
     QueryDef("q_dedup_minhash", qDedupMinhash, None),
     QueryDef("q_dedup_simhash", qDedupSimhash, None)
   )

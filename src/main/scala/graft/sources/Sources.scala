@@ -38,4 +38,12 @@ object Sources {
   def writeCsvTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", value = true)
       .csv(path)
+
+  /** Hive-style partitioned parquet sink (`path/col=value/...`): the
+    * 100 TB output layout — downstream scans of one partition value read
+    * only that directory (partition pruning). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String)
+      : Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(path)
 }
