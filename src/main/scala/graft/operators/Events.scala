@@ -44,8 +44,54 @@ object Events {
           .as("win_start"),
         col("cnt"), col("sum_value"))
 
+  /** Shared per-user sessionization (30-minute gap): the batch form of
+    * streaming session windows. Session start = first event's timestamp.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_start"),
+        col("cnt"), col("sum_value"))
+
   val qEventsTumbling: (SparkSession, String) => DataFrame = (s, d) =>
     tumblingAgg(Tables.events(s, d)).orderBy("event_type", "win_start")
+
+  val qEventsSessions: (SparkSession, String) => DataFrame = (s, d) =>
+    sessionAgg(Tables.events(s, d)).orderBy("user_id", "sess_start")
+
+  // As-of join composed from built-ins (SURVEY §2.3 preference order (a)):
+  // for each purchase, the user's most recent click at-or-before it.
+  // Union-tag both sides, one window pass per user ordered by time
+  // (clicks sort before purchases at equal ts to honor the inclusive
+  // bound), carry the last non-null click id forward. One shuffle on
+  // user_id — the same cost profile as a native as-of operator; DuckDB's
+  // built-in ASOF JOIN is the oracle.
+  val qAsofJoin: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(0).as("is_p"), lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("click_id"), lit(1).as("is_p"),
+        col("event_id").as("purchase_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_p").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("prior_click", last(col("click_id"), ignoreNulls = true)
+        .over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("prior_click"))
+      .orderBy("purchase_id")
+  }
 
   val qEventsSliding: (SparkSession, String) => DataFrame = (s, d) =>
     slidingAgg(Tables.events(s, d)).orderBy("event_type", "win_start")
@@ -66,6 +112,10 @@ object Events {
     QueryDef("q_events_sliding", qEventsSliding, Some(
       "SELECT event_type, strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks GROUP BY event_type, win_start ORDER BY event_type, win_start")),
     QueryDef("q_events_extract_props", qEventsExtractProps, Some(
-      "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k FROM events ORDER BY event_id"))
+      "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k FROM events ORDER BY event_id")),
+    QueryDef("q_events_sessions", qEventsSessions, Some(
+      "WITH t AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start")),
+    QueryDef("q_asof_join", qAsofJoin, Some(
+      "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS prior_click FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND c.ts <= p.ts ORDER BY purchase_id"))
   )
 }

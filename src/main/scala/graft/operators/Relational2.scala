@@ -146,7 +146,20 @@ object Relational2 {
       .orderBy("n_nationkey")
   }
 
+  // Exact interpolated percentiles (R-7, the same definition DuckDB's
+  // quantile_cont uses) — the distribution profile a data-quality pass
+  // computes per partition of a 100 TB corpus.
+  val qPercentile: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderstatus")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_percentile", qPercentile, Some(
+      "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_scan_json", qScanJson, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("q_agg_distinct", qAggDistinct, Some(

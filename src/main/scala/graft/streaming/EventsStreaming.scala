@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -55,15 +55,36 @@ object EventsStreaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
-  /** Per-user session windows (30-minute gap): count + value sum. */
+  /** Per-user session windows (30-minute gap) — same builder as the batch
+    * q_events_sessions. */
   def sessions(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("sum_value"))
-      .select(col("user_id"),
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
-          .as("sess_start"),
-        col("cnt"), col("sum_value"))
+    Events.sessionAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** Custom streaming state via flatMapGroupsWithState: a per-user running
+    * profile (event count + decimal value sum) updated each micro-batch.
+    * This is the escape hatch when built-in windows can't express the
+    * state machine; state lives in the state store keyed by user, so it
+    * scales with distinct users, not events. */
+  final case class UserProfile(user_id: Long, events_seen: Long,
+      total_value: BigDecimal)
+
+  def runningProfiles(spark: SparkSession, events: DataFrame)
+      : Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value").cast("decimal(18,2)")
+        .as("value"))
+      .as[(Long, BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, BigDecimal)],
+            state: GroupState[(Long, BigDecimal)]) => {
+          var (cnt, sum) = state.getOption.getOrElse((0L, BigDecimal(0)))
+          rows.foreach { case (_, v) => cnt += 1; sum += v }
+          state.update((cnt, sum))
+          Iterator(UserProfile(uid, cnt, sum))
+        })
+  }
 }

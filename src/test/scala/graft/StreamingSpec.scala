@@ -53,4 +53,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.agg(sum("cnt")).head().getLong(0) ===
       Tables.events(spark, sf).count())
   }
+
+  test("batch sessionization equals the streaming builder on the same data") {
+    val streamed = runStream("sess_eq", EventsStreaming.sessions, "complete")
+      .orderBy("user_id", "sess_start").collect()
+    val batch = operators.Events.qEventsSessions(spark, sf).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
+  test("flatMapGroupsWithState running profiles converge to batch totals") {
+    val streamed = runStream("prof",
+      df => EventsStreaming.runningProfiles(spark, df).toDF(), "update")
+    // Update-mode memory sink keeps every emitted update; the LAST emit
+    // per user must equal the batch aggregate.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("events_seen").desc)
+    val finalPerUser = streamed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    val joined = finalPerUser.join(batch, "user_id")
+    assert(joined.count() === batch.count())
+    assert(joined.filter(col("events_seen") =!= col("cnt")).count() === 0)
+    assert(joined.filter(
+      col("total_value").cast("decimal(18,2)") =!=
+        col("sum_value").cast("decimal(18,2)")).count() === 0)
+  }
 }
