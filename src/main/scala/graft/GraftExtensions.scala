@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DoubleArrayDot, MinHashSig, SimHash64, SortedLongIntersectCount}
+import graft.operators.Dedup
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a,b)…")`
+  * works and the library is usable from pure-SQL jobs
+  * (`--conf spark.sql.extensions=graft.GraftExtensions` on spark-submit,
+  * or `.withExtensions` on the builder — SparkEntry.configure does the
+  * latter).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(a, b) - sequential-fold dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DoubleArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_intersect_count"),
+      info("graft_intersect_count",
+        "graft_intersect_count(a, b) - merge-scan intersection size of two sorted distinct array<bigint>"),
+      (exprs: Seq[Expression]) =>
+        SortedLongIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        s"graft_minhash_sig(hashes) - ${Dedup.NumHashes}-permutation MinHash signature of an array<bigint> of shingle hashes"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs.head, Dedup.hashA, Dedup.hashB,
+          Dedup.MersennePrime)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(hashes) - 64-bit SimHash of an array<bigint> of token hashes"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+  }
+}

@@ -15,7 +15,8 @@ object SparkEntry {
     * and DuckDB's TRY-style behavior is matched per-query in the oracles.
     */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cpus)
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")

@@ -123,7 +123,7 @@ object Dedup {
   val MersennePrime = 2147483647L // 2^31 - 1
   // Deterministic permutation constants from a fixed-seed LCG (no runtime
   // randomness — resumable, cluster-stable).
-  private val (hashA, hashB) = {
+  val (hashA, hashB) = {
     var x = 123456789L
     def next(): Long = {
       x = 6364136223846793005L * x + 1442695040888963407L
