@@ -16,6 +16,10 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC between queries: lets Spark's ContextCleaner release the
+      // previous query's broadcasts so their collection doesn't land
+      // inside the next query's timed window.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

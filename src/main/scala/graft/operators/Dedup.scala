@@ -68,23 +68,29 @@ object Dedup {
     inter / (nA + nB - inter)
   }
 
-  /** (doc_id, sh: sorted distinct shingle hashes, n: size).
+  /** docs(doc_id, text) → (doc_id, sh: sorted distinct shingle hashes,
+    * n: size).
     *
-    * The scan is repartitioned BEFORE the shingle computation: documents
-    * arrive as one parquet split, and the higher-order shingle expressions
-    * are the expensive narrow work — without the repartition they run on a
-    * single core (measured 10.9 s single-task vs 0.5 s spread at sf0.1).
-    * Same move a cluster job makes when upstream parallelism is below the
-    * core count. Docs with <2 tokens produce an empty shingle set; their
-    * Jaccard is NaN and fails every threshold in both Spark and DuckDB, so
-    * no explicit guard filter (a guard would be pushed below the projection
-    * and double-evaluate the shingle expression). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    * The input is repartitioned BEFORE the shingle computation: documents
+    * often arrive as one parquet split, and the higher-order shingle
+    * expressions are the expensive narrow work — without the repartition
+    * they run on a single core (measured 10.9 s single-task vs 0.5 s
+    * spread at sf0.1). Same move a cluster job makes when upstream
+    * parallelism is below the core count. Docs with <2 tokens produce an
+    * empty shingle set; their Jaccard is NaN and fails every threshold in
+    * both Spark and DuckDB, so no explicit guard filter (a guard would be
+    * pushed below the projection and double-evaluate the shingles). */
+  def shingleDocs(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    docs.select(col("doc_id"), col("text"))
+      .repartition(parts)
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
+  }
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleDocs(Tables.documents(s, d))
 
   // --- brute-force n-gram Jaccard near-dup (oracle-able baseline) ---
   // Pair generation is an EQUI-join, not a cross join: j >= 0.8 implies
@@ -94,8 +100,8 @@ object Dedup {
   // generation into a broadcast hash join emitting only size-compatible
   // pairs, with the exact ratio+Jaccard predicates as codegen'd join
   // filters — results identical to the brute-force oracle.
-  val qDedupNgramJaccard: (SparkSession, String) => DataFrame = (s, d) => {
-    val docs = shingled(s, d)
+  def ngramJaccardPairs(docsIn: DataFrame): DataFrame = {
+    val docs = shingleDocs(docsIn)
     val a = docs
       .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("n_a"))
@@ -115,6 +121,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
       .orderBy("doc_a", "doc_b")
   }
+
+  val qDedupNgramJaccard: (SparkSession, String) => DataFrame = (s, d) =>
+    ngramJaccardPairs(Tables.documents(s, d))
 
   // --- MinHash + LSH (the scale path; verified against true Jaccard) ---
   val NumHashes = 32
@@ -153,8 +162,8 @@ object Dedup {
   // this scale, and NOT cached — at cluster scale you would persist the
   // signature table to storage once and reuse it across the pipeline
   // rather than rely on executor block-cache.
-  val qDedupMinhash: (SparkSession, String) => DataFrame = (s, d) => {
-    val docs = shingled(s, d)
+  def minhashPairs(docsIn: DataFrame): DataFrame = {
+    val docs = shingleDocs(docsIn)
     val exploded = docs
       .select(col("doc_id"), explode(lshBands(minhashSignature(col("sh"))))
         .as("b"))
@@ -177,13 +186,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  val qDedupMinhash: (SparkSession, String) => DataFrame = (s, d) =>
+    minhashPairs(Tables.documents(s, d))
+
   // --- SimHash: 64-bit frequency-weighted signature + banded pairing ---
   // Signature via the native one-pass SimHash64 expression: per-bit
   // majority vote of token hashes, frequency-weighted (tokens non-distinct).
-  val qDedupSimhash: (SparkSession, String) => DataFrame = (s, d) => {
-    val docs = Tables.documents(s, d)
+  def simhashPairs(docsIn: DataFrame): DataFrame = {
+    val parts = docsIn.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val docs = docsIn
       .select(col("doc_id"), col("text"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .repartition(parts)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
       .withColumn("simhash", simhash64(col("hs")))
@@ -210,6 +224,9 @@ object Dedup {
       .filter(col("hamming") <= 7)
       .orderBy("doc_a", "doc_b")
   }
+
+  val qDedupSimhash: (SparkSession, String) => DataFrame = (s, d) =>
+    simhashPairs(Tables.documents(s, d))
 
   // --- per-source corpus sketch via the mergeable MinHash aggregate ---
   // Group-level signatures built with MinHashMergeAgg (element-wise min is
@@ -247,8 +264,10 @@ object Dedup {
   // loop a 100 TB dedup job runs after LSH+verify — each iteration is one
   // self-contained shuffle on node id; at cluster scale you checkpoint to
   // storage instead of locally.
-  val qDedupClusters: (SparkSession, String) => DataFrame = (s, d) => {
-    val pairs = qDedupNgramJaccard(s, d).select("doc_a", "doc_b")
+  /** Connected components over an undirected pair set (doc_a, doc_b):
+    * (doc_id, canonical = min id in component). */
+  def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("doc_a", "doc_b")
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
@@ -278,6 +297,9 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
       .orderBy("doc_id")
   }
+
+  val qDedupClusters: (SparkSession, String) => DataFrame = (s, d) =>
+    connectedComponents(ngramJaccardPairs(Tables.documents(s, d)))
 
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */

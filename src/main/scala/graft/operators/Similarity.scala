@@ -32,12 +32,42 @@ object Similarity {
   private def toDouble(arr: Column): Column =
     transform(arr, x => x.cast("double"))
 
-  /** (vec_id, label, ce: array<double>, n2: double) with norm² precomputed. */
-  private def prepared(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding"))
-        .as("ce"))
-    e.withColumn("n2", dotd(col("ce"), col("ce")))
+  /** embeddings(vec_id, label, embedding) → (vec_id, label,
+    * ce: array<double>, n2: double) with norm² precomputed once per row. */
+  def prepare(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("ce"))
+      .withColumn("n2", dotd(col("ce"), col("ce")))
+
+  private def prepared(s: SparkSession, d: String): DataFrame =
+    prepare(Tables.embeddings(s, d))
+
+  /** Brute-force cosine top-k against the vector with id `queryId`. */
+  def cosineTopK(embs: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = prepare(embs)
+    val qv = e.filter(col("vec_id") === queryId)
+      .select(col("ce").as("qe"), col("n2").as("qn2"))
+    e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= threshold; the predicate is evaluated inside
+    * the join condition so non-matches never materialize. */
+  def nearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val e = prepare(embs)
+    val a = e.select(col("vec_id").as("vec_a"), col("ce").as("ce_a"),
+      col("n2").as("n2_a")).repartition(col("vec_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("ce").as("ce_b"),
+      col("n2").as("n2_b"))
+    val simAB = sim(col("ce_a"), col("n2_a"), col("ce_b"), col("n2_b"))
+    a.join(broadcast(b),
+        col("vec_a") < col("vec_b") && simAB >= threshold, "inner")
+      .select(col("vec_a"), col("vec_b"), round(simAB, 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
   }
 
   private def sim(cea: Column, n2a: Column, ceb: Column, n2b: Column)
@@ -45,33 +75,12 @@ object Similarity {
     dotd(cea, ceb) / (sqrt(n2a) * sqrt(n2b))
 
   // --- q_cosine_topk: top-10 most similar to the vec_id=0 query vector ---
-  val qCosineTopk: (SparkSession, String) => DataFrame = (s, d) => {
-    val e = prepared(s, d)
-    val qv = e.filter(col("vec_id") === 0L)
-      .select(col("ce").as("qe"), col("n2").as("qn2"))
-    e.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= 0L)
-      .select(col("vec_id"),
-        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(10)
-  }
+  val qCosineTopk: (SparkSession, String) => DataFrame = (s, d) =>
+    cosineTopK(Tables.embeddings(s, d), queryId = 0L, k = 10)
 
   // --- q_embed_near_dup: all pairs with cosine >= 0.4 ---
-  // The cosine predicate lives in the join condition: BroadcastNestedLoop
-  // evaluates it on the joined-row view and only materializes matches.
-  val qEmbedNearDup: (SparkSession, String) => DataFrame = (s, d) => {
-    val e = prepared(s, d)
-    val a = e.select(col("vec_id").as("vec_a"), col("ce").as("ce_a"),
-      col("n2").as("n2_a")).repartition(col("vec_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("ce").as("ce_b"),
-      col("n2").as("n2_b"))
-    val simAB = sim(col("ce_a"), col("n2_a"), col("ce_b"), col("n2_b"))
-    a.join(broadcast(b),
-        col("vec_a") < col("vec_b") && simAB >= 0.4, "inner")
-      .select(col("vec_a"), col("vec_b"), round(simAB, 4).as("sim"))
-      .orderBy("vec_a", "vec_b")
-  }
+  val qEmbedNearDup: (SparkSession, String) => DataFrame = (s, d) =>
+    nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
 
   // --- q_ann_ivf: cluster-pruned approximate search (scale path) ---
   // Coarse quantizer: per-label centroids via exact DECIMAL element sums

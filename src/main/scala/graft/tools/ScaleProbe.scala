@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables}
+import graft.operators.{Dedup, Events, Similarity}
+
+/** Scale-stress probe: replicates the sf0.1 tables ×N with shifted keys
+  * and runs the heaviest operators, to answer "does the plan survive a
+  * 10× scale-up, and how does it scale?" — the evidence BASELINE.md §D
+  * records. Replication makes every doc part of an N-way exact-duplicate
+  * cluster, which stresses dedup candidate generation far harder than
+  * organic data (every LSH bucket is hot). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkEntry.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String): DataFrame =
+      (0 until n).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i.toLong * 10_000_000L)))
+        .reduce(_ unionByName _)
+
+    def time(label: String)(f: => Long): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $label ($rows rows)")
+    }
+
+    val docs = replicate(Tables.documents(spark, d), "doc_id")
+    val orders = replicate(Tables.orders(spark, d), "o_orderkey")
+    val lineitem = replicate(Tables.lineitem(spark, d), "l_orderkey")
+    val events = replicate(Tables.events(spark, d), "event_id")
+    val embs = replicate(Tables.embeddings(spark, d), "vec_id")
+
+    println(s"== scale probe: ${n}x sf0.1 ==")
+    time(s"minhash LSH near-dup over ${n}x docs")(
+      Dedup.minhashPairs(docs).count())
+    time(s"simhash banding over ${n}x docs")(
+      Dedup.simhashPairs(docs).count())
+    time(s"exact dedup over ${n}x docs")(
+      docs.groupBy(md5(to_binary(lower(regexp_replace(col("text"),
+        "\\s+", " ")), lit("utf-8"))).as("fp"))
+        .agg(min("doc_id").as("keep")).count())
+    time(s"groupBy-sum over ${n}x lineitem")(
+      lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+          count(lit(1)).as("c")).count())
+    time(s"argmax-per-group over ${n}x orders")(
+      orders.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .filter(col("rn") === 1).count())
+    time(s"tumbling windows over ${n}x events")(
+      Events.tumblingAgg(events).count())
+    time(s"cosine top-10 over ${n}x embeddings")(
+      Similarity.cosineTopK(embs, 0L, 10).count())
+    time(s"embedding near-dup pairs over ${n}x embeddings")(
+      Similarity.nearDupPairs(embs, 0.4).count())
+    spark.stop()
+  }
+}
