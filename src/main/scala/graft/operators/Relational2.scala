@@ -157,7 +157,49 @@ object Relational2 {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
       .orderBy("o_orderstatus")
 
+  // String-function surface parity (substr/upper/lower/lpad/replace/
+  // split_part-ish) — scalar breadth the engine's users expect.
+  val qStringFuncs: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("id_pad"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("name_short"),
+        length(col("c_name")).as("name_len"),
+        expr("split_part(c_name, '#', 2)").as("name_num"))
+      .orderBy("c_custkey")
+
+  // Math-function surface: abs/ceil/floor/sqrt/ln/exp/pow. Transcendental
+  // results are rounded — libm last-bit differences between engines are
+  // real; round(6) absorbs them.
+  val qMathFuncs: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        abs(col("s_acctbal")).as("bal_abs"),
+        ceil(col("s_acctbal")).cast("long").as("bal_ceil"),
+        floor(col("s_acctbal")).cast("long").as("bal_floor"),
+        round(sqrt(abs(col("s_acctbal"))), 6).as("bal_sqrt"),
+        round(log(abs(col("s_acctbal")) + 1d), 6).as("bal_ln"),
+        round(pow(col("s_suppkey").cast("double"), 2d), 1).as("key_sq"))
+      .orderBy("s_suppkey")
+
+  // UNION (distinct) — completes the set-op family with E1's UNION ALL.
+  val qUnionDistinct: (SparkSession, String) => DataFrame = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .union(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_string_funcs", qStringFuncs, Some(
+      "SELECT c_custkey, upper(c_mktsegment) AS seg_upper, substr(c_name, 1, 8) AS name_pfx, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id_pad, replace(c_name, 'Customer', 'Cust') AS name_short, length(c_name) AS name_len, split_part(c_name, '#', 2) AS name_num FROM customer ORDER BY c_custkey")),
+    QueryDef("q_math_funcs", qMathFuncs, Some(
+      "SELECT s_suppkey, abs(s_acctbal) AS bal_abs, CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil, CAST(floor(s_acctbal) AS BIGINT) AS bal_floor, round(sqrt(abs(s_acctbal)), 6) AS bal_sqrt, round(ln(abs(s_acctbal) + 1), 6) AS bal_ln, round(pow(CAST(s_suppkey AS DOUBLE), 2), 1) AS key_sq FROM supplier ORDER BY s_suppkey")),
+    QueryDef("q_union_distinct", qUnionDistinct, Some(
+      "SELECT DISTINCT o_custkey FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY o_custkey")),
     QueryDef("q_percentile", qPercentile, Some(
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_scan_json", qScanJson, Some(

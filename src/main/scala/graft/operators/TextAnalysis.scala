@@ -98,6 +98,41 @@ object TextAnalysis {
           lit("utf-8"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Library surface: annotate any frame that has a `text` column with the
+    * full feature set (stats, predicted language, quality, fingerprint) in
+    * one pass — the per-document enrichment step of a corpus pipeline.
+    * Pure Column expressions; scales per-row with no shuffle. */
+  def withTextFeatures(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" ")).as("padded")
+    val scored = langMarkers.foldLeft(
+      docs.withColumn("padded", padded)) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang", ms.map(markerScore).reduce(_ + _))
+    }
+    val Seq(en, fr, es, de, zh) =
+      Seq("s_en", "s_fr", "s_es", "s_de", "s_zh").map(col)
+    scored
+      .withColumn("n_chars_txt", length(col("text")))
+      .withColumn("n_tokens", size(wsTokens))
+      .withColumn("n_distinct_tokens", size(array_distinct(wsTokens)))
+      .withColumn("lang_pred",
+        when(en + fr + es + de + zh === 0, "und")
+          .when(en >= fr && en >= es && en >= de && en >= zh, "en")
+          .when(fr >= es && fr >= de && fr >= zh, "fr")
+          .when(es >= de && es >= zh, "es")
+          .when(de >= zh, "de")
+          .otherwise("zh"))
+      .withColumn("quality",
+        round(lit(0.4) * least(lit(1.0),
+          size(wsTokens).cast("double") / 100d) +
+          lit(0.4) * least(lit(1.0),
+            length(col("text")).cast("double") / 500d) +
+          lit(0.2) * when(markerScore(" the ") > 0, 1.0).otherwise(0.0), 4))
+      .withColumn("fingerprint",
+        md5(to_binary(lower(regexp_replace(col("text"), "\\s+", " ")),
+          lit("utf-8"))))
+      .drop(("padded" +: langMarkers.map("s_" + _._1)): _*)
+  }
+
   private def langScoreSql(ms: Seq[String]): String =
     ms.map(m =>
       s"(length(padded) - length(replace(padded, '$m', '')))")
