@@ -193,7 +193,34 @@ object Relational2 {
       .orderBy("o_custkey")
   }
 
+  // Table profile: the one-row data-quality summary a pipeline computes
+  // before/after each stage (row count, key cardinality, ranges, totals).
+  val qProfileOrders: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        count(when(col("o_totalprice") > 200000d, 1)).as("n_large"))
+
+  // Fixed-width histogram via integer bucket arithmetic (identical in
+  // both engines; no float bucket boundaries).
+  val qHistogram: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .select((floor(col("o_totalprice") / 50000d).cast("long") * 50000L)
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_profile_orders", qProfileOrders, Some(
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(DISTINCT o_orderstatus) AS n_statuses, strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date, strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large FROM orders")),
+    QueryDef("q_histogram", qHistogram, Some(
+      "SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket, COUNT(*) AS cnt FROM orders GROUP BY bucket ORDER BY bucket")),
     QueryDef("q_string_funcs", qStringFuncs, Some(
       "SELECT c_custkey, upper(c_mktsegment) AS seg_upper, substr(c_name, 1, 8) AS name_pfx, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id_pad, replace(c_name, 'Customer', 'Cust') AS name_short, length(c_name) AS name_len, split_part(c_name, '#', 2) AS name_num FROM customer ORDER BY c_custkey")),
     QueryDef("q_math_funcs", qMathFuncs, Some(

@@ -60,6 +60,18 @@ object EventsStreaming {
   def sessions(events: DataFrame): DataFrame =
     Events.sessionAgg(events.withWatermark("ts", "10 minutes"))
 
+  /** Streaming document dedup: as a corpus streams in, drop any document
+    * whose normalized-content fingerprint was already seen (state keyed by
+    * the md5 fingerprint — bounded by distinct content, not volume). The
+    * streaming form of exact dedup for a continuously-ingested 100 TB
+    * corpus. */
+  def dedupDocuments(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(to_binary(lower(regexp_replace(col("text"), "\\s+", " ")),
+          lit("utf-8"))))
+      .dropDuplicates("fingerprint")
+
   /** Custom streaming state via flatMapGroupsWithState: a per-user running
     * profile (event count + decimal value sum) updated each micro-batch.
     * This is the escape hatch when built-in windows can't express the

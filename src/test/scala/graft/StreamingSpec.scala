@@ -62,6 +62,28 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("streaming document dedup keeps one row per distinct content") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_docstream").toString
+    // duplicate the corpus: stream must emit each distinct text once
+    val docs = Tables.documents(spark, sf)
+    docs.unionByName(docs).write.mode("overwrite").parquet(dir)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventsStreaming.dedupDocuments(stream).writeStream
+      .format("memory").queryName("sink_docdedup").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("sink_docdedup")
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.select("fingerprint").distinct().count() === out.count())
+  }
+
   test("flatMapGroupsWithState running profiles converge to batch totals") {
     val streamed = runStream("prof",
       df => EventsStreaming.runningProfiles(spark, df).toDF(), "update")
