@@ -43,7 +43,7 @@ object ScalePatterns {
     val u = updates.columns.foldLeft(updates)((df, c) =>
       df.withColumnRenamed(c, s"__u_$c"))
     base.join(u, base(key) === u(s"__u_$key"), "full_outer")
-      .select(cols.map(c =>
+      .select(cols.toIndexedSeq.map(c =>
         coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
   }
 
