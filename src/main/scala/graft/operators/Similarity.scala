@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -82,34 +83,76 @@ object Similarity {
   val qEmbedNearDup: (SparkSession, String) => DataFrame = (s, d) =>
     nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
 
-  // --- q_ann_ivf: cluster-pruned approximate search (scale path) ---
-  // Coarse quantizer: per-label centroids via exact DECIMAL element sums
-  // (order-independent → deterministic across partitionings). The testdata
-  // labels are not real clusters (intra-label cosine ≈ 0), but the operator
-  // shape — centroid table, nearest-centroid probe, cluster-local top-k —
-  // is the IVF contract. No oracle: rows-only driver check.
+  /** Deterministic distributed k-means (Lloyd's): init = the k lowest
+    * vec_ids, fixed iteration count, assignment ties broken by cluster id,
+    * centroid means via exact DECIMAL element sums (order-independent) —
+    * so the learned quantizer is bit-stable across runs and partition
+    * layouts. Each iteration: one broadcast of k centroids + one shuffle
+    * for the per-cluster means — the standard cluster-scale k-means shape.
+    * Returns (c_id, centroid, cn2). */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val wInit = Window.orderBy("vec_id")
+    var centroids = e.orderBy("vec_id").limit(k)
+      .withColumn("c_id", row_number().over(wInit) - 1)
+      .select(col("c_id"), col("ce").as("centroid"))
+      .withColumn("cn2", dotd(col("centroid"), col("centroid")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // assign each vector to the nearest centroid (squared euclidean
+      // = n2 - 2·dot + cn2; n2 constant per vector → drop it)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("c_id").asc)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("d2",
+          col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("c_id"), col("ce"))
+      centroids = assigned
+        .select(col("c_id"), posexplode(col("ce")).as(Seq("pos", "v")))
+        .groupBy("c_id", "pos")
+        .agg((sum(col("v").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .as("ps"))
+        .select(col("c_id"),
+          transform(col("ps"), p => p.getField("cv")).as("centroid"))
+        .withColumn("cn2", dotd(col("centroid"), col("centroid")))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  // --- q_ann_ivf: IVF cluster-pruned approximate search (scale path) ---
+  // Coarse quantizer learned by deterministic k-means; the probe searches
+  // only the nearest cluster's inverted list. At 100 TB the corpus is
+  // bucketed/partitioned by c_id on disk so a probe reads one partition,
+  // not the table. No oracle (sketch-style op): rows-only driver check +
+  // DedupSpec assertions on the probe shape.
   val qAnnIvf: (SparkSession, String) => DataFrame = (s, d) => {
     val e = prepared(s, d)
-    val dims = e.select(col("label"), posexplode(col("ce")).as(Seq("pos", "v")))
-    val centroids = dims
-      .groupBy("label", "pos")
-      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") /
-        count(lit(1))).as("cv"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
-      .select(col("label").as("c_label"),
-        transform(col("ps"), p => p.getField("cv")).as("centroid"))
-      .withColumn("cn2", dotd(col("centroid"), col("centroid")))
+    val centroids = kmeansCentroids(e.filter(col("vec_id") =!= 0L), 10, 3)
     val qv = e.filter(col("vec_id") === 0L)
       .select(col("ce").as("qe"), col("n2").as("qn2"))
     val nearest = centroids.crossJoin(broadcast(qv))
-      .select(col("c_label"), col("qe"), col("qn2"),
+      .select(col("c_id"), col("qe"), col("qn2"),
         sim(col("centroid"), col("cn2"), col("qe"), col("qn2")).as("csim"))
-      .orderBy(col("csim").desc, col("c_label").asc)
+      .orderBy(col("csim").desc, col("c_id").asc)
       .limit(1)
-    e.join(broadcast(nearest), col("label") === col("c_label"))
-      .filter(col("vec_id") =!= 0L)
-      .select(col("vec_id"), col("label"),
+    // assign corpus vectors to their cluster, keep the probed one
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("a_id").asc)
+    val assigned = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(centroids
+        .select(col("c_id").as("a_id"), col("centroid").as("a_c"),
+          col("cn2").as("a_n2"))))
+      .withColumn("d2", col("a_n2") - lit(2.0) * dotd(col("ce"), col("a_c")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ce"), col("n2"), col("a_id"))
+    assigned.join(broadcast(nearest), col("a_id") === col("c_id"))
+      .select(col("vec_id"), col("a_id").as("cluster"),
         round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)

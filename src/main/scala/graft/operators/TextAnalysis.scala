@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -88,9 +89,8 @@ object TextAnalysis {
 
   // --- q_doc_fingerprint: content fingerprint of normalized text ---
   // md5 over whitespace-normalized lowercase text: the exact-dedup /
-  // shard-stable content id. (A Rabin-Karp winnowing fingerprint lives in
-  // graft.functions.Fingerprint with unit tests; md5 is the oracle-able
-  // contract here.)
+  // shard-stable content id (oracle-able in both engines; the rolling-
+  // hash near-dup signatures live in Dedup.simhashPairs/minhashPairs).
   val qDocFingerprint: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -145,7 +145,34 @@ object TextAnalysis {
     s"""SELECT doc_id, CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und' WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en' WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_de AND s_es >= s_zh THEN 'es' WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_pred FROM (SELECT doc_id, $scores FROM (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)) ORDER BY doc_id"""
   }
 
+  // --- TF-IDF: per-document top terms by tf·idf ---
+  // tf = term count in doc; idf = ln(N / df). Two shuffles (token-level
+  // agg for df, doc-token agg for tf) + a broadcast of the df table —
+  // the canonical corpus-weighting job. Deterministic tie-breaks
+  // (score desc, token asc); ln rounded to 6 for cross-engine parity.
+  val qTfidfTopTerms: (SparkSession, String) => DataFrame = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tokens = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val tf = tokens.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tokens.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(
       "SELECT doc_id, length(text) AS n_chars2, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct, CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len FROM documents ORDER BY doc_id")),
     QueryDef("q_lang_id", qLangId, Some(langIdOracle)),

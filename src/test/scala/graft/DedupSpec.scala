@@ -61,9 +61,12 @@ class DedupSpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
-  test("IVF probe returns cluster-local top-k of the nearest centroid") {
+  test("IVF probe returns cluster-local top-k of the nearest k-means centroid") {
     val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
     assert(rows.length === 10)
-    assert(rows.map(_.getAs[Int]("label")).distinct.length === 1)
+    assert(rows.map(_.getAs[Int]("cluster")).distinct.length === 1)
+    // deterministic across runs (fixed init + decimal means)
+    val again = operators.Similarity.qAnnIvf(spark, sf).collect()
+    assert(rows.toSeq === again.toSeq)
   }
 }
