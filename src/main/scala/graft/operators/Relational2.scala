@@ -216,7 +216,19 @@ object Relational2 {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  // Pivot: status columns from rows (fixed value list → deterministic
+  // schema; the oracle is the equivalent conditional aggregation).
+  val qPivot: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pivot", qPivot, Some(
+      "SELECT o_orderpriority, COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F, COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O, COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
     QueryDef("q_profile_orders", qProfileOrders, Some(
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(DISTINCT o_orderstatus) AS n_statuses, strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date, strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large FROM orders")),
     QueryDef("q_histogram", qHistogram, Some(

@@ -170,7 +170,43 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  // --- BM25: per-document top terms with length normalization ---
+  // score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl)),
+  // idf = ln((N − df + 0.5)/(df + 0.5) + 1); k1 = 1.2, b = 0.75.
+  // Same two-shuffle shape as TF-IDF plus a doc-length broadcast join;
+  // identical double arithmetic in the oracle, rank on the rounded score.
+  val qBm25TopTerms: (SparkSession, String) => DataFrame = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tokens = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val docLen = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("dl"))
+    val avgdl = docLen.agg((sum(col("dl")).cast("double") / count(lit(1)))
+      .as("avgdl"))
+    val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
+      + 1.0)
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+        col("avgdl")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(broadcast(dfreq), "tok")
+      .join(broadcast(docLen), "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("score", round(idf * norm, 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bm25_topterms", qBm25TopTerms, Some(
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(
