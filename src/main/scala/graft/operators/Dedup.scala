@@ -19,13 +19,13 @@ import graft.functions.VectorFunctions.sortedIntersectCount
   *    Jaccard runs as a codegen'd merge-scan intersection
   *    (graft.functions.SortedLongIntersectCount) — no string compares, no
   *    per-pair allocation.
-  *  - Brute-force Jaccard keeps its whole predicate (id order, size-ratio
-  *    bound, Jaccard threshold) inside the broadcast-nested-loop join
-  *    condition: 12.5M candidate pairs at sf0.1 are *evaluated* but only
-  *    true near-dups are ever materialized. The size-ratio bound is
-  *    mathematically implied by j >= 0.8, so it prunes without changing
-  *    results. (At 100 TB the brute-force baseline is replaced by LSH;
-  *    this operator is the correctness oracle at test scale.)
+  *  - Brute-force Jaccard generates candidates with a size-key EQUI-join
+  *    (each doc emits the integer set sizes a >=0.8 partner could have —
+  *    implied by the threshold, so no result change) and keeps the exact
+  *    ratio+Jaccard predicates inside the codegen'd join condition, so
+  *    non-matching pairs are never materialized. (At 100 TB the
+  *    brute-force baseline is replaced by LSH; this operator is the
+  *    correctness oracle at test scale.)
   *  - MinHash+LSH replaces O(n²) with shingle→signature→band→bucket-join:
   *    O(n·k) signature work plus a shuffle keyed on (band, bucket); only
   *    same-bucket candidates are verified exactly. Bucket skew (a hot
@@ -157,18 +157,19 @@ object Dedup {
         xxhash64(lit(j) +: rows: _*).as("bkey"))
     }: _*)
 
-  // The shingled/signature subplan is referenced three times (banding +
-  // both verify sides); it is cheap enough to recompute per reference at
-  // this scale, and NOT cached — at cluster scale you would persist the
-  // signature table to storage once and reuse it across the pipeline
-  // rather than rely on executor block-cache.
+  // The shingled subplan is referenced three times (banding + both verify
+  // sides) and the exploded band table twice (self-join): materialize each
+  // ONCE via localCheckpoint instead of recomputing per reference — the
+  // local analogue of persisting the signature table to storage, which is
+  // what the 100 TB pipeline does to reuse it across jobs.
   def minhashPairs(docsIn: DataFrame): DataFrame = {
-    val docs = shingleDocs(docsIn)
+    val docs = shingleDocs(docsIn).localCheckpoint()
     val exploded = docs
       .select(col("doc_id"), explode(lshBands(minhashSignature(col("sh"))))
         .as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.bkey").as("bkey"))
+      .localCheckpoint()
     val cand = exploded.as("x")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
