@@ -84,6 +84,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("fingerprint").distinct().count() === out.count())
   }
 
+  test("streaming near-dup gate finds each new doc's twin in the static index") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_neardup_stream").toString
+    val static = Tables.documents(spark, sf).select("doc_id", "text")
+    // stream = exact copies of the corpus with offset ids
+    static.withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+    val q = EventsStreaming.nearDupAgainstIndex(stream, static)
+      .writeStream.format("memory").queryName("sink_neardup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val out = spark.table("sink_neardup")
+    val twins = out.filter(col("doc_id") === col("idx_id") + 1000000L)
+    // every streamed copy must be flagged against its twin at jac = 1.0
+    assert(twins.count() === static.count())
+    assert(twins.filter(col("jac") =!= 1.0).count() === 0)
+  }
+
   test("flatMapGroupsWithState running profiles converge to batch totals") {
     val streamed = runStream("prof",
       df => EventsStreaming.runningProfiles(spark, df).toDF(), "update")
