@@ -17,11 +17,11 @@ import graft.functions.VectorFunctions.dotd
   *    predicate is evaluated inside the broadcast-nested-loop join
   *    condition, so non-matching pairs are never materialized — the join
   *    emits only the handful of true near-dups.
-  *  - IVF-style cluster-pruned search: the 100 TB scale path — partition
-  *    the corpus by a coarse quantizer (here: per-`label` centroids, exact
-  *    decimal sums so centroids are order-independent and deterministic),
-  *    probe only the nearest cluster. At scale the corpus is bucketed by
-  *    centroid id on disk so a probe reads one partition, not the table.
+  *  - IVF cluster-pruned search: the 100 TB scale path — a coarse
+  *    quantizer learned by deterministic distributed k-means
+  *    (kmeansCentroids), probe only the nearest cluster's inverted list.
+  *    At scale the corpus is bucketed by centroid id on disk so a probe
+  *    reads one partition, not the table.
   *
   * Numeric story: elements are cast to DOUBLE once per row; similarity is
   * dot(a,b) / (sqrt(dot(a,a))·sqrt(dot(b,b))) with the norm² computed by
@@ -158,6 +158,16 @@ object Similarity {
       .limit(10)
   }
 
+  // --- q_ann_recall: IVF recall@10 against the brute-force ground truth —
+  // the evaluation metric an ANN index ships with. One row; rows-only
+  // (depends on the sketch-style IVF result).
+  val qAnnRecall: (SparkSession, String) => DataFrame = (s, d) => {
+    val brute = qCosineTopk(s, d).select(col("vec_id"))
+    val ivf = qAnnIvf(s, d).select(col("vec_id"))
+    brute.join(ivf, "vec_id")
+      .agg((count(lit(1)).cast("double") / 10d).as("recall_at_10"))
+  }
+
   private val cosineSql =
     "list_dot_product(ce, qe) / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))"
 
@@ -166,6 +176,7 @@ object Similarity {
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_embed_near_dup", qEmbedNearDup, Some(
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
-    QueryDef("q_ann_ivf", qAnnIvf, None)
+    QueryDef("q_ann_ivf", qAnnIvf, None),
+    QueryDef("q_ann_recall", qAnnRecall, None)
   )
 }
