@@ -216,6 +216,36 @@ object Relational2 {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  // Window navigation + distribution functions (lead/lag/ntile) with a
+  // deterministic frame ordering.
+  val qWindowLeadLag: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  // RANGE frame over event-time: per customer, sum of order totals within
+  // the trailing 30 days (inclusive bounds, SQL standard in both engines).
+  // Spark needs a numeric ordering column for rangeBetween → days since
+  // epoch date; the oracle uses the equivalent interval RANGE frame.
+  val qWindowRangeFrame: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("order_day"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .withColumn("order_day",
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("trailing_30d"))
+      .orderBy("o_orderkey")
+  }
+
   // Pivot: status columns from rows (fixed value list → deterministic
   // schema; the oracle is the equivalent conditional aggregation).
   val qPivot: (SparkSession, String) => DataFrame = (s, d) =>
@@ -227,6 +257,10 @@ object Relational2 {
       .orderBy("o_orderpriority")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_window_leadlag", qWindowLeadLag, Some(
+      "SELECT o_orderkey, o_custkey, lag(o_totalprice, 1) OVER w AS prev_price, lead(o_totalprice, 1) OVER w AS next_price, ntile(4) OVER w AS quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) ORDER BY o_orderkey")),
+    QueryDef("q_window_range_frame", qWindowRangeFrame, Some(
+      "SELECT o_orderkey, o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d FROM orders ORDER BY o_orderkey")),
     QueryDef("q_pivot", qPivot, Some(
       "SELECT o_orderpriority, COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F, COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O, COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
     QueryDef("q_profile_orders", qProfileOrders, Some(

@@ -93,6 +93,15 @@ class OperatorsSpec extends SparkSpec {
     assert(winTotal === total * 4)
   }
 
+  test("approx_count_distinct (HLL) lands within 5% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      countDistinct(col("l_partkey")).as("exact")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
   test("multimodal feature extraction is deterministic over payload bytes") {
     val f1 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
     val f2 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
