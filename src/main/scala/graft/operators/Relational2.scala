@@ -216,6 +216,57 @@ object Relational2 {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  // CUBE grouping sets (all 4 combinations; null markers → 'ALL').
+  val qAggCube: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("cnt"))
+      .orderBy("status", "prio")
+
+  // max_by / min_by (argmax as an aggregate, not a window): deterministic
+  // via an exact integral composite measure — price in cents scaled past
+  // the key range, plus the unique key as tie-break (DuckDB's arg_max
+  // needs a scalar comparator, so no struct).
+  private val minmaxMeasure =
+    "cast(round(o_totalprice * 100, 0) as bigint) * 10000000 + o_orderkey"
+  val qAggMinmaxBy: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr(s"max_by(o_orderkey, $minmaxMeasure)").as("priciest_order"),
+        expr(s"min_by(o_orderkey, $minmaxMeasure)").as("cheapest_order"))
+      .orderBy("o_orderstatus")
+
+  // first_value / last_value over an explicit full frame.
+  val qWindowFirstLast: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"))
+      .orderBy("o_orderkey")
+  }
+
+  // Array-function surface over tokenized text: size, contains, indexed
+  // access, distinct count, sorted head.
+  val qArrayFuncs: (SparkSession, String) => DataFrame = (s, d) => {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_toks"),
+        array_contains(toks, "the").as("has_the"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        element_at(array_sort(array_distinct(toks)), 1).as("min_tok"))
+      .orderBy("doc_id")
+  }
+
   // Window navigation + distribution functions (lead/lag/ntile) with a
   // deterministic frame ordering.
   val qWindowLeadLag: (SparkSession, String) => DataFrame = (s, d) => {
@@ -257,6 +308,14 @@ object Relational2 {
       .orderBy("o_orderpriority")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_agg_cube", qAggCube, Some(
+      "SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS cnt FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, prio")),
+    QueryDef("q_agg_minmax_by", qAggMinmaxBy, Some(
+      "SELECT o_orderstatus, arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey) AS priciest_order, arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+    QueryDef("q_window_firstlast", qWindowFirstLast, Some(
+      "SELECT o_orderkey, o_custkey, first_value(o_orderkey) OVER w AS first_order, last_value(o_orderkey) OVER w AS last_order FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey")),
+    QueryDef("q_array_funcs", qArrayFuncs, Some(
+      "SELECT doc_id, len(toks) AS n_toks, list_contains(toks, 'the') AS has_the, toks[1] AS first_tok, toks[-1] AS last_tok, list_sort(list_distinct(toks))[1] AS min_tok FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) ORDER BY doc_id")),
     QueryDef("q_window_leadlag", qWindowLeadLag, Some(
       "SELECT o_orderkey, o_custkey, lag(o_totalprice, 1) OVER w AS prev_price, lead(o_totalprice, 1) OVER w AS next_price, ntile(4) OVER w AS quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) ORDER BY o_orderkey")),
     QueryDef("q_window_range_frame", qWindowRangeFrame, Some(
