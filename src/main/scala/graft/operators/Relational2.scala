@@ -216,6 +216,15 @@ object Relational2 {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  // Pattern predicates: LIKE prefix/suffix/infix + a regexp match.
+  val qRegexLike: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        col("p_name").like("small%").as("is_small"),
+        col("p_type").like("PROM%").as("is_promo"),
+        col("p_name").rlike("widget$").as("is_widget"))
+      .orderBy("p_partkey")
+
   // CUBE grouping sets (all 4 combinations; null markers → 'ALL').
   val qAggCube: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.orders(s, d)
@@ -308,6 +317,8 @@ object Relational2 {
       .orderBy("o_orderpriority")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_regex_like", qRegexLike, Some(
+      "SELECT p_partkey, p_name, p_type, p_name LIKE 'small%' AS is_small, p_type LIKE 'PROM%' AS is_promo, regexp_matches(p_name, 'widget$') AS is_widget FROM part ORDER BY p_partkey")),
     QueryDef("q_agg_cube", qAggCube, Some(
       "SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS cnt FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, prio")),
     QueryDef("q_agg_minmax_by", qAggMinmaxBy, Some(
