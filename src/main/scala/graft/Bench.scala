@@ -1,6 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
+  /** Force FULL evaluation of a query result: hash every column of every
+    * row and reduce to one Long. Under a bare `count()` Catalyst prunes
+    * projections and eliminates sorts, so per-row-expression queries would
+    * be timed as little more than scan+count; hashing all output columns
+    * makes the timed pass execute the expression work the query declares. */
+  private def force(df: DataFrame): Unit = {
+    df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,21 +23,28 @@ object Bench {
     // SparkSession"), not first-iteration compilation.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // GC between queries: lets Spark's ContextCleaner release the
-      // previous query's broadcasts so their collection doesn't land
-      // inside the next query's timed window.
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // name -> (elapsed_sec, ok): a crashing query must surface as a
+    // sentinel, never as a plausible-looking timing.
+    val results: Map[String, (Double, Boolean)] =
+      SparkEntry.queries.map { case (name, fn) =>
+        // GC between queries: lets Spark's ContextCleaner release the
+        // previous query's broadcasts so their collection doesn't land
+        // inside the next query's timed window.
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { force(fn(spark, sfDir)); true }
+          catch { case _: Throwable => false }
+        name -> (((System.nanoTime() - t0) / 1e9, ok))
+      }
+    val qs = results.map { case (k, (v, ok)) =>
+      "\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,5 +25,6 @@ object Registry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      streaming.EventsStreaming.defs
 }

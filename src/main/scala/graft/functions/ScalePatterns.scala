@@ -20,8 +20,14 @@ object ScalePatterns {
     * aggregation skew (one giant group) still wants the salt. */
   def saltedSum(df: DataFrame, key: Column, value: Column, buckets: Int)
       : DataFrame = {
+    // Salt from row CONTENT (all columns + a seed), never from
+    // monotonically_increasing_id(): a nondeterministic expression feeding a
+    // shuffle key re-salts rows differently on task retry, so reducers that
+    // already fetched old map output double-count or drop rows. Hashing the
+    // row itself makes recomputation reproduce identical shuffle output.
     val salted = df
-      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()),
+      .withColumn("__salt", pmod(
+        xxhash64(lit("graft_salt") +: df.columns.toIndexedSeq.map(col): _*),
         lit(buckets.toLong)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("__partial"), count(lit(1)).as("__pcnt"))
@@ -42,9 +48,14 @@ object ScalePatterns {
       "upsertByKey requires identical column sets")
     val u = updates.columns.foldLeft(updates)((df, c) =>
       df.withColumnRenamed(c, s"__u_$c"))
+    // Row-level replacement, not per-column coalesce: a matched update row
+    // replaces the base row WHOLE, including its NULL columns (Delta MERGE
+    // matched-update semantics). Presence of the update row is keyed on its
+    // key column, which is non-null by construction for matched rows.
     base.join(u, base(key) === u(s"__u_$key"), "full_outer")
       .select(cols.toIndexedSeq.map(c =>
-        coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+        when(col(s"__u_$key").isNotNull, col(s"__u_$c"))
+          .otherwise(col(c)).as(c)): _*)
   }
 
   /** Write both sides bucketed+sorted by the join key so subsequent joins

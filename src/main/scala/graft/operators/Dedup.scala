@@ -77,14 +77,20 @@ object Dedup {
     * they run on a single core (measured 10.9 s single-task vs 0.5 s
     * spread at sf0.1). Same move a cluster job makes when upstream
     * parallelism is below the core count. Docs with <2 tokens produce an
-    * empty shingle set; their Jaccard is NaN and fails every threshold in
-    * both Spark and DuckDB, so no explicit guard filter (a guard would be
-    * pushed below the projection and double-evaluate the shingles). */
+    * EMPTY shingle set and are dropped here: their Jaccard against another
+    * empty set is 0.0/0.0 = NaN, which Spark's comparison semantics order
+    * ABOVE every double — so `jac >= 0.8` would be true and every pair of
+    * short docs would be emitted as a near-dup (and in minhashPairs their
+    * all-sentinel signatures collide in every LSH bucket → O(m²) pairs).
+    * The guard is expressed on the token count, not on size(sh), so
+    * predicate pushdown can't duplicate the expensive shingle expressions
+    * below the projection. */
   def shingleDocs(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     docs.select(col("doc_id"), col("text"))
       .repartition(parts)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2)
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
   }
@@ -181,7 +187,14 @@ object Dedup {
     val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
       col("n").as("n_b"))
     val jac = jaccard(col("sh_a"), col("n_a"), col("sh_b"), col("n_b"))
-    cand.join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
+    // Verify re-attaches shingles via SHUFFLE joins on doc_id, never a
+    // broadcast: sa/sb are corpus-sized (the checkpointed signature table),
+    // and a corpus-sized broadcast side dies at cluster scale (driver OOM /
+    // broadcast limit). Candidates are the sparse side — hint them as the
+    // hash-build side; AQE may still broadcast at runtime when the data is
+    // actually tiny, which is the correct adaptive behavior.
+    cand.hint("shuffle_hash").join(sa, "doc_a")
+      .hint("shuffle_hash").join(sb, "doc_b")
       .filter(jac >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
       .orderBy("doc_a", "doc_b")
@@ -299,13 +312,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // Clusters consume the LSH pairs (the declared 100 TB path — bucketed
+  // candidates, shuffle-join verify, no full-corpus broadcast anywhere in
+  // the plan); the brute-force ngramJaccardPairs stays the recursive-CTE
+  // oracle's counterpart. DedupSpec asserts LSH pairs == brute pairs, so
+  // the cluster sets are identical.
   val qDedupClusters: (SparkSession, String) => DataFrame = (s, d) =>
-    connectedComponents(ngramJaccardPairs(Tables.documents(s, d)))
+    connectedComponents(minhashPairs(Tables.documents(s, d)))
 
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */
   private val ngramPairsCte =
-    """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4), pairs AS (SELECT doc_a, doc_b, jac FROM (SELECT doc_a, doc_b, CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_distinct(list_intersect(sh_a, sh_b)))) AS jac FROM cand) WHERE jac >= 0.8)"""
+    """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0 AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4), pairs AS (SELECT doc_a, doc_b, jac FROM (SELECT doc_a, doc_b, CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_distinct(list_intersect(sh_a, sh_b)))) AS jac FROM cand) WHERE jac >= 0.8)"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_minhash_source_sketch", qMinhashSourceSketch, None),

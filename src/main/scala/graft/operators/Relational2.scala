@@ -137,7 +137,10 @@ object Relational2 {
   // same rows from parquet, so the roundtrip must be lossless to match.
   val qScanJson: (SparkSession, String) => DataFrame = (s, d) => {
     import org.apache.spark.sql.types._
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_json"
+    // Per-session path (applicationId) — a fixed shared path would let two
+    // concurrent sessions corrupt each other's roundtrip.
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_json_" +
+      s.sparkContext.applicationId
     graft.sources.Sources.writeJsonTable(
       Tables.nation(s, d).select("n_nationkey", "n_name"), tmp)
     graft.sources.Sources.readJsonLines(s, tmp, StructType(Seq(

@@ -99,15 +99,18 @@ object Similarity {
       .localCheckpoint()
     for (_ <- 1 to iters) {
       // assign each vector to the nearest centroid (squared euclidean
-      // = n2 - 2·dot + cn2; n2 constant per vector → drop it)
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("d2").asc, col("c_id").asc)
+      // = n2 - 2·dot + cn2; n2 constant per vector → drop it).
+      // min_by over a lexicographic (d2, c_id) struct: one partial-agg'd
+      // shuffle instead of a window's shuffle-sort over the n×k exploded
+      // rows; the (d2, c_id) key is unique per vec_id, so the choice is
+      // deterministic and order-independent (bit-stable guarantee kept).
       val assigned = e.crossJoin(broadcast(centroids))
         .withColumn("d2",
           col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("c_id"), col("ce"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("c_id"), col("ce")),
+          struct(col("d2"), col("c_id"))).as("m"))
+        .select(col("m.c_id").as("c_id"), col("m.ce").as("ce"))
       centroids = assigned
         .select(col("c_id"), posexplode(col("ce")).as(Seq("pos", "v")))
         .groupBy("c_id", "pos")
@@ -140,17 +143,18 @@ object Similarity {
         sim(col("centroid"), col("cn2"), col("qe"), col("qn2")).as("csim"))
       .orderBy(col("csim").desc, col("c_id").asc)
       .limit(1)
-    // assign corpus vectors to their cluster, keep the probed one
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("d2").asc, col("a_id").asc)
+    // assign corpus vectors to their cluster (same min_by shape as the
+    // k-means assignment — one partial-agg'd shuffle), keep the probed one
     val assigned = e.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(centroids
         .select(col("c_id").as("a_id"), col("centroid").as("a_c"),
           col("cn2").as("a_n2"))))
       .withColumn("d2", col("a_n2") - lit(2.0) * dotd(col("ce"), col("a_c")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("ce"), col("n2"), col("a_id"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("ce"), col("n2"), col("a_id")),
+        struct(col("d2"), col("a_id"))).as("m"))
+      .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
+        col("m.a_id").as("a_id"))
     assigned.join(broadcast(nearest), col("a_id") === col("c_id"))
       .select(col("vec_id"), col("a_id").as("cluster"),
         round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))

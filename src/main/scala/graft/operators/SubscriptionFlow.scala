@@ -53,8 +53,12 @@ object SubscriptionFlow {
       .filter(col("subscription_plan_name") === selectedPlanName)
       .limit(1)
     require(!chosen.isEmpty, s"Plan '$selectedPlanName' not found") // :208-209
+    // :214 is max(ids ∪ {1000}) + 1 — the 1000 floor applies even when the
+    // table is non-empty (existing ids below 1000 still allocate 1001), so
+    // the floor goes through greatest(), not just the empty-table coalesce.
     val newRow = subs
-      .agg((coalesce(max(col("subscription_id")), lit(1000L)) + 1L)
+      .agg((greatest(coalesce(max(col("subscription_id")), lit(1000L)),
+        lit(1000L)) + 1L)
         .as("subscription_id")) // :214
       .crossJoin(chosen)
       .select(

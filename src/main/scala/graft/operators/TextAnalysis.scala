@@ -152,7 +152,10 @@ object TextAnalysis {
   // (score desc, token asc); ln rounded to 6 for cross-engine parity.
   val qTfidfTopTerms: (SparkSession, String) => DataFrame = (s, d) => {
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    // Corpus size N stays IN the plan as a broadcast 1-row aggregate —
+    // never a driver-side docs.count() at build time, which would run an
+    // extra full scan per call and break lazy composition.
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokens = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
     val tf = tokens.groupBy("doc_id", "tok")
@@ -162,8 +165,9 @@ object TextAnalysis {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
     tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok"), col("score"))
@@ -177,7 +181,8 @@ object TextAnalysis {
   // identical double arithmetic in the oracle, rank on the rounded score.
   val qBm25TopTerms: (SparkSession, String) => DataFrame = (s, d) => {
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    // N as a broadcast 1-row aggregate, same pattern as avgdl below.
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokens = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
     val docLen = docs.select(col("doc_id"),
@@ -187,7 +192,7 @@ object TextAnalysis {
     val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tokens.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
       + 1.0)
     val norm = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
@@ -197,6 +202,7 @@ object TextAnalysis {
     tf.join(broadcast(dfreq), "tok")
       .join(broadcast(docLen), "doc_id")
       .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score", round(idf * norm, 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

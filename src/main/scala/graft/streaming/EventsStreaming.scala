@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.{QueryDef, Tables}
 import graft.operators.Events
 
 /** Structured Streaming variants of the events pipeline (SURVEY.md §2.9,
@@ -93,7 +94,11 @@ object EventsStreaming {
       .select(col("idx_id"), col("idx_sh"), col("idx_n"),
         col("b.band").as("band"), col("b.bkey").as("bkey"))
       .localCheckpoint()
+    // Same <2-token guard as Dedup.shingleDocs (the index side inherits it
+    // from there): an empty shingle set makes Jaccard 0/0 = NaN, which
+    // Spark's comparison semantics would pass through `jac >= 0.8`.
     val streamSh = docStream
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2)
       .select(col("doc_id"), Dedup.hashedShingles(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
     val streamBands = streamSh
@@ -113,6 +118,37 @@ object EventsStreaming {
       // an ingest-time column in production)
       .dropDuplicates("doc_id", "idx_id")
   }
+
+  /** Declared streaming correctness entry: the tumbling aggregation run as
+    * a REAL Structured Streaming query — stage the events table as a
+    * parquet directory, micro-batch it through the file source
+    * (maxFilesPerTrigger=1), aggregate with watermark, collect the
+    * complete-mode result from a memory sink. Complete mode emits every
+    * window regardless of watermark, so the result must equal the batch
+    * q_events_tumbling exactly — it shares that query's DuckDB oracle, so
+    * the driver's correctness gate exercises the streaming path end-to-end
+    * rather than trusting builder-side specs. */
+  val qStreamTumbling: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_tumbling_" +
+      s.sparkContext.applicationId
+    // 4 files → 4 micro-batches: state genuinely merges across triggers.
+    Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(dir)
+    val sink = "graft_stream_tumbling_sink"
+    val q = tumbling(readEventsStream(s, dir)).writeStream
+      .format("memory").queryName(sink).outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(sink).orderBy("event_type", "win_start")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_tumbling", qStreamTumbling, Some(
+      // identical to q_events_tumbling's oracle: streaming == batch
+      "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start"))
+  )
 
   /** Custom streaming state via flatMapGroupsWithState: a per-user running
     * profile (event count + decimal value sum) updated each micro-batch.
