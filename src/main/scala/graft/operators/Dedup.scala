@@ -176,7 +176,10 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.bkey").as("bkey"))
       .localCheckpoint()
-    val cand = exploded.as("x")
+    // The band self-join also shuffles on (band, bkey): the exploded band
+    // table is corpus-sized (n·bands rows), so letting tiny-scale stats
+    // auto-broadcast it would lock in a plan that cannot survive scale.
+    val cand = exploded.as("x").hint("shuffle_hash")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -54,6 +54,23 @@ object Relational {
           .as("display"))
       .orderBy("p_partkey")
 
+  // P2 reference-faithful variant: the reference renders its JSON-int
+  // prices with Python str() — `Pro - $29`, no decimals
+  // (dags/subscription_flow.py:88-91). Integral prices render as bare
+  // ints; non-integral keep the %.2f money form. A user diffing display
+  // strings against the reference sees identical text.
+  val qProjectConcatInt: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        when(col("p_retailprice") === floor(col("p_retailprice")),
+          format_string("%s - $%d", col("p_name"),
+            col("p_retailprice").cast("long")))
+          .otherwise(format_string("%s - $%.2f", col("p_name"),
+            col("p_retailprice")))
+          .as("display"))
+      .orderBy("p_partkey")
+
   // F1/F3 — conjunctive equality filter with cast-normalized key (ref :95-98)
   val qFilterEqAnd: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.orders(s, d)
@@ -286,6 +303,8 @@ object Relational {
       "SELECT p_name, p_partkey FROM part ORDER BY p_partkey")),
     QueryDef("q_project_concat", qProjectConcat, Some(
       "SELECT p_partkey, printf('%s - $%.2f', p_name, p_retailprice) AS display FROM part ORDER BY p_partkey")),
+    QueryDef("q_project_concat_int", qProjectConcatInt, Some(
+      "SELECT p_partkey, CASE WHEN p_retailprice = floor(p_retailprice) THEN printf('%s - $%d', p_name, CAST(p_retailprice AS BIGINT)) ELSE printf('%s - $%.2f', p_name, p_retailprice) END AS display FROM part ORDER BY p_partkey")),
     QueryDef("q_filter_eq_and", qFilterEqAnd, Some(
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE COALESCE(CAST(o_custkey AS BIGINT), 0) = 7 AND o_orderstatus = 'O' ORDER BY o_orderkey")),
     QueryDef("q_filter_isin", qFilterIsin, Some(

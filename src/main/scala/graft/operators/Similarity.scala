@@ -56,8 +56,11 @@ object Similarity {
       .limit(k)
   }
 
-  /** All pairs with cosine >= threshold; the predicate is evaluated inside
-    * the join condition so non-matches never materialize. */
+  /** All pairs with cosine >= threshold, O(n²) — the ORACLE-GRADE BASELINE
+    * (mirrors Dedup's brute-force Jaccard role): the predicate is evaluated
+    * inside the join condition so non-matches never materialize, but the
+    * pair count is quadratic. The declared scale path is
+    * [[nearDupPairsBucketed]]; this stays as the exact cross-check. */
   def nearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
     val e = prepare(embs)
     val a = e.select(col("vec_id").as("vec_a"), col("ce").as("ce_a"),
@@ -79,9 +82,99 @@ object Similarity {
   val qCosineTopk: (SparkSession, String) => DataFrame = (s, d) =>
     cosineTopK(Tables.embeddings(s, d), queryId = 0L, k = 10)
 
-  // --- q_embed_near_dup: all pairs with cosine >= 0.4 ---
+  // --- q_embed_near_dup: all pairs with cosine >= 0.4 (brute baseline) ---
   val qEmbedNearDup: (SparkSession, String) => DataFrame = (s, d) =>
     nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+
+  /** Bucketed embedding near-dup — the 100 TB path, EXACT by construction
+    * (zero recall loss, unlike sign-LSH whose miss probability at a 0.4
+    * cosine threshold is not negligible):
+    *
+    *  1. Normalize vectors to the unit sphere: cosine(a,b) >= t is exactly
+    *     ||u_a − u_b|| <= eps = sqrt(2 − 2t) — a Euclidean ε-join.
+    *  2. Partition the sphere with the deterministic k-means quantizer
+    *     (same [[kmeansCentroids]] the IVF index uses).
+    *  3. Prune CLUSTER PAIRS by the triangle inequality: members of
+    *     clusters (i, j) can only be within eps if
+    *     d(c_i, c_j) <= r_i + r_j + eps, with r = max member→centroid
+    *     distance. Everything else is skipped without looking at a vector.
+    *  4. Verify surviving cluster pairs with the exact similarity inside an
+    *     equi-join keyed on cluster pair — never a corpus-side broadcast or
+    *     a BroadcastNestedLoopJoin over data-sized inputs.
+    *
+    * At 100 TB the corpus is written bucketed by c_id so each surviving
+    * cluster-pair task reads two buckets, not the table; skewed (hot)
+    * clusters split by recursing the quantizer inside them. Worst case
+    * (pathologically unclustered data: every cluster pair survives) the
+    * work degrades to a distributed O(n²) verify — never wrong results. */
+  def nearDupPairsBucketed(embs: DataFrame, threshold: Double, k: Int)
+      : DataFrame = {
+    val eps = math.sqrt(2.0 - 2.0 * threshold)
+    // unit-normalize for the geometry; keep original ce/n2 so the verified
+    // similarity is bit-identical to the brute-force oracle's arithmetic
+    val en = prepare(embs)
+      .withColumn("u", transform(col("ce"), x => x / sqrt(col("n2"))))
+    val cents = kmeansCentroids(
+      en.select(col("vec_id"), col("u").as("ce")), k, 2).localCheckpoint()
+    // assign on normalized vectors; r = true distance to own centroid
+    // (clamped at 0 against float round-off). Checkpointed once: the table
+    // is read again for both sides of the member join.
+    val assigned = en.crossJoin(broadcast(cents))
+      .withColumn("dd",
+        col("cn2") - lit(2.0) * dotd(col("u"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("ce"), col("n2"), col("u"), col("c_id"),
+        col("dd")), struct(col("dd"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
+        col("m.c_id").as("c_id"),
+        sqrt(greatest(col("m.dd") + dotd(col("m.u"), col("m.u")), lit(0.0)))
+          .as("r"))
+      .localCheckpoint()
+    val radii = assigned.groupBy("c_id").agg(max(col("r")).as("r"))
+    // cluster-pair pruning over k² centroid pairs (driver-free, tiny)
+    val ci = cents.select(col("c_id").as("ci"), col("centroid").as("cei"),
+      col("cn2").as("cn2i"))
+    val cj = cents.select(col("c_id").as("cj"), col("centroid").as("cej"),
+      col("cn2").as("cn2j"))
+    val candClusters = ci.crossJoin(cj).filter(col("ci") <= col("cj"))
+      .withColumn("cd", sqrt(greatest(
+        col("cn2i") - lit(2.0) * dotd(col("cei"), col("cej")) + col("cn2j"),
+        lit(0.0))))
+      .join(broadcast(radii.select(col("c_id").as("ci"), col("r").as("ri"))),
+        "ci")
+      .join(broadcast(radii.select(col("c_id").as("cj"), col("r").as("rj"))),
+        "cj")
+      // 1e-9 slack: pruning must stay conservative under float round-off
+      .filter(col("cd") <= col("ri") + col("rj") + lit(eps + 1e-9))
+      .select("ci", "cj")
+    // members of each surviving cluster pair, exact predicate in the join
+    // condition. Cross-cluster pairs (ci < cj) appear exactly once by
+    // construction; same-cluster pairs are ordered by vec_id.
+    val a = assigned
+      .select(col("vec_id").as("vec_a"), col("ce").as("ce_a"),
+        col("n2").as("n2_a"), col("c_id").as("ca"))
+      .join(broadcast(candClusters), col("ca") === col("ci"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("ce").as("ce_b"),
+      col("n2").as("n2_b"), col("c_id").as("cb"))
+    val simAB = sim(col("ce_a"), col("n2_a"), col("ce_b"), col("n2_b"))
+    a.hint("shuffle_hash")
+      .join(b,
+        col("cj") === col("cb") &&
+          (col("ca") < col("cb") ||
+            (col("ca") === col("cb") && col("vec_a") < col("vec_b"))) &&
+          simAB >= threshold,
+        "inner")
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        round(simAB, 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // --- q_embed_near_dup_bucketed: same result set as q_embed_near_dup,
+  // produced by the bucketed plan — hash-checked against the same
+  // brute-force DuckDB oracle.
+  val qEmbedNearDupBucketed: (SparkSession, String) => DataFrame = (s, d) =>
+    nearDupPairsBucketed(Tables.embeddings(s, d), threshold = 0.4, k = 10)
 
   /** Deterministic distributed k-means (Lloyd's): init = the k lowest
     * vec_ids, fixed iteration count, assignment ties broken by cluster id,
@@ -179,6 +272,9 @@ object Similarity {
     QueryDef("q_cosine_topk", qCosineTopk, Some(
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_embed_near_dup", qEmbedNearDup, Some(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
+    QueryDef("q_embed_near_dup_bucketed", qEmbedNearDupBucketed, Some(
+      // the SAME brute-force oracle: the bucketed plan is exact
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
     QueryDef("q_ann_ivf", qAnnIvf, None),
     QueryDef("q_ann_recall", qAnnRecall, None)

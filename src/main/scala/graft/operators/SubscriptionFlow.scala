@@ -128,6 +128,28 @@ object SubscriptionFlow {
       userId: Long): FlowResult =
     FlowResult(subs, latestActive(subs, userId))
 
+  /** Reference-faithful notify text (`dags/subscription_flow.py:256`,
+    * proven by docs/screens/notify_logs.png): the result record rendered
+    * exactly as Python's `json.dumps(res, indent=2)` under the `[NOTIFY]`
+    * banner — ids as bare ints, strings quoted, two-space indent. Built as
+    * one codegen'd concat so the sink text needs no driver-side
+    * formatting; GoldenPipelineSpec byte-compares it against the
+    * screenshot's record. */
+  def notifyText(intent: String, record: DataFrame): DataFrame =
+    record.select(concat(
+      lit(s"[NOTIFY] Intent=$intent → Result:\n{\n"),
+      lit("  \"subscription_id\": "),
+      col("subscription_id").cast("string"), lit(",\n"),
+      lit("  \"user_id\": "), col("user_id").cast("string"), lit(",\n"),
+      lit("  \"subscription_plan_id\": "),
+      col("subscription_plan_id").cast("string"), lit(",\n"),
+      lit("  \"subscription_status\": \""),
+      col("subscription_status"), lit("\",\n"),
+      lit("  \"start_date\": \""), col("start_date"), lit("\",\n"),
+      lit("  \"end_date\": \""), col("end_date"), lit("\",\n"),
+      lit("  \"payment_status\": \""), col("payment_status"), lit("\"\n}"))
+      .as("notify"))
+
   /** Intent router (`:69-76,258-267`): validates the enum (`:62-63`) and
     * dispatches — the BranchPythonOperator re-expressed as control flow. */
   def run(spark: SparkSession, intent: String, userId: Long,

@@ -54,6 +54,17 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("bucketed embedding near-dup recovers the brute-force pair set exactly") {
+    // Triangle-inequality cluster-pair pruning is conservative, so the
+    // bucketed plan is EXACT — full rows (ids + rounded sim) must match.
+    val brute = operators.Similarity.qEmbedNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = operators.Similarity.qEmbedNearDupBucketed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("cosine top-k is ordered by similarity desc then vec_id") {
     val rows = operators.Similarity.qCosineTopk(spark, sf).collect()
     assert(rows.length === 10)

@@ -50,6 +50,44 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(byId(1003L) === "active")
   }
 
+  test("notify text byte-matches the reference's notify_logs.png record") {
+    // docs/screens/notify_logs.png, create intent on the seed store:
+    // json.dumps(new_sub, indent=2) under the [NOTIFY] banner.
+    val r = SubscriptionFlow.run(spark, "create", 101L, "Pro",
+      plansFixture, subsFixture)
+    val txt = SubscriptionFlow.notifyText("create", r.notifyRecord)
+      .head().getString(0)
+    val golden =
+      "[NOTIFY] Intent=create → Result:\n" +
+        "{\n" +
+        "  \"subscription_id\": 1003,\n" +
+        "  \"user_id\": 101,\n" +
+        "  \"subscription_plan_id\": 2,\n" +
+        "  \"subscription_status\": \"active\",\n" +
+        "  \"start_date\": \"2025-01-01\",\n" +
+        "  \"end_date\": \"2025-12-31\",\n" +
+        "  \"payment_status\": \"Paid\"\n" +
+        "}"
+    assert(txt === golden)
+  }
+
+  test("reference plan display strings render JSON ints without decimals") {
+    import spark.implicits._
+    // `Pro - $29`, not `Pro - $29.00` (dags/subscription_flow.py:88-91)
+    val out = plansFixture
+      .select(col("subscription_plan_id").as("p_partkey"),
+        col("subscription_plan_name").as("p_name"),
+        col("subscription_price").as("p_retailprice"))
+      .select(
+        when(col("p_retailprice") === floor(col("p_retailprice")),
+          format_string("%s - $%d", col("p_name"),
+            col("p_retailprice").cast("long")))
+          .otherwise(format_string("%s - $%.2f", col("p_name"),
+            col("p_retailprice"))).as("display"))
+      .orderBy("display").as[String].collect()
+    assert(out.toSeq === Seq("Free - $0", "Pro - $29", "Team - $99"))
+  }
+
   test("withTextFeatures annotates any text frame in one pass") {
     import spark.implicits._
     val docs = Seq(

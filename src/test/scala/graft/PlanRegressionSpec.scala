@@ -63,4 +63,51 @@ class PlanRegressionSpec extends SparkSpec {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
+
+  test("TF-IDF/BM25 builders are fully lazy — no Spark job at plan time") {
+    // Corpus size N must live in the plan (broadcast 1-row aggregate), not
+    // in an eager driver-side count() that runs a scan per builder call.
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.stageInfos.map(_.name).mkString("; ")): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      operators.TextAnalysis.qTfidfTopTerms(spark, sf)
+      operators.TextAnalysis.qBm25TopTerms(spark, sf)
+      Thread.sleep(1000) // listener bus is async; let events drain
+      // spark.read.parquet runs a footer/schema-inference job per call —
+      // that is the scan, not the builder. Any OTHER job (an eager count()
+      // would surface as "count at TextAnalysis.scala:…") is a regression.
+      val actions = jobs.toArray(Array.empty[String])
+        .filterNot(_.startsWith("parquet at Tables.scala"))
+      assert(actions.isEmpty,
+        s"builders triggered ${actions.length} action job(s): " +
+          actions.mkString(" | "))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("minhash verify join is shuffle-based, never a corpus broadcast") {
+    // The LSH path is the declared 100 TB route: re-attaching shingles for
+    // verification must shuffle on doc_id. A broadcast of the corpus-sized
+    // signature table (the round-1 shape) dies at cluster scale.
+    val p = operators.Dedup.minhashPairs(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(900))
+    assert(!p.contains("BroadcastExchange"), p.take(900))
+  }
+
+  test("bucketed embedding near-dup has no data-sized nested-loop join") {
+    // Only the k-row centroid/cluster-pair sides may broadcast; the member
+    // verify join must be a shuffle equi-join with the exact predicate in
+    // its condition. An `Inner` BNLJ (the brute-force all-pairs shape) must
+    // not appear — the crossJoin-with-k-centroids BNLJs are `Cross` type.
+    val df = SparkEntry.queries("q_embed_near_dup_bucketed")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), p.take(1200))
+  }
 }

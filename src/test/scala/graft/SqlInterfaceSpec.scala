@@ -21,6 +21,55 @@ class SqlInterfaceSpec extends SparkSpec {
     viaSql.zip(viaDf).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("every Spark-SQL-compatible oracle string reproduces its builder's rows") {
+    // Breadth check: the declared oracle SQL is DuckDB-dialect, but a large
+    // ANSI core of it must also run through spark.sql over registered views
+    // and return EXACTLY what the DataFrame builder returns — catching
+    // Spark-SQL surface gaps (or silent dialect divergence) that the
+    // DataFrame API hides. Dialect-incompatible strings (DuckDB list_*/
+    // strftime/4-arg regexp_replace/ASOF…) fail analysis and are skipped.
+    Tables.region(spark, sf).createOrReplaceTempView("region")
+    Tables.nation(spark, sf).createOrReplaceTempView("nation")
+    Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    Tables.supplier(spark, sf).createOrReplaceTempView("supplier")
+    Tables.part(spark, sf).createOrReplaceTempView("part")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    Tables.documents(spark, sf).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings")
+    def render(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq.map(col)
+      df.select(cols: _*).collect().map(_.toString).sorted.toSeq
+    }
+    val outcomes = Registry.all.flatMap(q => q.oracle.map(o => (q.name, o)))
+      .map { case (name, sql) =>
+        val ran = scala.util.Try(render(spark.sql(sql)))
+        val ok = ran.map(_ == render(SparkEntry.queries(name)(spark, sf)))
+        (name, ok)
+      }
+    val compatible = outcomes.collect {
+      case (n, scala.util.Success(m)) => (n, m)
+    }
+    // Known dialect divergence in strings that RUN on both engines:
+    // Spark's non-ANSI string literals eat single backslashes ('\s' → 's')
+    // where DuckDB keeps them, and DuckDB's 4th regexp_replace arg 'g' is
+    // Spark's numeric position parameter. These four oracles are correct
+    // DuckDB and runnable-but-different Spark — locked here so any NEW
+    // divergence (or a fix that shrinks the set) is caught.
+    val knownDialectDivergent = Set("q_text_normalize",
+      "q_events_extract_props", "q_doc_fingerprint", "q_dedup_exact")
+    val mismatched = compatible.collect { case (n, false) => n }
+    assert(mismatched.toSet === knownDialectDivergent,
+      s"spark.sql ran but diverged from the builder: ${mismatched.mkString(", ")}")
+    // floor on the runnable-AND-matching ANSI core — shrinking it is a
+    // surface regression
+    val matching = compatible.count(_._2)
+    assert(matching >= 20,
+      s"only $matching oracle strings matched under spark.sql: " +
+        compatible.collect { case (n, true) => n }.mkString(", "))
+  }
+
   test("graft SQL functions compose with views in one statement") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
     val n = spark.sql(
