@@ -275,12 +275,15 @@ object Dedup {
   }
 
   // --- near-dup clustering: connected components over verified pairs ---
-  // Iterative min-label propagation (driver loop, ~diameter iterations,
-  // localCheckpoint per round to cut lineage): canonical id of each
-  // near-dup cluster = min doc_id reachable. This is the distributed CC
-  // loop a 100 TB dedup job runs after LSH+verify — each iteration is one
-  // self-contained shuffle on node id; at cluster scale you checkpoint to
-  // storage instead of locally.
+  // Iterative min-label propagation WITH pointer jumping (driver loop,
+  // localCheckpoint per round to cut lineage): each round a node adopts the
+  // min of (its label, its neighbors' labels, the label of its current
+  // label's node). The label-of-label hop doubles the propagation distance
+  // per round, so convergence is O(log diameter) instead of O(diameter) —
+  // the difference between ~5 and ~15 shuffles on a long dupe chain. Each
+  // round is self-contained shuffles on node id; at cluster scale you
+  // checkpoint to storage instead of locally. Labels only ever move to the
+  // min id reachable, so the result is exactly the per-component min.
   /** Connected components over an undirected pair set (doc_a, doc_b):
     * (doc_id, canonical = min id in component). */
   def connectedComponents(pairsIn: DataFrame): DataFrame = {
@@ -296,11 +299,16 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
-      val propagated = edges
+      val viaEdges = edges
         .join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"))
+      // pointer jump: adopt the label of the node my label points at
+      val viaLabels = labels.as("a")
+        .join(labels.as("b"), col("a.lbl") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
       val next = labels.select(col("node"), col("lbl"))
-        .unionByName(propagated)
+        .unionByName(viaEdges)
+        .unionByName(viaLabels)
         .groupBy("node")
         .agg(min("lbl").as("lbl"))
         .localCheckpoint()

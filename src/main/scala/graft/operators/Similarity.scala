@@ -265,6 +265,23 @@ object Similarity {
       .agg((count(lit(1)).cast("double") / 10d).as("recall_at_10"))
   }
 
+  // --- q_embed_norm_stats: per-label vector-norm profile ---
+  // The embedding-quality screen a pipeline runs before indexing (norm
+  // collapse / outlier labels). Norms are rounded to 9 decimals BEFORE the
+  // exact-decimal sum so the average is order-independent and the decimal
+  // cast is unambiguous cross-engine; min/max are order-independent as-is.
+  val qEmbedNormStats: (SparkSession, String) => DataFrame = (s, d) => {
+    val norm9 = round(sqrt(col("n2")), 9)
+    prepare(Tables.embeddings(s, d))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(norm9.cast("decimal(27,12)")).cast("double") /
+          count(lit(1)), 6).as("avg_norm"),
+        round(min(norm9), 6).as("min_norm"),
+        round(max(norm9), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
   private val cosineSql =
     "list_dot_product(ce, qe) / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))"
 
@@ -277,6 +294,8 @@ object Similarity {
       // the SAME brute-force oracle: the bucketed plan is exact
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
     QueryDef("q_ann_ivf", qAnnIvf, None),
-    QueryDef("q_ann_recall", qAnnRecall, None)
+    QueryDef("q_ann_recall", qAnnRecall, None),
+    QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(
+      "WITH e AS (SELECT label, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 9) AS nrm FROM embeddings) SELECT label, COUNT(*) AS n, round(CAST(SUM(CAST(nrm AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm, round(MIN(nrm), 6) AS min_norm, round(MAX(nrm), 6) AS max_norm FROM e GROUP BY label ORDER BY label"))
   )
 }

@@ -88,14 +88,18 @@ object SubscriptionFlow {
     val target = latestActive(subs, userId)
     require(!target.isEmpty, s"No active subscription for user $userId") // :230-231
     val targetKeys = target.select(col("subscription_id").as("__target_id"))
-    val newPlanId = chosen.select(col("subscription_plan_id")).head().getLong(0)
+    // The new plan id stays IN the plan (broadcast 1-row dim) rather than
+    // being collected driver-side — the overlay composes lazily into any
+    // downstream plan.
     val store = subs
       .join(broadcast(targetKeys),
         col("subscription_id") === col("__target_id"), "left")
+      .crossJoin(broadcast(chosen
+        .select(col("subscription_plan_id").as("__new_plan_id"))))
       .withColumn("subscription_plan_id",
-        when(col("__target_id").isNotNull, lit(newPlanId))
+        when(col("__target_id").isNotNull, col("__new_plan_id"))
           .otherwise(col("subscription_plan_id"))) // :232 overlay
-      .drop("__target_id")
+      .drop("__target_id", "__new_plan_id")
     val notify = store
       .join(broadcast(targetKeys),
         col("subscription_id") === col("__target_id"), "left_semi")

@@ -145,6 +145,40 @@ object TextAnalysis {
     s"""SELECT doc_id, CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und' WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en' WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_de AND s_es >= s_zh THEN 'es' WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_pred FROM (SELECT doc_id, $scores FROM (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)) ORDER BY doc_id"""
   }
 
+  // --- q_ngram_bigrams: corpus bigram vocabulary, top 30 by frequency ---
+  // The n-gram statistics job a tokenizer-training pipeline runs: explode
+  // word bigrams (duplicates kept — frequencies, not presence), one shuffle
+  // on the bigram. <2-token docs contribute nothing by construction.
+  val qNgramBigrams: (SparkSession, String) => DataFrame = (s, d) => {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, d)
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(30)
+  }
+
+  // --- q_df_stopwords: corpus-specific stopword detection ---
+  // Tokens present in more than half the documents — the df-based pruning
+  // list a quality/tokenizer pass computes. Document frequency (distinct
+  // doc-level presence), corpus size N broadcast in-plan.
+  val qDfStopwords: (SparkSession, String) => DataFrame = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * 0.5)
+      .select(col("tok"), col("df"))
+      .orderBy("tok")
+  }
+
   // --- TF-IDF: per-document top terms by tf·idf ---
   // tf = term count in doc; idf = ln(N / df). Two shuffles (token-level
   // agg for df, doc-token agg for tf) + a broadcast of the df table —
@@ -223,6 +257,10 @@ object TextAnalysis {
     QueryDef("q_token_count", qTokenCount, Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens, len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens FROM documents ORDER BY doc_id")),
     QueryDef("q_doc_fingerprint", qDocFingerprint, Some(
-      "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id"))
+      "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id")),
+    QueryDef("q_ngram_bigrams", qNgramBigrams, Some(
+      "WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents), bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram FROM t WHERE len(t) >= 2) SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 30")),
+    QueryDef("q_df_stopwords", qDfStopwords, Some(
+      "WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)), df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents) SELECT tok, df FROM df CROSS JOIN n WHERE df > n * 0.5 ORDER BY tok"))
   )
 }

@@ -31,6 +31,18 @@ object Sources {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).json(path)
 
+  /** Schema-INFERRED JSON reads — the reference's implicit-schema load
+    * (`_load_json`, dags/subscription_flow.py:27-29) for exploratory use.
+    * Inference is an extra full pass over the data (Spark samples per
+    * `samplingRatio`), so production paths keep the schema-explicit
+    * variants above; this is the notebook convenience. */
+  def readJsonTableInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", value = true).json(path)
+
+  /** Line-delimited, schema-inferred (exploratory). */
+  def readJsonLinesInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   def readCsvTable(spark: SparkSession, path: String, schema: StructType)
       : DataFrame =
     spark.read.schema(schema).option("header", value = true).csv(path)

@@ -63,6 +63,8 @@ object ScaleProbe {
       Similarity.cosineTopK(embs, 0L, 10).count())
     time(s"embedding near-dup pairs over ${n}x embeddings")(
       Similarity.nearDupPairs(embs, 0.4).count())
+    time(s"BUCKETED embedding near-dup over ${n}x embeddings")(
+      Similarity.nearDupPairsBucketed(embs, 0.4, k = 10).count())
     spark.stop()
   }
 }

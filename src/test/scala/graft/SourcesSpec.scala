@@ -35,6 +35,31 @@ class SourcesSpec extends SparkSpec {
     assert(pro.getAs[Double]("subscription_price") === 29.0)
   }
 
+  test("schema-inferred JSON reads mirror the reference's implicit load") {
+    // _load_json (dags/subscription_flow.py:27-29) never declares a schema;
+    // the inferred convenience read must recover the same rows and usable
+    // types (JSON ints infer as LongType) from the array-file store.
+    val dir = Files.createTempDirectory("graft_json_inf").toString
+    val f = s"$dir/plans.json"
+    Files.writeString(java.nio.file.Paths.get(f),
+      """[
+        |  {"subscription_plan_id": 1, "subscription_plan_name": "Free", "subscription_price": 0},
+        |  {"subscription_plan_id": 2, "subscription_plan_name": "Pro", "subscription_price": 29}
+        |]""".stripMargin)
+    val df = Sources.readJsonTableInferred(spark, f)
+    assert(df.count() === 2)
+    assert(df.schema("subscription_plan_id").dataType === LongType)
+    assert(df.filter(col("subscription_plan_name") === "Pro").head()
+      .getAs[Long]("subscription_price") === 29L)
+    // line-delimited inferred variant over the fixture write
+    val dir2 = Files.createTempDirectory("graft_jsonl_inf").toString + "/s"
+    Sources.writeJsonTable(plansFixture, dir2)
+    val back = Sources.readJsonLinesInferred(spark, dir2)
+    assert(back.count() === 3)
+    assert(back.columns.sorted.toSeq ===
+      plansFixture.columns.sorted.toSeq)
+  }
+
   test("S2 + S1: JSON sink then line-delimited scan roundtrips the store") {
     val dir = Files.createTempDirectory("graft_json_rt").toString + "/store"
     Sources.writeJsonTable(plansFixture, dir)
