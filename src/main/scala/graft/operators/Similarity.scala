@@ -220,24 +220,39 @@ object Similarity {
     centroids
   }
 
-  // --- q_ann_ivf: IVF cluster-pruned approximate search (scale path) ---
-  // Coarse quantizer learned by deterministic k-means; the probe searches
-  // only the nearest cluster's inverted list. At 100 TB the corpus is
-  // bucketed/partitioned by c_id on disk so a probe reads one partition,
-  // not the table. No oracle (sketch-style op): rows-only driver check +
-  // DedupSpec assertions on the probe shape.
-  val qAnnIvf: (SparkSession, String) => DataFrame = (s, d) => {
+  // Build-once coarse quantizer per (session, corpus dir): an IVF index is
+  // PRECOMPUTED and probed many times — rebuilding identical centroids on
+  // every probe query would be repeated index construction. The k-means is
+  // deterministic/bit-stable, so the cache is semantics-free (same rows
+  // with or without it); keyed on the session object itself (reference
+  // equality) so checkpointed RDDs never leak across sessions.
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), DataFrame]
+
+  private def ivfCentroids(s: SparkSession, d: String, k: Int, iters: Int)
+      : DataFrame =
+    centroidCache.getOrElseUpdate((s, d, k, iters),
+      kmeansCentroids(prepared(s, d).filter(col("vec_id") =!= 0L), k, iters))
+
+  /** IVF search: probe the `nprobe` nearest clusters' inverted lists for
+    * the top-k neighbors of vec_id=0. nprobe is the recall/latency knob —
+    * 1 reads one corpus partition; larger values trade scan volume for
+    * recall (DedupSpec asserts the dominance). At 100 TB the corpus is
+    * bucketed/partitioned by c_id on disk so a probe reads `nprobe`
+    * partitions, not the table. */
+  def ivfSearch(s: SparkSession, d: String, k: Int, nprobe: Int)
+      : DataFrame = {
     val e = prepared(s, d)
-    val centroids = kmeansCentroids(e.filter(col("vec_id") =!= 0L), 10, 3)
+    val centroids = ivfCentroids(s, d, 10, 3)
     val qv = e.filter(col("vec_id") === 0L)
       .select(col("ce").as("qe"), col("n2").as("qn2"))
     val nearest = centroids.crossJoin(broadcast(qv))
       .select(col("c_id"), col("qe"), col("qn2"),
         sim(col("centroid"), col("cn2"), col("qe"), col("qn2")).as("csim"))
       .orderBy(col("csim").desc, col("c_id").asc)
-      .limit(1)
+      .limit(nprobe)
     // assign corpus vectors to their cluster (same min_by shape as the
-    // k-means assignment — one partial-agg'd shuffle), keep the probed one
+    // k-means assignment — one partial-agg'd shuffle), keep the probed ones
     val assigned = e.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(centroids
         .select(col("c_id").as("a_id"), col("centroid").as("a_c"),
@@ -252,8 +267,18 @@ object Similarity {
       .select(col("vec_id"), col("a_id").as("cluster"),
         round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
+
+  // --- q_ann_ivf: single-probe IVF search (scale path). No oracle
+  // (sketch-style op): rows-only driver check + DedupSpec assertions on
+  // the probe shape.
+  val qAnnIvf: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfSearch(s, d, k = 10, nprobe = 1)
+
+  // --- q_ann_multiprobe: nprobe=3 — the recall knob exercised. Rows-only.
+  val qAnnMultiprobe: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfSearch(s, d, k = 10, nprobe = 3)
 
   // --- q_ann_recall: IVF recall@10 against the brute-force ground truth —
   // the evaluation metric an ANN index ships with. One row; rows-only
@@ -294,6 +319,7 @@ object Similarity {
       // the SAME brute-force oracle: the bucketed plan is exact
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
     QueryDef("q_ann_ivf", qAnnIvf, None),
+    QueryDef("q_ann_multiprobe", qAnnMultiprobe, None),
     QueryDef("q_ann_recall", qAnnRecall, None),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(
       "WITH e AS (SELECT label, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 9) AS nrm FROM embeddings) SELECT label, COUNT(*) AS n, round(CAST(SUM(CAST(nrm AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm, round(MIN(nrm), 6) AS min_norm, round(MAX(nrm), 6) AS max_norm FROM e GROUP BY label ORDER BY label"))

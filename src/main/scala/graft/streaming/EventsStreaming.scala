@@ -128,26 +128,63 @@ object EventsStreaming {
     * q_events_tumbling exactly — it shares that query's DuckDB oracle, so
     * the driver's correctness gate exercises the streaming path end-to-end
     * rather than trusting builder-side specs. */
-  val qStreamTumbling: (SparkSession, String) => DataFrame = (s, d) => {
+  // The staged micro-batch directory is written once per (session, sf dir)
+  // and shared by every declared streaming query — staging is test-harness
+  // setup, not part of the streaming pipeline under measurement.
+  private val stagedEvents =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageEventsDir(s: SparkSession, d: String): String =
+    stagedEvents.getOrElseUpdate((s, d), {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_events_" +
+        s.sparkContext.applicationId + "_" + stagedEvents.size
+      // 4 files → 4 micro-batches: state genuinely merges across triggers.
+      Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  private def runToMemorySink(s: SparkSession, d: String, name: String,
+      plan: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_tumbling_" +
-      s.sparkContext.applicationId
-    // 4 files → 4 micro-batches: state genuinely merges across triggers.
-    Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(dir)
-    val sink = "graft_stream_tumbling_sink"
-    val q = tumbling(readEventsStream(s, dir)).writeStream
+    val dir = stageEventsDir(s, d)
+    val sink = s"graft_stream_${name}_sink"
+    val q = plan(readEventsStream(s, dir)).writeStream
       .format("memory").queryName(sink).outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(300000)
     q.stop()
-    s.table(sink).orderBy("event_type", "win_start")
+    s.table(sink)
   }
+
+  val qStreamTumbling: (SparkSession, String) => DataFrame = (s, d) =>
+    runToMemorySink(s, d, "tumbling", tumbling)
+      .orderBy("event_type", "win_start")
+
+  /** Same driver-gate treatment for SESSION windows — the hard streaming
+    * case (merging state: a session spanning a micro-batch boundary must
+    * coalesce with its earlier half). Shares the batch sessions oracle.
+    *
+    * NO watermark here, deliberately: the staged files are randomly
+    * partitioned (not time-ordered), so after the first micro-batch the
+    * watermark sits near max(ts) and the session operator — unlike plain
+    * time windows — drops watermark-late input even in complete mode,
+    * silently losing ~half the events (measured). A finite historical
+    * replay either streams time-ordered, sizes the watermark to cover the
+    * replay disorder, or (complete mode, bounded input) omits it; the
+    * production `sessions` builder above keeps its watermark for true
+    * unbounded ingest. */
+  val qStreamSessions: (SparkSession, String) => DataFrame = (s, d) =>
+    runToMemorySink(s, d, "sessions", Events.sessionAgg)
+      .orderBy("user_id", "sess_start")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(
       // identical to q_events_tumbling's oracle: streaming == batch
-      "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start"))
+      "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_stream_sessions", qStreamSessions, Some(
+      // identical to q_events_sessions' oracle: streaming == batch
+      "WITH t AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"))
   )
 
   /** Custom streaming state via flatMapGroupsWithState: a per-user running

@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
+  test("multi-probe IVF recall dominates single-probe") {
+    val brute = operators.Similarity.qCosineTopk(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val p1 = operators.Similarity.qAnnIvf(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val p3 = operators.Similarity.qAnnMultiprobe(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(p3.size === 10)
+    // probing 3 clusters can only widen the candidate pool
+    assert((p3 intersect brute).size >= (p1 intersect brute).size)
+  }
+
   test("IVF probe returns cluster-local top-k of the nearest k-means centroid") {
     val rows = operators.Similarity.qAnnIvf(spark, sf).collect()
     assert(rows.length === 10)
