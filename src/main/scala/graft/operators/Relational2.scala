@@ -38,6 +38,66 @@ object Relational2 {
         col("cnt"), col("sum_price"))
       .orderBy("status", "prio")
 
+  // GROUPING SETS — the general form behind rollup/cube: two independent
+  // one-column breakdowns plus the grand total in one pass (Spark plans a
+  // single Expand + partial/final agg, not three scans).
+  val qGroupingSets: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("cnt"), col("sum_price"))
+      .orderBy("status", "prio")
+
+  // FULL OUTER join — customers against their in-progress order counts;
+  // both null sides visible. Plans as a shuffle full-outer SMJ (no
+  // broadcast: outer side of a full join can't build).
+  val qJoinFullOuter: (SparkSession, String) => DataFrame = (s, d) => {
+    val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      .groupBy("o_custkey").agg(count(lit(1)).as("p_orders"))
+    Tables.customer(s, d)
+      .join(p, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("o_custkey"), col("p_orders"))
+      .orderBy(asc_nulls_last("c_custkey"), asc_nulls_last("o_custkey"))
+  }
+
+  // Rank-family windows: rank / dense_rank / percent_rank in one pass.
+  // percent_rank = (rank-1)/(n-1) is a rational in double — deterministic
+  // cross-engine; tie-break on the unique key keeps ranks stable.
+  val qWindowRanks: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        round(percent_rank().over(w), 6).as("prk"))
+      .orderBy("o_orderkey")
+  }
+
+  // Population variance WITHOUT order-dependent double summation: both
+  // moments are EXACT decimal sums (square of a (18,2) is a (37,4) —
+  // lossless), combined in double by the same (Σx² − (Σx)²/n)/n formula on
+  // both engines. A plain var_pop over doubles would hash-drift with
+  // partition order.
+  val qAggVariance: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+          .cast("double").as("sum_sq"))
+      .withColumn("var_pop", round(
+        (col("sum_sq") - col("sum_price") * col("sum_price") / col("n"))
+          / col("n"), 4))
+      .select("o_orderstatus", "n", "var_pop")
+      .orderBy("o_orderstatus")
+
   // EXCEPT (distinct) — customers minus those with an in-progress order.
   val qSetExcept: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.customer(s, d).select("c_custkey")
@@ -320,6 +380,14 @@ object Relational2 {
       .orderBy("o_orderpriority")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_grouping_sets", qGroupingSets, Some(
+      "SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY status, prio")),
+    QueryDef("q_join_full_outer", qJoinFullOuter, Some(
+      "SELECT c_custkey, o_custkey, p_orders FROM customer FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS p_orders FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) p ON c_custkey = o_custkey ORDER BY c_custkey NULLS LAST, o_custkey NULLS LAST")),
+    QueryDef("q_window_ranks", qWindowRanks, Some(
+      "SELECT o_orderkey, o_orderstatus, rank() OVER w AS rk, dense_rank() OVER w AS drk, round(percent_rank() OVER w, 6) AS prk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) ORDER BY o_orderkey")),
+    QueryDef("q_agg_variance", qAggVariance, Some(
+      "SELECT o_orderstatus, n, round((sum_sq - sum_price * sum_price / n) / n, 4) AS var_pop FROM (SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq FROM orders GROUP BY o_orderstatus) ORDER BY o_orderstatus")),
     QueryDef("q_regex_like", qRegexLike, Some(
       "SELECT p_partkey, p_name, p_type, p_name LIKE 'small%' AS is_small, p_type LIKE 'PROM%' AS is_promo, regexp_matches(p_name, 'widget$') AS is_widget FROM part ORDER BY p_partkey")),
     QueryDef("q_agg_cube", qAggCube, Some(
