@@ -69,6 +69,11 @@ object Relational2 {
   // Rank-family windows: rank / dense_rank / percent_rank in one pass.
   // percent_rank = (rank-1)/(n-1) is a rational in double — deterministic
   // cross-engine; tie-break on the unique key keeps ranks stable.
+  // Scale note: a global rank per low-cardinality partition key (3
+  // statuses) is INHERENTLY a per-status total sort — at 100 TB you
+  // pre-aggregate, bucket the ranking key, or accept the skewed reducer;
+  // there is no shuffle trick that ranks billions of rows in one partition
+  // for free. Declared here for surface completeness at test scale.
   val qWindowRanks: (SparkSession, String) => DataFrame = (s, d) => {
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

@@ -23,6 +23,20 @@ class MutationsSpec extends SparkSpec {
     assert(out(3).getString(1) === "new")
   }
 
+  test("upsertByKey replaces matched rows WHOLE, including NULL columns") {
+    // Delta MERGE matched-update semantics: an update row with a NULL
+    // value must overwrite the base value with NULL, not keep the stale
+    // base value (a per-column coalesce would).
+    import spark.implicits._
+    val base = Seq((1L, Option("keepme"), 10.0)).toDF("id", "name", "v")
+    val updates = Seq((1L, Option.empty[String], 11.0))
+      .toDF("id", "name", "v")
+    val out = ScalePatterns.upsertByKey(base, updates, "id").collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(1), "NULL in the update row must win")
+    assert(out(0).getDouble(2) === 11.0)
+  }
+
   test("upsertByKey mirrors the reference cancel overlay (golden store)") {
     // cancel user 102 == upsert of the overlaid row (ref :236-242)
     val updates = subsFixture

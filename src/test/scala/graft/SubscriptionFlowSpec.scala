@@ -31,6 +31,20 @@ class SubscriptionFlowSpec extends SparkSpec {
     assert(r.notifyRecord.head().getAs[Long]("subscription_id") === 1001L)
   }
 
+  test("create with existing ids below 1000 still floors at 1001 (ref :214)") {
+    // max(ids ∪ {1000}) + 1: the floor applies to NON-empty tables too —
+    // with max id 10 the reference allocates 1001, not 11.
+    import spark.implicits._
+    val lowIds = Seq(
+      (10L, 101L, 1L, "active", "2025-01-01", "2025-12-31",
+        Option.empty[String]))
+      .toDF("subscription_id", "user_id", "subscription_plan_id",
+        "subscription_status", "start_date", "end_date", "payment_status")
+    val r = SubscriptionFlow.run(spark, "create", 7L, "Pro", plansFixture,
+      lowIds)
+    assert(r.notifyRecord.head().getAs[Long]("subscription_id") === 1001L)
+  }
+
   test("create of a zero-price plan is Free (ref :222 boundary)") {
     val r = SubscriptionFlow.run(spark, "create", 101L, "Free",
       plansFixture, subsFixture)
