@@ -161,6 +161,13 @@ object EventsStreaming {
     runToMemorySink(s, d, "tumbling", tumbling)
       .orderBy("event_type", "win_start")
 
+  /** Sliding windows through the driver gate: each event lands in 4
+    * overlapping windows (1 h / 15 min), generated and exploded inside the
+    * same stage before the stateful agg. Shares the batch sliding oracle. */
+  val qStreamSliding: (SparkSession, String) => DataFrame = (s, d) =>
+    runToMemorySink(s, d, "sliding", sliding)
+      .orderBy("event_type", "win_start")
+
   /** Same driver-gate treatment for SESSION windows — the hard streaming
     * case (merging state: a session spanning a micro-batch boundary must
     * coalesce with its earlier half). Shares the batch sessions oracle.
@@ -182,6 +189,9 @@ object EventsStreaming {
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(
       // identical to q_events_tumbling's oracle: streaming == batch
       "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_stream_sliding", qStreamSliding, Some(
+      // identical to q_events_sliding's oracle: streaming == batch
+      "SELECT event_type, strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks GROUP BY event_type, win_start ORDER BY event_type, win_start")),
     QueryDef("q_stream_sessions", qStreamSessions, Some(
       // identical to q_events_sessions' oracle: streaming == batch
       "WITH t AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"))
