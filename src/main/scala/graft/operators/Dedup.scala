@@ -206,6 +206,46 @@ object Dedup {
   val qDedupMinhash: (SparkSession, String) => DataFrame = (s, d) =>
     minhashPairs(Tables.documents(s, d))
 
+  // --- persisted LSH index: the on-disk form of the dedup scale path ---
+  // The banded signature table written BUCKETED by bucket key: the ingest
+  // gate ("is this new doc a near-dup of anything indexed?") then joins new
+  // docs against the index with NO shuffle of the index side — only the
+  // (small) new-doc side is hashed into the index's bucketing. This is the
+  // batch twin of EventsStreaming.nearDupAgainstIndex, persisted.
+
+  /** Banded signature table for a corpus: (doc_id, sh, n, band, bkey). */
+  def bandedSignatures(docs: DataFrame): DataFrame =
+    shingleDocs(docs)
+      .select(col("doc_id"), col("sh"), col("n"),
+        explode(lshBands(minhashSignature(col("sh")))).as("b"))
+      .select(col("doc_id"), col("sh"), col("n"),
+        col("b.band").as("band"), col("b.bkey").as("bkey"))
+
+  /** Persist the LSH index as a bucketed table; returns the table name. */
+  def writeLshIndex(docs: DataFrame, table: String, buckets: Int = 64)
+      : String =
+    graft.functions.ScalePatterns.writeBucketed(
+      bandedSignatures(docs), table, "bkey", buckets)
+
+  /** Batch ingest gate against a persisted index: verified near-dup pairs
+    * (new_doc_id, idx_id, jac). The index scan arrives pre-partitioned on
+    * bkey (bucket layout satisfies the join's clustering), so only the
+    * new-doc side shuffles. */
+  def nearDupAgainstLshIndex(spark: SparkSession, table: String,
+      newDocs: DataFrame): DataFrame = {
+    val idx = spark.table(table)
+      .select(col("doc_id").as("idx_id"), col("sh").as("idx_sh"),
+        col("n").as("idx_n"), col("band"), col("bkey"))
+    val probe = bandedSignatures(newDocs)
+    val inter = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("sh"), col("idx_sh")).cast("double")
+    val jac = inter / (col("n") + col("idx_n") - inter)
+    probe.join(idx, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("idx_id") && jac >= 0.8)
+      .select(col("doc_id"), col("idx_id"), round(jac, 4).as("jac"))
+      .distinct()
+  }
+
   // --- SimHash: 64-bit frequency-weighted signature + banded pairing ---
   // Signature via the native one-pass SimHash64 expression: per-bit
   // majority vote of token hashes, frequency-weighted (tokens non-distinct).
