@@ -106,7 +106,23 @@ object Events {
           .as("k"))
       .orderBy("event_id")
 
+  // MapType surface (SURVEY §1.3's "from_json → MapType" extension row):
+  // parse the props JSON into a map, extract + count keys. The map stays a
+  // plan-internal type; outputs are scalars so the oracle hash is stable.
+  val qPropsMap: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, StringType)).as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "k").cast("long").as("k"),
+        size(col("m")).as("n_keys"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_props_map", qPropsMap, Some(
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(len(json_keys(props)) AS INT) AS n_keys FROM events ORDER BY event_id")),
     QueryDef("q_events_tumbling", qEventsTumbling, Some(
       "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
     QueryDef("q_events_sliding", qEventsSliding, Some(

@@ -38,6 +38,18 @@ object Relational2 {
         col("cnt"), col("sum_price"))
       .orderBy("status", "prio")
 
+  // Array-aggregation surface (SURVEY §1.3 "array of records" row):
+  // collect_set + deterministic ordering, rendered as a joined string so
+  // the cross-engine hash compares scalars, not engine-specific list
+  // renderings.
+  val qAggCollect: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+        .as("prios"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
   // GROUPING SETS — the general form behind rollup/cube: two independent
   // one-column breakdowns plus the grand total in one pass (Spark plans a
   // single Expand + partial/final agg, not three scans).
@@ -385,6 +397,8 @@ object Relational2 {
       .orderBy("o_orderpriority")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_agg_collect", qAggCollect, Some(
+      "SELECT o_orderstatus, array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_grouping_sets", qGroupingSets, Some(
       "SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY status, prio")),
     QueryDef("q_join_full_outer", qJoinFullOuter, Some(
