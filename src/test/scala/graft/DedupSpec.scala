@@ -28,6 +28,24 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("docs with <2 tokens never pair (no NaN-Jaccard leakage)") {
+    // Empty shingle sets make Jaccard 0/0 = NaN, and Spark orders NaN
+    // above every double — without the token-count guard, `jac >= 0.8`
+    // would emit every pair of short docs (and LSH would collide their
+    // all-sentinel signatures in every bucket).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""), (2L, " "), (3L, "one"), (4L, "one"),
+      (5L, "alpha beta gamma delta"), (6L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    for (pairs <- Seq(operators.Dedup.ngramJaccardPairs(docs),
+        operators.Dedup.minhashPairs(docs))) {
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === Seq((5L, 6L, 1.0)), got.mkString(","))
+    }
+  }
+
   test("brute-force jaccard values are within [0.8, 1]") {
     val jacs = operators.Dedup.qDedupNgramJaccard(spark, sf)
       .select("jac").collect().map(_.getDouble(0))
