@@ -65,6 +65,8 @@ object ScaleProbe {
       Similarity.nearDupPairs(embs, 0.4).count())
     time(s"BUCKETED embedding near-dup over ${n}x embeddings")(
       Similarity.nearDupPairsBucketed(embs, 0.4, k = 10).count())
+    time(s"connected components over LSH pairs of ${n}x docs")(
+      Dedup.connectedComponents(Dedup.minhashPairs(docs)).count())
     spark.stop()
   }
 }
