@@ -26,5 +26,6 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
+      operators.Pipeline.defs ++
       streaming.EventsStreaming.defs
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline}
+
+/** The end-to-end curation composition: dedup'd (exact AND near), quality
+  * gated, deterministically split. */
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("curated corpus is exact- and near-dup free, gated, and split") {
+    import spark.implicits._
+    // plant exact and near duplicates plus a junk doc on top of testdata
+    val base = Tables.documents(spark, sf)
+    val planted = base.limit(2).select("doc_id", "text").collect()
+    val extra = Seq(
+      (900001L, planted(0).getString(1)), // exact dup of an existing doc
+      (900002L, planted(1).getString(1) + " extra"), // near dup
+      (900003L, "xx")) // junk: fails the quality gate
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val docs = base.unionByName(extra)
+    val curated = Pipeline.curateCorpus(docs, minQuality = 0.3)
+    val out = curated.collect()
+    // planted rows must all be gone: exact dup loses to the lower doc_id,
+    // near dup collapses to its cluster canonical, junk fails the gate
+    assert(!out.exists(_.getLong(0) >= 900001L))
+    // no surviving near-dup pairs (brute-force check over the survivors)
+    val survivors = docs.join(curated.select("doc_id"), "doc_id")
+      .select("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(survivors).count() === 0)
+    // quality gate respected
+    assert(out.forall(_.getAs[Double]("quality") >= 0.3))
+    // split: deterministic re-run, full coverage, roughly 80/10/10
+    val again = Pipeline.curateCorpus(docs, minQuality = 0.3).collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("split"))).toSeq ===
+      again.map(r => (r.getLong(0), r.getAs[String]("split"))).toSeq)
+    val bySplit = out.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val trainFrac = bySplit.getOrElse("train", 0).toDouble / out.length
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train frac $trainFrac")
+  }
+}
