@@ -226,6 +226,22 @@ object Relational2 {
       .orderBy("n_nationkey")
   }
 
+  // CSV scan+sink roundtrip — same contract as the JSON roundtrip: the
+  // query writes the region dim as headered CSV and reads it back
+  // schema-explicit; the oracle reads the same rows from parquet, so the
+  // roundtrip must be lossless (types + values) to hash-match.
+  val qScanCsv: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_csv_" +
+      s.sparkContext.applicationId
+    graft.sources.Sources.writeCsvTable(
+      Tables.region(s, d).select("r_regionkey", "r_name"), tmp)
+    graft.sources.Sources.readCsvTable(s, tmp, StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))))
+      .orderBy("r_regionkey")
+  }
+
   // Exact interpolated percentiles (R-7, the same definition DuckDB's
   // quantile_cont uses) — the distribution profile a data-quality pass
   // computes per partition of a 100 TB corpus.
@@ -435,6 +451,8 @@ object Relational2 {
       "SELECT DISTINCT o_custkey FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY o_custkey")),
     QueryDef("q_percentile", qPercentile, Some(
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+    QueryDef("q_scan_csv", qScanCsv, Some(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
     QueryDef("q_scan_json", qScanJson, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("q_agg_distinct", qAggDistinct, Some(

@@ -70,6 +70,33 @@ class SqlInterfaceSpec extends SparkSpec {
         compatible.collect { case (n, true) => n }.mkString(", "))
   }
 
+  test("Spark-dialect twins of the dialect-divergent oracles match the builders") {
+    // The four oracles locked as dialect-divergent above differ only in
+    // string-literal escaping and regexp flag conventions; their
+    // Spark-dialect rewrites must reproduce the builders exactly — so the
+    // full oracled surface IS expressible in spark.sql, just not always in
+    // the identical byte string.
+    Tables.documents(spark, sf).createOrReplaceTempView("documents")
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    val twins = Map(
+      "q_text_normalize" ->
+        """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')) AS norm FROM documents ORDER BY doc_id""",
+      "q_doc_fingerprint" ->
+        """SELECT doc_id, md5(to_binary(lower(regexp_replace(text, '\\s+', ' ')), 'utf-8')) AS fp FROM documents ORDER BY doc_id""",
+      "q_dedup_exact" ->
+        """SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(to_binary(lower(regexp_replace(text, '\\s+', ' ')), 'utf-8')) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+      "q_events_extract_props" ->
+        """SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k FROM events ORDER BY event_id""")
+    def render(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq.map(col)
+      df.select(cols: _*).collect().map(_.toString).sorted.toSeq
+    }
+    twins.foreach { case (name, sql) =>
+      assert(render(spark.sql(sql)) ===
+        render(SparkEntry.queries(name)(spark, sf)), name)
+    }
+  }
+
   test("graft SQL functions compose with views in one statement") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
     val n = spark.sql(
