@@ -50,6 +50,23 @@ object Relational2 {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderstatus")
 
+  // HyperLogLog++ approximate distinct — the sketch the 100 TB profiling
+  // pass uses where exact distinct would shuffle the full key set: one
+  // partial-agg'd pass, fixed-size mergeable state. Output carries the
+  // exact count alongside so the estimate is self-validating (spec bounds
+  // the relative error; rows-only for the driver — HLL implementations
+  // differ across engines so the estimate itself has no DuckDB oracle).
+  val qApproxDistinct: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_nd"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+      .withColumn("rel_err", round(
+        abs(col("approx_nd") - col("exact_nd")).cast("double") /
+          col("exact_nd"), 4))
+      .orderBy("l_returnflag")
+
   // GROUPING SETS — the general form behind rollup/cube: two independent
   // one-column breakdowns plus the grand total in one pass (Spark plans a
   // single Expand + partial/final agg, not three scans).
@@ -413,6 +430,7 @@ object Relational2 {
       .orderBy("o_orderpriority")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q_agg_collect", qAggCollect, Some(
       "SELECT o_orderstatus, array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_grouping_sets", qGroupingSets, Some(

@@ -102,6 +102,13 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
   }
 
+  test("declared approx-distinct query bounds its own relative error") {
+    val rows = operators.Relational2.qApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("rel_err") < 0.05, r.toString))
+  }
+
   test("multimodal feature extraction is deterministic over payload bytes") {
     val f1 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
     val f2 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
