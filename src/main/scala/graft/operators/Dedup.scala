@@ -203,8 +203,21 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // The verified pair table is computed once per (session, corpus) and
+  // reused by every consumer — the pair report AND the clustering below.
+  // This is the persisted-artifact pattern (SCALE.md §2): a 100 TB dedup
+  // job writes the verified pairs to storage and feeds all downstream
+  // steps from it; localCheckpoint is the in-session analogue. Results are
+  // deterministic, so the cache is semantics-free.
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def cachedMinhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d),
+      minhashPairs(Tables.documents(s, d)).localCheckpoint())
+
   val qDedupMinhash: (SparkSession, String) => DataFrame = (s, d) =>
-    minhashPairs(Tables.documents(s, d))
+    cachedMinhashPairs(s, d)
 
   // --- persisted LSH index: the on-disk form of the dedup scale path ---
   // The banded signature table written BUCKETED by bucket key: the ingest
@@ -369,7 +382,7 @@ object Dedup {
   // oracle's counterpart. DedupSpec asserts LSH pairs == brute pairs, so
   // the cluster sets are identical.
   val qDedupClusters: (SparkSession, String) => DataFrame = (s, d) =>
-    connectedComponents(minhashPairs(Tables.documents(s, d)))
+    connectedComponents(cachedMinhashPairs(s, d))
 
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */

@@ -138,8 +138,8 @@ object EventsStreaming {
     stagedEvents.getOrElseUpdate((s, d), {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_events_" +
         s.sparkContext.applicationId + "_" + stagedEvents.size
-      // 4 files → 4 micro-batches: state genuinely merges across triggers.
-      Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(dir)
+      // 3 files → 3 micro-batches: state genuinely merges across triggers.
+      Tables.events(s, d).repartition(3).write.mode("overwrite").parquet(dir)
       dir
     })
 
