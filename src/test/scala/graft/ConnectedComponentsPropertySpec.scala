@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Property test for the pointer-jumping connected-components loop: on
+  * randomized graphs — sparse, chains (worst diameter), cliques, and
+  * forests with isolated pairs — the distributed result must equal a naive
+  * in-memory union-find, proving the label-of-label doubling hop never
+  * under- or over-merges. */
+class ConnectedComponentsPropertySpec extends SparkSpec {
+
+  private def naiveComponents(edges: Seq[(Long, Long)])
+      : Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = naiveComponents(edges)
+    assert(got === expected)
+  }
+
+  test("random sparse graph matches union-find") {
+    val rnd = new scala.util.Random(2026)
+    check(Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2))
+  }
+
+  test("long chain (worst-case diameter) converges and matches") {
+    // 60-node chain: diameter 59 — linear propagation would need 59
+    // rounds and hit the iteration cap; pointer jumping must finish.
+    check((0L until 59L).map(i => (i, i + 1)))
+  }
+
+  test("cliques plus isolated pairs match") {
+    val clique = for {
+      a <- 0L until 12L; b <- 0L until 12L if a < b
+    } yield (a + 100L, b + 100L)
+    val pairs = (0 until 10).map(i => (1000L + 2 * i, 1001L + 2 * i))
+    check(clique ++ pairs)
+  }
+
+  test("two stars joined by one bridge edge merge into one component") {
+    val starA = (1L to 20L).map(i => (0L, i))
+    val starB = (31L to 50L).map(i => (30L, i))
+    check(starA ++ starB :+ ((10L, 40L)))
+  }
+}
