@@ -25,6 +25,13 @@ object ScalePatterns {
     // shuffle key re-salts rows differently on task retry, so reducers that
     // already fetched old map output double-count or drop rows. Hashing the
     // row itself makes recomputation reproduce identical shuffle output.
+    // LIMITATION: identical-content rows hash to the SAME salt bucket, so a
+    // hot key made of duplicate (key, value) rows still lands on one
+    // reducer. Content hashing cannot fix that while staying
+    // retry-deterministic with nothing but the row to hash; when the input
+    // carries a stable provenance column (file name + row offset, a kafka
+    // (partition, offset), an event id), include it in `df` and it becomes
+    // part of the salt, spreading duplicates for free.
     val salted = df
       .withColumn("__salt", pmod(
         xxhash64(lit("graft_salt") +: df.columns.toIndexedSeq.map(col): _*),

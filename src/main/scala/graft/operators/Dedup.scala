@@ -163,12 +163,25 @@ object Dedup {
         xxhash64(lit(j) +: rows: _*).as("bkey"))
     }: _*)
 
+  /** Hot-bucket cap for LSH candidate generation (SCALE.md §2): a bucket
+    * wider than this many docs no longer emits all O(m²) member pairs —
+    * it degrades to STAR candidates (every member paired with the bucket's
+    * min doc_id), which is O(m) per bucket, keeps every member reachable
+    * for connected-components clustering, and still verifies each emitted
+    * pair with exact Jaccard. The adversarial case this guards: a corpus
+    * with m identical (or boilerplate-dominated) documents collides all m
+    * into one bucket per band; uncapped that is m²/2 candidate rows on one
+    * reducer. Trade-off: within an over-cap bucket, member↔member pairs
+    * that do NOT pass through the hub are not emitted as pairs (cluster
+    * membership is unaffected — they join the hub's component). */
+  val HotBucketCap = 64
+
   // The shingled subplan is referenced three times (banding + both verify
   // sides) and the exploded band table twice (self-join): materialize each
   // ONCE via localCheckpoint instead of recomputing per reference — the
   // local analogue of persisting the signature table to storage, which is
   // what the 100 TB pipeline does to reuse it across jobs.
-  def minhashPairs(docsIn: DataFrame): DataFrame = {
+  def minhashPairs(docsIn: DataFrame, cap: Int = HotBucketCap): DataFrame = {
     val docs = shingleDocs(docsIn).localCheckpoint()
     val exploded = docs
       .select(col("doc_id"), explode(lshBands(minhashSignature(col("sh"))))
@@ -176,15 +189,36 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.bkey").as("bkey"))
       .localCheckpoint()
+    // Bucket-width stats share the self-join's (band, bkey) shuffle key.
+    // The over-cap count is a tiny metadata aggregate — logged the way a
+    // production dedup run reports its skew mitigation firing.
+    val bucketStats = exploded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bw"), min("doc_id").as("bmin"))
+      .localCheckpoint()
+    val nHot = bucketStats.filter(col("bw") > cap).count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"LSH hot-bucket cap engaged: $nHot bucket(s) wider than $cap " +
+          "docs degraded to star candidates")
+    // bucket stats are data-sized (one row per distinct bucket) — shuffle
+    // join on the same (band, bkey) key, never an auto-broadcast locked in
+    // by tiny-scale stats.
+    val withW = exploded.hint("shuffle_hash")
+      .join(bucketStats, Seq("band", "bkey"))
+    val smallB = withW.filter(col("bw") <= cap)
+      .select(col("doc_id"), col("band"), col("bkey"))
     // The band self-join also shuffles on (band, bkey): the exploded band
     // table is corpus-sized (n·bands rows), so letting tiny-scale stats
     // auto-broadcast it would lock in a plan that cannot survive scale.
-    val cand = exploded.as("x").hint("shuffle_hash")
-      .join(exploded.as("y"),
+    val candSmall = smallB.as("x").hint("shuffle_hash")
+      .join(smallB.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val candHot = withW.filter(col("bw") > cap &&
+        col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    val cand = candSmall.unionByName(candHot).distinct()
     val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
       col("n").as("n_a"))
     val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
@@ -239,6 +273,27 @@ object Dedup {
       : String =
     graft.functions.ScalePatterns.writeBucketed(
       bandedSignatures(docs), table, "bkey", buckets)
+
+  /** INCREMENTAL index maintenance: append new documents' banded
+    * signatures into an existing LSH index table, reusing the table's own
+    * bucket spec so the bucketing invariant (probe joins shuffle only the
+    * probe side) survives the append. A 100 TB pipeline appends a day's
+    * docs; it never rebuilds the corpus index. Banding is a deterministic
+    * per-doc function, so append(old, new) is row-identical to a full
+    * rebuild over old ∪ new — LshIndexSpec proves probe equality. */
+  def appendToLshIndex(spark: SparkSession, table: String,
+      newDocs: DataFrame): String = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed LSH index"))
+    bandedSignatures(newDocs).write.mode("append")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(table)
+    table
+  }
 
   /** Batch ingest gate against a persisted index: verified near-dup pairs
     * (new_doc_id, idx_id, jac). The index scan arrives pre-partitioned on
@@ -376,12 +431,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  // Clusters consume the LSH pairs (the declared 100 TB path — bucketed
-  // candidates, shuffle-join verify, no full-corpus broadcast anywhere in
-  // the plan); the brute-force ngramJaccardPairs stays the recursive-CTE
-  // oracle's counterpart. DedupSpec asserts LSH pairs == brute pairs, so
-  // the cluster sets are identical.
+  // The ORACLED clusters consume the EXACT brute-force pairs — structurally
+  // the same pair set as the DuckDB recursive-CTE oracle, so the hash match
+  // is guaranteed on any corpus, not fixture-dependent. (LSH banding is
+  // probabilistic: a true pair at Jaccard 0.8 collides in >=1 of 8 bands
+  // with p ≈ 0.985, so ~1.5% of threshold pairs can be missed on an
+  // adversarial corpus — equality with an exact oracle would then be a
+  // property of the fixture, not of the operator.)
   val qDedupClusters: (SparkSession, String) => DataFrame = (s, d) =>
+    connectedComponents(ngramJaccardPairs(Tables.documents(s, d)))
+
+  // The SCALE path: clusters over the LSH-verified pairs (bucketed
+  // candidates, shuffle-join verify, no full-corpus broadcast anywhere in
+  // the plan). Rows-only by design — its recall is the banding bound above,
+  // not exact; DedupSpec asserts LSH pairs == brute pairs on the fixtures,
+  // so the cluster sets coincide there, but that equivalence is statistical
+  // and is NOT declared as an oracle equality.
+  val qDedupClustersLsh: (SparkSession, String) => DataFrame = (s, d) =>
     connectedComponents(cachedMinhashPairs(s, d))
 
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
@@ -397,6 +463,7 @@ object Dedup {
       s"WITH $ngramPairsCte SELECT doc_a, doc_b, round(jac, 4) AS jac FROM pairs ORDER BY doc_a, doc_b")),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(
       s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY doc_id")),
+    QueryDef("q_dedup_clusters_lsh", qDedupClustersLsh, None),
     QueryDef("q_dedup_minhash", qDedupMinhash, None),
     QueryDef("q_dedup_simhash", qDedupSimhash, None)
   )

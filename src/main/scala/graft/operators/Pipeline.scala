@@ -63,7 +63,59 @@ object Pipeline {
   val qCorpusCurate: (SparkSession, String) => DataFrame = (s, d) =>
     curateCorpus(Tables.documents(s, d), minQuality = 0.3)
 
+  /** The HARD-ORACLED composition: annotate → exact dedup → quality gate →
+    * deterministic split, i.e. [[curateCorpus]] minus the LSH/CC stage (the
+    * one part DuckDB cannot replicate) and with the split bucket derived
+    * from md5 hex digits instead of xxhash64 — both engines compute the
+    * identical 0..255 bucket, so the end-to-end pipeline (feature
+    * annotation feeding a dedup window feeding a gate feeding a split) is
+    * hash-verified as a whole, not only stage-by-stage. */
+  def curateCorpusExact(docs: DataFrame, minQuality: Double): DataFrame = {
+    val featured = TextAnalysis.withTextFeatures(docs)
+    val wExact = Window.partitionBy("fingerprint").orderBy("doc_id")
+    val h = md5(to_binary(concat(lit("graft_split"), col("fingerprint")),
+      lit("utf-8")))
+    // 0..255 from the first two hex digits — cross-engine arithmetic
+    val bucket =
+      (expr("instr('0123456789abcdef', substring(__h, 1, 1))") - 1) * 16 +
+        (expr("instr('0123456789abcdef', substring(__h, 2, 1))") - 1)
+    featured
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") === 1)
+      .filter(col("quality") >= minQuality)
+      .withColumn("__h", h)
+      .withColumn("split",
+        when(bucket < 205, "train").when(bucket < 231, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "n_chars", "lang_pred",
+        "n_tokens", "quality", "split")
+      .orderBy("doc_id")
+  }
+
+  val qCorpusCurateExact: (SparkSession, String) => DataFrame = (s, d) =>
+    curateCorpusExact(Tables.documents(s, d), minQuality = 0.3)
+
+  // DuckDB mirror of curateCorpusExact, stage for stage (marker scores and
+  // quality identical to the q_lang_id / q_quality_score oracles; survivor
+  // window identical to q_dedup_exact's; split bucket from md5 hex).
+  private val curateExactOracle: String = {
+    val markers = Seq(
+      "s_en" -> Seq(" the ", " and ", " of "),
+      "s_fr" -> Seq(" le ", " la ", " et "),
+      "s_es" -> Seq(" el ", " los ", " y "),
+      "s_de" -> Seq(" der ", " und ", " die "),
+      "s_zh" -> Seq("的", "了"))
+    val scoreCols = markers.map { case (n, ms) =>
+      ms.map(m =>
+        s"(length(padded) - length(replace(padded, '$m', '')))")
+        .mkString(" + ") + s" AS $n"
+    }.mkString(", ")
+    s"""WITH f AS (SELECT doc_id, lang, source, n_chars, text, ' ' || text || ' ' AS padded, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents), sc AS (SELECT *, $scoreCols FROM f), lp AS (SELECT *, CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und' WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en' WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_de AND s_es >= s_zh THEN 'es' WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_pred, round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(padded) - length(replace(padded, ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM sc), kept AS (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM lp), b AS (SELECT *, (instr('0123456789abcdef', substring(md5('graft_split' || fingerprint), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5('graft_split' || fingerprint), 2, 1)) - 1) AS bk FROM kept WHERE rn = 1 AND quality >= 0.3) SELECT doc_id, lang, source, n_chars, lang_pred, n_tokens, quality, CASE WHEN bk < 205 THEN 'train' WHEN bk < 231 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_corpus_curate", qCorpusCurate, None)
+    QueryDef("q_corpus_curate", qCorpusCurate, None),
+    QueryDef("q_corpus_curate_exact", qCorpusCurateExact,
+      Some(curateExactOracle))
   )
 }

@@ -114,6 +114,50 @@ object Relational2 {
       .orderBy("o_orderkey")
   }
 
+  // The SCALE form of qWindowRanks — the plan you would actually run at
+  // 100×: a global rank per 3-value status key cannot sort billions of
+  // rows in one reducer, so rank in two phases: (1) range-bucket each row
+  // on approx per-status price percentiles (one partial-agg'd sketch pass
+  // + a 3-row broadcast), (2) row_number WITHIN (status, bucket) — B
+  // bounded partitions per status instead of one giant one — then (3) add
+  // per-bucket prefix offsets (a metadata-sized frame). EXACT, not
+  // approximate: bucketing is monotone in the sort key, so offset + local
+  // rank is the global rank no matter where the sketch put the boundaries.
+  // The ordering key (price desc, orderkey asc) is a TOTAL order (orderkey
+  // unique), so rank = dense_rank = row_number and percent_rank =
+  // (rk−1)/(n−1) — which is why the same q_window_ranks oracle applies.
+  val qWindowRanksBucketed: (SparkSession, String) => DataFrame = (s, d) => {
+    val nb = 32
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val bounds = o.groupBy("o_orderstatus")
+      .agg(percentile_approx(col("o_totalprice"),
+        typedlit((1 until nb).map(_.toDouble / nb)), lit(10000)).as("bs"))
+    val withB = o.join(broadcast(bounds), "o_orderstatus")
+      .withColumn("bucket", aggregate(col("bs"), lit(0),
+        (acc, b) => acc + when(b > col("o_totalprice"), 1).otherwise(0)))
+      .drop("bs")
+    val local = withB.withColumn("lrn", row_number().over(
+      Window.partitionBy("o_orderstatus", "bucket")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+    val offsets = withB.groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(
+        Window.partitionBy("o_orderstatus").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("bc").over(
+        Window.partitionBy("o_orderstatus")))
+      .drop("bc")
+    local.join(broadcast(offsets), Seq("o_orderstatus", "bucket"))
+      .withColumn("rk", col("off") + col("lrn"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("rk"), col("rk").as("drk"),
+        when(col("n") === 1, 0.0).otherwise(
+          round((col("rk") - 1).cast("double") / (col("n") - 1), 6))
+          .as("prk"))
+      .orderBy("o_orderkey")
+  }
+
   // Population variance WITHOUT order-dependent double summation: both
   // moments are EXACT decimal sums (square of a (18,2) is a (37,4) —
   // lossless), combined in double by the same (Σx² − (Σx)²/n)/n formula on
@@ -438,6 +482,9 @@ object Relational2 {
     QueryDef("q_join_full_outer", qJoinFullOuter, Some(
       "SELECT c_custkey, o_custkey, p_orders FROM customer FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS p_orders FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) p ON c_custkey = o_custkey ORDER BY c_custkey NULLS LAST, o_custkey NULLS LAST")),
     QueryDef("q_window_ranks", qWindowRanks, Some(
+      "SELECT o_orderkey, o_orderstatus, rank() OVER w AS rk, dense_rank() OVER w AS drk, round(percent_rank() OVER w, 6) AS prk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) ORDER BY o_orderkey")),
+    QueryDef("q_window_ranks_bucketed", qWindowRanksBucketed, Some(
+      // the SAME oracle as q_window_ranks: the two-phase plan is exact
       "SELECT o_orderkey, o_orderstatus, rank() OVER w AS rk, dense_rank() OVER w AS drk, round(percent_rank() OVER w, 6) AS prk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) ORDER BY o_orderkey")),
     QueryDef("q_agg_variance", qAggVariance, Some(
       "SELECT o_orderstatus, n, round((sum_sq - sum_price * sum_price / n) / n, 4) AS var_pop FROM (SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq FROM orders GROUP BY o_orderstatus) ORDER BY o_orderstatus")),

@@ -280,14 +280,32 @@ object Similarity {
   val qAnnMultiprobe: (SparkSession, String) => DataFrame = (s, d) =>
     ivfSearch(s, d, k = 10, nprobe = 3)
 
+  // --- q_ann_ivf_exhaustive: the IVF machinery under a HARD oracle ---
+  // nprobe = k probes EVERY inverted list, so assignment+probe must return
+  // exactly the brute-force top-k — hash-checked against the same DuckDB
+  // oracle as q_cosine_topk. This converts the IVF plumbing (centroid
+  // training, min_by assignment, probe join, tie-break ordering) from
+  // spec-trusted to oracle-verified; the pruned nprobe<k variants above
+  // differ from it only by the probed-cluster filter.
+  val qAnnIvfExhaustive: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfSearch(s, d, k = 10, nprobe = 10)
+      .select("vec_id", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+
   // --- q_ann_recall: IVF recall@10 against the brute-force ground truth —
-  // the evaluation metric an ANN index ships with. One row; rows-only
+  // the evaluation metric an ANN index ships with, SELF-VALIDATING in the
+  // q_approx_distinct style: the row carries the ground-truth size, the
+  // hit count, and the recall, so a collapsed index (recall 0) or a
+  // miscounted join is visible in the output itself. One row; rows-only
   // (depends on the sketch-style IVF result).
   val qAnnRecall: (SparkSession, String) => DataFrame = (s, d) => {
     val brute = qCosineTopk(s, d).select(col("vec_id"))
-    val ivf = qAnnIvf(s, d).select(col("vec_id"))
-    brute.join(ivf, "vec_id")
-      .agg((count(lit(1)).cast("double") / 10d).as("recall_at_10"))
+    val ivf = qAnnIvf(s, d).select(col("vec_id")).withColumn("hit", lit(1))
+    brute.join(ivf, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("brute_k"),
+        count(col("hit")).as("ivf_hits"))
+      .withColumn("recall_at_10",
+        col("ivf_hits").cast("double") / col("brute_k"))
   }
 
   // --- persisted IVF index: the on-disk form of the 100 TB design ---
@@ -316,6 +334,30 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** INCREMENTAL index maintenance: assign new vectors against the
+    * index's FROZEN centroids and append them into the partitioned corpus
+    * layout. The 100 TB shape: daily embeddings append into the existing
+    * `c_id=` directories; centroids are retrained only when drift metrics
+    * say so (a rebuild), never per-append. Assignment uses the identical
+    * min_by tie-break as writeIvfIndex, so an appended row lands in
+    * exactly the partition a rebuild-with-these-centroids would put it
+    * in; IvfIndexSpec proves probe equivalence. */
+  def appendToIvfIndex(s: SparkSession, path: String, newEmbs: DataFrame)
+      : Unit = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val e = prepare(newEmbs)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("ce"), col("n2"), col("c_id")),
+        struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
+        col("m.c_id").as("c_id"))
+    assigned.write.mode("append").partitionBy("c_id")
+      .parquet(s"$path/corpus")
+  }
+
   /** Probe a persisted IVF index: pick the nprobe nearest centroids (a
     * k-row metadata decision — collecting k ids to the driver is partition
     * SELECTION, the same class of driver work as listing partitions), then
@@ -341,18 +383,27 @@ object Similarity {
 
   // Index written once per (session, corpus dir) — the declared probe
   // query measures probing a PRECOMPUTED index, which is the deployed
-  // shape (same rationale as the centroid cache above).
+  // shape (same rationale as the centroid cache above). The path is a pure
+  // function of the cache KEY (applicationId + corpus dir), so two racing
+  // first callers compute the same path and the overwrite-mode write is
+  // idempotent — no orphaned index and no path collision, unlike a
+  // cache-size suffix. Construction is synchronized so concurrent first
+  // probes do not launch duplicate index-build jobs.
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
   private def ivfIndexPath(s: SparkSession, d: String): String =
-    ivfIndexCache.getOrElseUpdate((s, d), {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-        s.sparkContext.applicationId + "_" + ivfIndexCache.size
-      writeIvfIndex(Tables.embeddings(s, d).filter(col("vec_id") =!= 0L),
-        path, k = 10, iters = 3)
-      path
-    })
+    ivfIndexCache.synchronized {
+      ivfIndexCache.getOrElseUpdate((s, d), {
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + "|" + d).hashCode)
+        val path =
+          s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$key"
+        writeIvfIndex(Tables.embeddings(s, d).filter(col("vec_id") =!= 0L),
+          path, k = 10, iters = 3)
+        path
+      })
+    }
 
   // --- q_ann_index_probe: top-10 via the persisted partition-pruned
   // index, query = vec_id 0 (collected driver-side: it is the probe's
@@ -393,6 +444,9 @@ object Similarity {
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) SELECT vec_a, vec_b, round(sim, 4) AS sim FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
     QueryDef("q_ann_ivf", qAnnIvf, None),
     QueryDef("q_ann_multiprobe", qAnnMultiprobe, None),
+    QueryDef("q_ann_ivf_exhaustive", qAnnIvfExhaustive, Some(
+      // exhaustive probe ≡ brute force: the SAME oracle as q_cosine_topk
+      s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_index_probe", qAnnIndexProbe, None),
     QueryDef("q_ann_recall", qAnnRecall, None),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(

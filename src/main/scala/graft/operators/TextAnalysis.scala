@@ -189,9 +189,13 @@ object TextAnalysis {
 
   // --- TF-IDF: per-document top terms by tf·idf ---
   // tf = term count in doc; idf = ln(N / df). Two shuffles (token-level
-  // agg for df, doc-token agg for tf) + a broadcast of the df table —
-  // the canonical corpus-weighting job. Deterministic tie-breaks
-  // (score desc, token asc); ln rounded to 6 for cross-engine parity.
+  // agg for df, doc-token agg for tf) + a shuffle equi-join on the token —
+  // the canonical corpus-weighting job. The df table is VOCABULARY-sized
+  // (one row per distinct token — heavy-tailed and effectively unbounded on
+  // web corpora), so it is never broadcast-hinted: the join shuffles on
+  // tok, and AQE demotes to broadcast at runtime only when the vocabulary
+  // is actually tiny. Deterministic tie-breaks (score desc, token asc);
+  // ln rounded to 6 for cross-engine parity.
   val qTfidfTopTerms: (SparkSession, String) => DataFrame = (s, d) => {
     val docs = Tables.documents(s, d)
     // Corpus size N stays IN the plan as a broadcast 1-row aggregate —
@@ -206,7 +210,7 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
-    tf.join(broadcast(df), "tok")
+    tf.hint("shuffle_hash").join(df, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n_docs") / col("df")), 6))
@@ -219,18 +223,21 @@ object TextAnalysis {
   // --- BM25: per-document top terms with length normalization ---
   // score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl)),
   // idf = ln((N − df + 0.5)/(df + 0.5) + 1); k1 = 1.2, b = 0.75.
-  // Same two-shuffle shape as TF-IDF plus a doc-length broadcast join;
-  // identical double arithmetic in the oracle, rank on the rounded score.
+  // Same two-shuffle shape as TF-IDF. Document length is NOT a separate
+  // corpus-sized join: dl = Σ tf within the doc, computed by a window over
+  // doc_id whose partitioning the rank window below REUSES (one shuffle
+  // serves both). The vocabulary-sized df table shuffle-joins on tok (never
+  // broadcast-hinted — see qTfidfTopTerms); only the two 1-row aggregates
+  // (N, total token count) broadcast. Identical double arithmetic in the
+  // oracle, rank on the rounded score.
   val qBm25TopTerms: (SparkSession, String) => DataFrame = (s, d) => {
     val docs = Tables.documents(s, d)
-    // N as a broadcast 1-row aggregate, same pattern as avgdl below.
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokens = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
-    val docLen = docs.select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).as("dl"))
-    val avgdl = docLen.agg((sum(col("dl")).cast("double") / count(lit(1)))
-      .as("avgdl"))
+    // avgdl = total tokens / N, as two broadcast 1-row aggregates — the
+    // same double value as avg(per-doc length) without a docLen table.
+    val totTok = tokens.agg(count(lit(1)).cast("double").as("tot_tok"))
     val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tokens.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -239,12 +246,14 @@ object TextAnalysis {
     val norm = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
         col("avgdl")))
+    val wdl = Window.partitionBy("doc_id")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
-    tf.join(broadcast(dfreq), "tok")
-      .join(broadcast(docLen), "doc_id")
-      .crossJoin(broadcast(avgdl))
+    tf.hint("shuffle_hash").join(dfreq, "tok")
+      .withColumn("dl", sum(col("tf")).over(wdl))
+      .crossJoin(broadcast(totTok))
       .crossJoin(broadcast(nDocs))
+      .withColumn("avgdl", col("tot_tok") / col("n_docs"))
       .withColumn("score", round(idf * norm, 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

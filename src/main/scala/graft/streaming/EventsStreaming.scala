@@ -162,7 +162,11 @@ object EventsStreaming {
         .format("memory").queryName(sink).outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      // A false return means the 5-minute timeout elapsed mid-run — the
+      // sink would hold a PARTIAL snapshot that downstream hashing would
+      // mistake for the full result. Fail loudly instead.
+      val done = q.awaitTermination(300000)
+      require(done, s"streaming query $name timed out after 300s")
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sink)
@@ -171,6 +175,68 @@ object EventsStreaming {
   val qStreamTumbling: (SparkSession, String) => DataFrame = (s, d) =>
     runToMemorySink(s, d, "tumbling", tumbling)
       .orderBy("event_type", "win_start")
+
+  // --- APPEND-mode late-data gate: the watermark actually firing ---
+  // Staging: file 1 = the newest hour of events (mtime t0), file 2 = every
+  // older event (mtime t0+60s) — FileStreamSource processes oldest-mtime
+  // first, so batch 1 raises the watermark to max(ts) − 10 min and batch 2
+  // arrives ENTIRELY late. Append-mode semantics then make the result
+  // exactly: tumbling windows over the newest-hour rows whose window END
+  // is at or below the final watermark (late rows are either dropped —
+  // window already finalized — or land in the still-open tail windows that
+  // AvailableNow never emits). The DuckDB oracle states that set in SQL,
+  // so the driver hash-verifies precisely WHAT the watermark dropped, not
+  // just that something streamed.
+  private val stagedLate =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageLateEventsDir(s: SparkSession, d: String): String =
+    stagedLate.getOrElseUpdate((s, d), {
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|late|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_late_$key"
+      val ev = Tables.events(s, d)
+      // cut computed IN-PLAN (micros-exact, same arithmetic as the oracle)
+      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("cut"))
+      val withCut = ev.crossJoin(broadcast(cut))
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"${dir}_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(dir, s"$name.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(mtime): Unit
+      }
+      val t0 = System.currentTimeMillis()
+      writeOne(withCut.filter(col("ts") > col("cut")).drop("cut"),
+        "00_recent", t0 - 120000)
+      writeOne(withCut.filter(col("ts") <= col("cut")).drop("cut"),
+        "01_late", t0 - 60000)
+      dir
+    })
+
+  val qStreamTumblingAppend: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = stageLateEventsDir(s, d)
+      val sink = "graft_stream_tumbling_append_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prev.toInt).toString)
+      try {
+        val q = tumbling(readEventsStream(s, dir)).writeStream
+          .format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        val done = q.awaitTermination(300000)
+        require(done, "q_stream_tumbling_append timed out after 300s")
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink).orderBy("event_type", "win_start")
+    }
 
   /** Sliding windows through the driver gate: each event lands in 4
     * overlapping windows (1 h / 15 min), generated and exploded inside the

@@ -46,6 +46,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap bounds candidates on an all-identical corpus") {
+    // Adversarial: m identical one-sentence docs collide into ONE bucket
+    // per band. Uncapped that is m·(m−1)/2 candidate pairs (m=2000 →
+    // ~2M rows × 8 bands before dedup); with the cap the bucket degrades
+    // to star candidates, so the verified pair set is exactly the m−1
+    // hub pairs (doc 0 ↔ every other doc, jac 1.0) — O(m), not O(m²).
+    import spark.implicits._
+    val m = 2000
+    val docs = (0L until m.toLong)
+      .map(i => (i, "the same boilerplate sentence appears in every doc"))
+      .toDF("doc_id", "text")
+    val pairs = operators.Dedup.minhashPairs(docs).collect()
+    assert(pairs.length === m - 1, s"got ${pairs.length} pairs")
+    assert(pairs.forall(r => r.getLong(0) === 0L && r.getDouble(2) === 1.0))
+    // membership is preserved for clustering: one component, canonical 0
+    val cc = operators.Dedup.connectedComponents(
+      operators.Dedup.minhashPairs(docs)).collect()
+    assert(cc.length === m && cc.forall(_.getLong(1) === 0L))
+  }
+
+  test("hot-bucket cap leaves normal-corpus results untouched") {
+    // cap = MaxValue (never fires) must equal the default-capped result on
+    // the fixture — the capped plan's extra bucket-stats join is a no-op
+    // on data whose buckets are all narrow.
+    val d = Tables.documents(spark, sf)
+    val capped = operators.Dedup.minhashPairs(d).collect().toSeq
+    val uncapped = operators.Dedup
+      .minhashPairs(d, cap = Int.MaxValue).collect().toSeq
+    assert(capped === uncapped)
+  }
+
   test("brute-force jaccard values are within [0.8, 1]") {
     val jacs = operators.Dedup.qDedupNgramJaccard(spark, sf)
       .select("jac").collect().map(_.getDouble(0))

@@ -50,4 +50,37 @@ class IvfIndexSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(probed === brute)
   }
+
+  test("incremental append assigns against frozen centroids; probe matches rebuild") {
+    // Build the index on half the vectors, append the rest against the
+    // FROZEN centroids, and require: (a) appended rows land in the same
+    // partition the frozen-centroid assignment dictates (no new
+    // directories, no reshuffle of old files); (b) an exhaustive probe of
+    // the appended index equals an exhaustive probe of a one-shot rebuild
+    // — both are the exact brute-force top-k, independent of which
+    // centroids each index trained.
+    val embs = Tables.embeddings(spark, sf)
+    val dirInc = Files.createTempDirectory("graft_ivf_inc").toString
+    val dirFull = Files.createTempDirectory("graft_ivf_fullr").toString
+    val median = 250L
+    Similarity.writeIvfIndex(embs.filter(col("vec_id") < median), dirInc,
+      k = 5, iters = 2)
+    val before = new java.io.File(s"$dirInc/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    Similarity.appendToIvfIndex(spark, dirInc,
+      embs.filter(col("vec_id") >= median))
+    val after = new java.io.File(s"$dirInc/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(after === before,
+      s"append created partitions outside the frozen quantizer: $after")
+    Similarity.writeIvfIndex(embs, dirFull, k = 5, iters = 2)
+    def top(dir: String): Seq[Long] =
+      Similarity.probeIvfIndex(spark, dir, queryVec, nprobe = 5, topK = 11)
+        .filter(col("vec_id") =!= 0L)
+        .collect().map(_.getLong(0)).toSeq
+    val inc = top(dirInc)
+    assert(inc === top(dirFull))
+    assert(inc.toSet === Similarity.qCosineTopk(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
 }

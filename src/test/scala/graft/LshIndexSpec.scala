@@ -30,4 +30,41 @@ class LshIndexSpec extends SparkSpec {
     assert(twins.count() === docs.count())
     assert(twins.filter(col("jac") =!= 1.0).count() === 0)
   }
+
+  test("incremental append equals a full rebuild (probe-identical)") {
+    // Index half the corpus, append the other half, and require the gate
+    // results to match an index built over the whole corpus in one shot.
+    // Banding is deterministic per doc, so this is exact row equality, not
+    // a statistical claim.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val median = 250L
+    Dedup.writeLshIndex(docs.filter(col("doc_id") < median),
+      "lsh_idx_inc", buckets = 16)
+    Dedup.appendToLshIndex(spark, "lsh_idx_inc",
+      docs.filter(col("doc_id") >= median))
+    Dedup.writeLshIndex(docs, "lsh_idx_full", buckets = 16)
+    val probe = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    def rows(t: String): Set[(Long, Long, Double)] =
+      Dedup.nearDupAgainstLshIndex(spark, t, probe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = rows("lsh_idx_inc")
+    assert(inc === rows("lsh_idx_full"))
+    assert(inc.size >= docs.count()) // every doc finds at least its twin
+    // the appended files must land in the SAME bucket spec — the gate join
+    // still scans the index side bucketed and exchange-free
+    val plan = Dedup.nearDupAgainstLshIndex(spark, "lsh_idx_inc", probe)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+  }
+
+  test("append to a non-bucketed table is refused") {
+    import spark.implicits._
+    Seq((1L, "plain")).toDF("doc_id", "text")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("lsh_not_bucketed")
+    intercept[IllegalArgumentException] {
+      Dedup.appendToLshIndex(spark, "lsh_not_bucketed",
+        Seq((2L, "more words here")).toDF("doc_id", "text"))
+    }
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.Multimodal
+
+/** Real image decode through the per-partition multimodal path: generated
+  * PNG/JPEG payloads (in-JDK encoders — no external codecs) must come back
+  * with their exact pixel dimensions, and corrupt payloads must be
+  * quarantined (dropped), not crash the partition. */
+class MultimodalSpec extends SparkSpec {
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // deterministic non-constant content so encoders can't degenerate
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("per-partition decode recovers exact dimensions from real PNGs") {
+    import spark.implicits._
+    val dims = Seq((1L, 7, 11), (2L, 64, 48), (3L, 640, 2), (4L, 1, 1))
+    val blobs = dims.map { case (id, w, h) => (id, png(w, h)) }
+      .toDF("doc_id", "payload")
+      .repartition(3) // decode must work across partition boundaries
+    val got = Multimodal.extractImageFeatures(spark, blobs)
+      .collect().map(f => (f.doc_id, f.width, f.height, f.n_pixels))
+      .sortBy(_._1)
+    assert(got.toSeq === dims.map { case (id, w, h) =>
+      (id, w, h, w.toLong * h)
+    })
+  }
+
+  test("undecodable payloads are dropped, decodable neighbors survive") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, png(10, 10)),
+      (2L, Array[Byte](1, 2, 3, 4)), // not an image
+      (3L, "just some text bytes".getBytes("UTF-8")),
+      (4L, png(20, 5)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.extractImageFeatures(spark, blobs)
+      .collect().map(f => (f.doc_id, f.width, f.height)).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 10, 10), (4L, 20, 5)))
+  }
+
+  test("jpeg decodes through the same path (format autodetection)") {
+    import spark.implicits._
+    val img = new BufferedImage(33, 21, BufferedImage.TYPE_INT_RGB)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    val blobs = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    val got = Multimodal.extractImageFeatures(spark, blobs).collect()
+    assert(got.map(f => (f.doc_id, f.width, f.height)).toSeq ===
+      Seq((9L, 33, 21)))
+  }
+}

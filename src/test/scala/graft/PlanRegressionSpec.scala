@@ -89,6 +89,24 @@ class PlanRegressionSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("TF-IDF/BM25 never broadcast vocabulary- or corpus-sized tables") {
+    // The df table is vocabulary-sized (one row per distinct token) and the
+    // old docLen join was corpus-sized — both exceeded broadcast limits at
+    // web scale. Locked shape: the tok join shuffles (ShuffledHashJoin);
+    // the only broadcasts are the 1-row scalar aggregates (N, total token
+    // count), which plan as Cross-type BroadcastNestedLoopJoins. Any
+    // BroadcastHashJoin in the initial plan means a data-sized side
+    // regained a broadcast hint.
+    for (q <- Seq("q_tfidf_topterms", "q_bm25_topterms")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q: ${p.take(900)}")
+      assert(!p.contains("BroadcastHashJoin"), s"$q: ${p.take(900)}")
+      assert(!p.linesIterator.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")),
+        s"$q: ${p.take(900)}")
+    }
+  }
+
   test("minhash verify join is shuffle-based, never a corpus broadcast") {
     // The LSH path is the declared 100 TB route: re-attaching shingles for
     // verification must shuffle on doc_id. A broadcast of the corpus-sized
