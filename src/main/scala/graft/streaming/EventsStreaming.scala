@@ -177,14 +177,28 @@ object EventsStreaming {
       .orderBy("event_type", "win_start")
 
   // --- APPEND-mode late-data gate: the watermark actually firing ---
-  // Staging: file 1 = the newest hour of events (mtime t0), file 2 = every
-  // older event (mtime t0+60s) — FileStreamSource processes oldest-mtime
-  // first, so batch 1 raises the watermark to max(ts) − 10 min and batch 2
-  // arrives ENTIRELY late. Append-mode semantics then make the result
-  // exactly: tumbling windows over the newest-hour rows whose window END
-  // is at or below the final watermark (late rows are either dropped —
-  // window already finalized — or land in the still-open tail windows that
-  // AvailableNow never emits). The DuckDB oracle states that set in SQL,
+  //
+  // Spark's streaming aggregation uses TWO watermark readings per batch
+  // (measured on 4.1, and consistent with the planning-time metadata
+  // design): input-side LATE FILTERING uses the watermark as of the
+  // PREVIOUS batch's start, while state EVICTION/emission uses the
+  // current one. A two-file replay (fresh data, then late data) therefore
+  // never drops anything — the late batch is filtered with the watermark
+  // from before the fresh data was seen. The staging below inserts a
+  // one-row "watermark carrier" batch between them so the late file meets
+  // the advanced watermark:
+  //   file 0 (oldest mtime): the newest 24 hours of events — raises the
+  //     watermark to max(ts) − 10 min at its batch end;
+  //   file 1: ONE duplicate of the max-ts row — a carrier batch that lets
+  //     the filter watermark catch up; the duplicate lands in the tail
+  //     window (end > max(ts) > watermark), which append mode never
+  //     emits, so it is invisible in the result;
+  //   file 2: every older event — filtered against watermark
+  //     max(ts) − 10 min: rows whose hour-window end is at or below it
+  //     are DROPPED; the handful landing in still-open windows merge into
+  //     state that is never emitted.
+  // Result: tumbling windows over newest-day rows with window end ≤
+  // max(ts) − 10 min. The DuckDB oracle states exactly that set in SQL,
   // so the driver hash-verifies precisely WHAT the watermark dropped, not
   // just that something streamed.
   private val stagedLate =
@@ -197,7 +211,7 @@ object EventsStreaming {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_late_$key"
       val ev = Tables.events(s, d)
       // cut computed IN-PLAN (micros-exact, same arithmetic as the oracle)
-      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("cut"))
+      val cut = ev.agg((max(col("ts")) - expr("INTERVAL 24 HOURS")).as("cut"))
       val withCut = ev.crossJoin(broadcast(cut))
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = s"${dir}_tmp_$name"
@@ -209,12 +223,19 @@ object EventsStreaming {
         java.nio.file.Files.move(part.toPath, dest.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dest.setLastModified(mtime): Unit
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
       }
       val t0 = System.currentTimeMillis()
       writeOne(withCut.filter(col("ts") > col("cut")).drop("cut"),
-        "00_recent", t0 - 120000)
+        "00_recent", t0 - 180000)
+      writeOne(ev.orderBy(col("ts").desc).limit(1),
+        "01_carrier", t0 - 120000)
       writeOne(withCut.filter(col("ts") <= col("cut")).drop("cut"),
-        "01_late", t0 - 60000)
+        "02_late", t0 - 60000)
       dir
     })
 
@@ -263,6 +284,13 @@ object EventsStreaming {
       .orderBy("user_id", "sess_start")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_tumbling_append", qStreamTumblingAppend, Some(
+      // Append-mode semantics in SQL: only the newest-day rows (batch 1)
+      // reach emitted windows; the late batch is either dropped (window
+      // already finalized) or parked in the never-emitted tail windows.
+      // Emitted = window end at or below the final watermark
+      // (max(ts) − 10 min).
+      "WITH b AS (SELECT max(ts) AS tmax FROM events), r AS (SELECT e.* FROM events e CROSS JOIN b WHERE e.ts > b.tmax - INTERVAL 24 HOURS) SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM r CROSS JOIN b WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= b.tmax - INTERVAL 10 MINUTE GROUP BY event_type, win_start ORDER BY event_type, win_start")),
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(
       // identical to q_events_tumbling's oracle: streaming == batch
       "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),

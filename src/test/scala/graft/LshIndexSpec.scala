@@ -59,6 +59,17 @@ class LshIndexSpec extends SparkSpec {
 
   test("append to a non-bucketed table is refused") {
     import spark.implicits._
+    // the warehouse dir outlives the in-memory catalog across JVM runs —
+    // clear both (same dance as ScalePatterns.writeBucketed)
+    spark.sql("DROP TABLE IF EXISTS lsh_not_bucketed")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath
+      else wh
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(whPath, "lsh_not_bucketed"))
     Seq((1L, "plain")).toDF("doc_id", "text")
       .write.mode("overwrite").format("parquet")
       .saveAsTable("lsh_not_bucketed")
