@@ -128,8 +128,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // The exact pair table has TWO declared consumers (the pair report and
+  // the oracled clustering) — computed once per (session, corpus) and
+  // shared, the same persisted-artifact pattern as cachedMinhashPairs
+  // below. Deterministic, so the cache is semantics-free.
+  private val ngramPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def cachedNgramPairs(s: SparkSession, d: String): DataFrame =
+    ngramPairsCache.getOrElseUpdate((s, d),
+      ngramJaccardPairs(Tables.documents(s, d)).localCheckpoint())
+
   val qDedupNgramJaccard: (SparkSession, String) => DataFrame = (s, d) =>
-    ngramJaccardPairs(Tables.documents(s, d))
+    cachedNgramPairs(s, d)
 
   // --- MinHash + LSH (the scale path; verified against true Jaccard) ---
   val NumHashes = 32
@@ -439,7 +450,7 @@ object Dedup {
   // adversarial corpus — equality with an exact oracle would then be a
   // property of the fixture, not of the operator.)
   val qDedupClusters: (SparkSession, String) => DataFrame = (s, d) =>
-    connectedComponents(ngramJaccardPairs(Tables.documents(s, d)))
+    connectedComponents(cachedNgramPairs(s, d))
 
   // The SCALE path: clusters over the LSH-verified pairs (bucketed
   // candidates, shuffle-join verify, no full-corpus broadcast anywhere in

@@ -56,6 +56,39 @@ class BucketedNearDupPropertySpec extends SparkSpec {
     assert(expected.nonEmpty, "uniform 8-dim corpus must have 0.4-pairs")
   }
 
+  test("hot-cluster splitting: same pairs, bounded cluster populations") {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dims = 12
+    // adversarial geometry for a k-way quantizer: one DENSE-but-spread
+    // blob holding 75% of the corpus (one cluster swallows it → quadratic
+    // verify fan-out without splitting) + scattered background
+    val hub = Array.fill(dims)(rnd.nextGaussian() * 3)
+    val vecs = (0L until 160L).map { i =>
+      if (i < 120) (i, hub.map(x => x + rnd.nextGaussian() * 0.8))
+      else (i, Array.fill(dims)(rnd.nextGaussian() * 3))
+    }
+    val df = vecs.map { case (id, v) => (id, "x", v.map(_.toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val capped = Similarity.nearDupPairsBucketedCapped(df, 0.6, k = 4,
+        cap = 40)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactness: splitting must not change the result
+    assert(capped === naivePairs(vecs, 0.6))
+    // and the refined partition must actually break up the hot cluster
+    val (assigned, cents) = Similarity.quantizeCapped(df, k = 4,
+      iters = 2, cap = 40)
+    val pops = assigned.groupBy("c_id").agg(count(lit(1)).as("cnt"))
+    val maxPop = pops.agg(max(col("cnt"))).head().getLong(0)
+    assert(maxPop < 120, s"hot blob not split: max population $maxPop")
+    assert(cents.count() > 4, "splitting must add sub-centroids")
+    // every vector still assigned exactly once
+    assert(assigned.count() === 160)
+    assert(assigned.select("vec_id").distinct().count() === 160)
+  }
+
   test("duplicate-heavy corpus (every vector 3-way replicated)") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 20).map(_ => Array.fill(12)(rnd.nextGaussian()))

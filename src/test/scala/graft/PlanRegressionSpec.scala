@@ -51,7 +51,11 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("near-dup similarity predicates stay inside join conditions") {
-    val pj = plan("q_dedup_ngram_jaccard")
+    // the declared key serves the cached (checkpointed) pair table, so the
+    // plan property is asserted on the underlying builder — same approach
+    // as the minhash test below
+    val pj = operators.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sf)).queryExecution.executedPlan.toString
     assert(pj.contains("BroadcastHashJoin") &&
       pj.contains("sorted_long_intersect_count"), pj.take(900))
     val pe = plan("q_embed_near_dup")
