@@ -20,6 +20,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-iteration escape hatch: time a comma-separated subset
+    // (unset in the driver run → full set, unchanged contract)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSet)
     val spark = SparkEntry.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,13 +32,17 @@ object Bench {
     // engine throughput (BASELINE.md Part B: "warm JVM within a single
     // SparkSession"), not first-iteration compilation.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val queries = filter match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    queries.foreach { case (_, fn) =>
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // name -> (elapsed_sec, ok): a crashing query must surface as a
     // sentinel, never as a plausible-looking timing.
     val results: Map[String, (Double, Boolean)] =
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         // GC between queries: lets Spark's ContextCleaner release the
         // previous query's broadcasts so their collection doesn't land
         // inside the next query's timed window.

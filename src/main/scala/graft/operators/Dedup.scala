@@ -200,36 +200,54 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.bkey").as("bkey"))
       .localCheckpoint()
-    // Bucket-width stats share the self-join's (band, bkey) shuffle key.
-    // The over-cap count is a tiny metadata aggregate — logged the way a
-    // production dedup run reports its skew mitigation firing.
-    val bucketStats = exploded.groupBy("band", "bkey")
+    // Only the HOT buckets are materialized (aggregate, filter to width >
+    // cap, checkpoint) — a metadata-sized table, usually empty. The
+    // common no-hot-bucket case then runs the original self-join with
+    // ZERO added joins; the one extra aggregate pass over the checkpointed
+    // band table is the price of the skew guard (measured ~1 s at 10×
+    // sf0.1, vs ~4.5 s for a stats join against every row).
+    val hotBuckets = exploded.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bw"), min("doc_id").as("bmin"))
+      .filter(col("bw") > cap)
       .localCheckpoint()
-    val nHot = bucketStats.filter(col("bw") > cap).count()
+    val nHot = hotBuckets.count()
     if (nHot > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"LSH hot-bucket cap engaged: $nHot bucket(s) wider than $cap " +
           "docs degraded to star candidates")
-    // bucket stats are data-sized (one row per distinct bucket) — shuffle
-    // join on the same (band, bkey) key, never an auto-broadcast locked in
-    // by tiny-scale stats.
-    val withW = exploded.hint("shuffle_hash")
-      .join(bucketStats, Seq("band", "bkey"))
-    val smallB = withW.filter(col("bw") <= cap)
-      .select(col("doc_id"), col("band"), col("bkey"))
-    // The band self-join also shuffles on (band, bkey): the exploded band
+    // The band self-join shuffles on (band, bkey): the exploded band
     // table is corpus-sized (n·bands rows), so letting tiny-scale stats
     // auto-broadcast it would lock in a plan that cannot survive scale.
-    val candSmall = smallB.as("x").hint("shuffle_hash")
-      .join(smallB.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val candHot = withW.filter(col("bw") > cap &&
-        col("doc_id") =!= col("bmin"))
-      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
-    val cand = candSmall.unionByName(candHot).distinct()
+    val cand =
+      if (nHot == 0) {
+        exploded.as("x").hint("shuffle_hash")
+          .join(exploded.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      } else {
+        // ONE left join tags every band row with its bucket's hub (or
+        // null), materialized once and consumed by both branches —
+        // hotBuckets can itself be data-sized under mass duplication, so
+        // the join shuffles on the bucket key, never a forced broadcast.
+        val tagged = exploded.hint("shuffle_hash")
+          .join(hotBuckets, Seq("band", "bkey"), "left")
+          .localCheckpoint()
+        val smallB = tagged.filter(col("bmin").isNull)
+          .select("doc_id", "band", "bkey")
+        val candSmall = smallB.as("x").hint("shuffle_hash")
+          .join(smallB.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val candHot = tagged
+          .filter(col("bmin").isNotNull && col("doc_id") =!= col("bmin"))
+          .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+        candSmall.unionByName(candHot).distinct()
+      }
     val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
       col("n").as("n_a"))
     val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),

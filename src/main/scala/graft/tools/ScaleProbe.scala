@@ -67,6 +67,24 @@ object ScaleProbe {
       Similarity.nearDupPairsBucketed(embs, 0.4, k = 10).count())
     time(s"connected components over LSH pairs of ${n}x docs")(
       Dedup.connectedComponents(Dedup.minhashPairs(docs)).count())
+
+    // Round-3 adversarial probes.
+    // (a) TRUE hot-bucket case: a 500-doc slice duplicated 100-way — every
+    // LSH bucket is 100 wide (> HotBucketCap), so candidate generation
+    // must degrade to star links (O(m) per bucket) instead of the ~2.5M
+    // all-pairs rows the uncapped join would emit.
+    val slice = Tables.documents(spark, d).orderBy("doc_id").limit(500)
+    val dup100 = (0 until 100).map(i =>
+      slice.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L)))
+      .reduce(_ unionByName _)
+    time("HOT-BUCKET capped LSH: 500 docs x 100-way duplicated")(
+      Dedup.minhashPairs(dup100).count())
+    // (b) hot-cluster splitting: every vector a 10-way duplicate → one
+    // quantizer cell per duplicate blob; the cap recurses k-means inside
+    // the over-populated cells while keeping results exact.
+    time(s"CAPPED bucketed embedding near-dup over ${n}x embeddings")(
+      Similarity.nearDupPairsBucketedCapped(embs, 0.4, k = 10,
+        cap = 4000).count())
     spark.stop()
   }
 }
