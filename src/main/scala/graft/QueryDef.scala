@@ -23,6 +23,7 @@ object Registry {
       operators.Relational2.defs ++
       operators.Events.defs ++
       operators.TextAnalysis.defs ++
+      operators.Curation.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Training-data curation operators beyond dedup/quality: benchmark
+  * decontamination, repetition/spam signals, identifier scrubbing, and
+  * deterministic domain-mix resampling. All oracle-able (the point: these
+  * gates decide what enters a training set, so they must be verifiable),
+  * and all built scale-first:
+  *  - decontamination joins the corpus n-gram stream against the
+  *    benchmark's distinct n-gram set — the benchmark side is SMALL BY
+  *    DEFINITION (an eval set, not a corpus), which is the one place a
+  *    broadcast is structurally justified;
+  *  - repetition signals are pure per-row higher-order expressions — no
+  *    shuffle at all;
+  *  - scrubbing is a codegen'd regexp pass;
+  *  - mix sampling reuses the salted-md5 bucket (reproducible across
+  *    runs, engines, partition layouts — never rand()).
+  */
+object Curation {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-grams of `text` as an array column (duplicates kept). Guarded
+    * for <n-token docs: Spark's sequence(1, 0) counts DOWN (yielding
+    * bogus indices), unlike DuckDB's empty range — the when() keeps both
+    * engines at "empty array". Fixture docs all have ≥10 tokens, so this
+    * is a library-robustness guard, not a fixture workaround. */
+  private def ngrams(text: Column, n: Int): Column = {
+    val t = toks(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array())
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word 4-gram
+    * with the benchmark set (here: every 50th doc plays the eval set).
+    * Returns (doc_id, n_overlap = distinct shared 4-grams). The corpus
+    * side streams (explode → join → count); only the benchmark's distinct
+    * gram set is broadcast. At 100 TB: corpus exploded grams shuffle
+    * nothing — the join is map-side against the broadcast eval grams. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val corpusGrams = docs
+      .select(col("doc_id"), explode(ngrams(col("text"), 4)).as("g"))
+      .distinct()
+    val benchGrams = benchmark
+      .select(explode(ngrams(col("text"), 4)).as("g"))
+      .distinct()
+    corpusGrams.join(broadcast(benchGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminate: (SparkSession, String) => DataFrame = (s, d) => {
+    val docs = Tables.documents(s, d)
+    decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(50L)) === 0L))
+  }
+
+  /** Repetition/spam signals, one codegen'd pass, zero shuffle:
+    *  - rep_bigram: 1 − distinct/total word bigrams (copy-paste loops);
+    *  - top_tok_frac: most frequent token's share (one-word spam).
+    * Rounded to 6 for cross-engine hash parity. */
+  val qRepetitionScore: (SparkSession, String) => DataFrame = (s, d) => {
+    val t = toks(col("text"))
+    val bg = ngrams(col("text"), 2)
+    val topCnt = array_max(transform(array_distinct(t),
+      u => size(filter(t, x => x === u))))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(size(bg) > 0,
+          round(lit(1.0) - size(array_distinct(bg)).cast("double") /
+            size(bg), 6)).otherwise(0.0).as("rep_bigram"),
+        round(topCnt.cast("double") / size(t), 6).as("top_tok_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Identifier scrubbing (the PII-redaction shape over synthetic data —
+    * fixtures have no emails/phones, so digit-run ids in events.props
+    * stand in): mask every digit run, count what was masked. The
+    * deploy-time version swaps the regex list for the real PII patterns;
+    * the plumbing (codegen'd regexp pass, masked text + audit count) is
+    * what this verifies. */
+  val qScrubIds: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "\\d+", "#").as("masked"),
+        size(expr("regexp_extract_all(props, '\\\\d+', 0)")).as("n_ids"))
+      .orderBy("event_id")
+
+  /** Deterministic domain-mix resampling: even-numbered sources (the
+    * "oversampled web scrape" stand-in) are downsampled to ~40% on a
+    * salted md5 bucket; odd sources kept whole. Reproducible across
+    * engines/runs/layouts; the kept row carries its sampling weight so
+    * downstream loss-weighting can undo the mix. */
+  val qDomainMix: (SparkSession, String) => DataFrame = (s, d) => {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val h = md5(to_binary(concat(lit("graft_mix"),
+      col("doc_id").cast("string")), lit("utf-8")))
+    val bucket =
+      (expr("instr('0123456789abcdef', substring(__h, 1, 1))") - 1) * 16 +
+        (expr("instr('0123456789abcdef', substring(__h, 2, 1))") - 1)
+    Tables.documents(s, d)
+      .withColumn("__h", h)
+      .withColumn("__bucket", bucket)
+      .filter(pmod(srcNum, lit(2)) === 1 || col("__bucket") < 102)
+      .withColumn("weight",
+        when(pmod(srcNum, lit(2)) === 1, 1.0).otherwise(
+          round(lit(256.0) / 102.0, 6)))
+      .select("doc_id", "source", "weight")
+      .orderBy("doc_id")
+  }
+
+  private val gramsCte =
+    """g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_decontaminate", qDecontaminate, Some(
+      s"WITH $gramsCte, bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0) SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id")),
+    QueryDef("q_repetition_score", qRepetitionScore, Some(
+      "SELECT doc_id, CASE WHEN len(bg) > 0 THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) ELSE 0.0 END AS rep_bigram, round(CAST(list_max(list_transform(list_distinct(t), u -> len(list_filter(t, x -> x = u)))) AS DOUBLE) / len(t), 6) AS top_tok_frac FROM (SELECT doc_id, t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)) ORDER BY doc_id")),
+    QueryDef("q_scrub_ids", qScrubIds, Some(
+      "SELECT event_id, regexp_replace(props, '\\d+', '#', 'g') AS masked, len(regexp_extract_all(props, '\\d+')) AS n_ids FROM events ORDER BY event_id")),
+    QueryDef("q_domain_mix", qDomainMix, Some(
+      "SELECT doc_id, source, CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 1 THEN 1.0 ELSE round(256.0 / 102.0, 6) END AS weight FROM (SELECT doc_id, source, (instr('0123456789abcdef', substring(md5('graft_mix' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5('graft_mix' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk FROM documents) WHERE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 1 OR bk < 102 ORDER BY doc_id"))
+  )
+}

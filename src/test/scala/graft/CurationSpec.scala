@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Curation-operator behavior on constructed corpora (the DuckDB oracle
+  * covers the fixtures; these pin the semantics on planted cases). */
+class CurationSpec extends SparkSpec {
+
+  test("decontamination flags a planted benchmark copy maximally") {
+    import spark.implicits._
+    val bench = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // exact copy of the benchmark doc → every 4-gram overlaps (7 of them)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // partial: shares exactly one 4-gram window
+      (2L, "alpha beta gamma delta unrelated words follow here now ok"),
+      // clean: no shared 4-gram
+      (3L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val got = Curation.decontaminate(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) === 7L, got.toString)
+    assert(got(2L) === 1L, got.toString)
+    assert(!got.contains(3L), got.toString)
+  }
+
+  test("repetition signals separate looped text from varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // same expressions as qRepetitionScore, over the constructed frame
+    val t = split(trim(col("text")), "\\s+")
+    val bg = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val topCnt = array_max(transform(array_distinct(t),
+      u => size(filter(t, x => x === u))))
+    val scored = docs.select(col("doc_id"),
+      (lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
+        .as("rep"),
+      (topCnt.cast("double") / size(t)).as("top"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val Array((_, repSpam, topSpam), (_, repVaried, topVaried)) = scored
+    assert(repSpam > 0.85 && topSpam === 1.0, scored.mkString(","))
+    assert(repVaried === 0.0 && topVaried === 0.1, scored.mkString(","))
+  }
+
+  test("domain mix keeps odd sources whole and downsamples even ones") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Curation.qDomainMix(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val oddIn = docs.filter(pmod(srcNum, lit(2)) === 1).count()
+    val oddOut = out.filter(pmod(srcNum, lit(2)) === 1).count()
+    val evenIn = docs.filter(pmod(srcNum, lit(2)) === 0).count()
+    val evenOut = out.filter(pmod(srcNum, lit(2)) === 0).count()
+    assert(oddOut === oddIn) // odd sources untouched
+    val rate = evenOut.toDouble / evenIn
+    assert(rate > 0.25 && rate < 0.55, s"even-source rate $rate")
+    // weights undo the mix: sum of weights ≈ original count per parity
+    val wSum = out.filter(pmod(srcNum, lit(2)) === 0)
+      .agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(wSum - evenIn) / evenIn < 0.35,
+      s"weighted even mass $wSum vs $evenIn")
+  }
+}
