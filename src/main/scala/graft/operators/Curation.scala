@@ -24,17 +24,30 @@ object Curation {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Word n-grams of `text` as an array column (duplicates kept). Guarded
-    * for <n-token docs: Spark's sequence(1, 0) counts DOWN (yielding
-    * bogus indices), unlike DuckDB's empty range — the when() keeps both
-    * engines at "empty array". Fixture docs all have ≥10 tokens, so this
-    * is a library-robustness guard, not a fixture workaround. */
-  private def ngrams(text: Column, n: Int): Column = {
-    val t = toks(text)
+  /** Word n-grams from an ALREADY-MATERIALIZED token array column
+    * (duplicates kept). Two hard-won rules are baked in:
+    *  - callers must project the token array in its own select before
+    *    invoking this — a lambda referencing `split(text)` re-splits the
+    *    text once per n-gram (quadratic in doc length; the q_ngram_bigrams
+    *    lesson, re-measured here as 19.6 s → 0.6 s on repetition scores);
+    *  - guarded for <n-token docs: Spark's sequence(1, 0) counts DOWN
+    *    (yielding bogus indices), unlike DuckDB's empty range — the
+    *    when() keeps both engines at "empty array". */
+  private def ngramsFromToks(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
       .otherwise(array())
+
+  /** (doc_id, t) with the token array materialized and the scan spread
+    * over the cores — documents.parquet arrives as ONE split, and the
+    * per-row HOF work below is the expensive narrow stage (same
+    * repartition-first move as Dedup.shingleDocs). */
+  private def tokenized(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .repartition(parts)
   }
 
   /** Benchmark decontamination: flag corpus docs sharing any word 4-gram
@@ -44,11 +57,11 @@ object Curation {
     * gram set is broadcast. At 100 TB: corpus exploded grams shuffle
     * nothing — the join is map-side against the broadcast eval grams. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
-    val corpusGrams = docs
-      .select(col("doc_id"), explode(ngrams(col("text"), 4)).as("g"))
+    val corpusGrams = tokenized(docs)
+      .select(col("doc_id"), explode(ngramsFromToks(col("t"), 4)).as("g"))
       .distinct()
-    val benchGrams = benchmark
-      .select(explode(ngrams(col("text"), 4)).as("g"))
+    val benchGrams = tokenized(benchmark)
+      .select(explode(ngramsFromToks(col("t"), 4)).as("g"))
       .distinct()
     corpusGrams.join(broadcast(benchGrams), "g")
       .groupBy("doc_id")
@@ -68,15 +81,15 @@ object Curation {
     *  - top_tok_frac: most frequent token's share (one-word spam).
     * Rounded to 6 for cross-engine hash parity. */
   val qRepetitionScore: (SparkSession, String) => DataFrame = (s, d) => {
-    val t = toks(col("text"))
-    val bg = ngrams(col("text"), 2)
+    val t = col("t")
     val topCnt = array_max(transform(array_distinct(t),
       u => size(filter(t, x => x === u))))
-    Tables.documents(s, d)
+    tokenized(Tables.documents(s, d))
+      .withColumn("bg", ngramsFromToks(t, 2))
       .select(col("doc_id"),
-        when(size(bg) > 0,
-          round(lit(1.0) - size(array_distinct(bg)).cast("double") /
-            size(bg), 6)).otherwise(0.0).as("rep_bigram"),
+        when(size(col("bg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")), 6)).otherwise(0.0).as("rep_bigram"),
         round(topCnt.cast("double") / size(t), 6).as("top_tok_frac"))
       .orderBy("doc_id")
   }

@@ -111,6 +111,16 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts only the benchmark gram set") {
+    // The corpus side is unbounded; the eval set is small by definition.
+    // Locked shape: a BroadcastHashJoin whose build side is the benchmark
+    // grams — the corpus gram stream must NOT sort-merge (which would
+    // shuffle the full corpus gram table on the gram string).
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
   test("minhash verify join is shuffle-based, never a corpus broadcast") {
     // The LSH path is the declared 100 TB route: re-attaching shingles for
     // verification must shuffle on doc_id. A broadcast of the corpus-sized
