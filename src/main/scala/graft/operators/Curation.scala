@@ -33,7 +33,7 @@ object Curation {
     *  - guarded for <n-token docs: Spark's sequence(1, 0) counts DOWN
     *    (yielding bogus indices), unlike DuckDB's empty range — the
     *    when() keeps both engines at "empty array". */
-  private def ngramsFromToks(t: Column, n: Int): Column =
+  private[graft] def ngramsFromToks(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
@@ -43,7 +43,7 @@ object Curation {
     * over the cores — documents.parquet arrives as ONE split, and the
     * per-row HOF work below is the expensive narrow stage (same
     * repartition-first move as Dedup.shingleDocs). */
-  private def tokenized(docs: DataFrame): DataFrame = {
+  private[graft] def tokenized(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     docs.select(col("doc_id"), toks(col("text")).as("t"))

@@ -515,6 +515,19 @@ object Similarity {
     probeIvfIndex(s, ivfIndexPath(s, d), q, nprobe = 1, topK = 10)
   }
 
+  // --- q_embed_clusters: near-dup collapse over EMBEDDING pairs ---
+  // Cross-module composition: the bucketed exact ε-join feeds the same
+  // pointer-jumping connected components the text path uses — the
+  // "collapse semantic duplicates" step of an embedding-deduped corpus.
+  // Oracle-able because the bucketed pairs are exact (≡ brute force), so
+  // the DuckDB recursive-CTE over brute pairs is a structural match.
+  val qEmbedClusters: (SparkSession, String) => DataFrame = (s, d) =>
+    Dedup.connectedComponents(
+      qEmbedNearDupBucketed(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical"))
+      .orderBy("vec_id")
+
   // --- q_embed_norm_stats: per-label vector-norm profile ---
   // The embedding-quality screen a pipeline runs before indexing (norm
   // collapse / outlier labels). Norms are rounded to 9 decimals BEFORE the
@@ -550,6 +563,8 @@ object Similarity {
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_index_probe", qAnnIndexProbe, None),
     QueryDef("q_ann_recall", qAnnRecall, None),
+    QueryDef("q_embed_clusters", qEmbedClusters, Some(
+      "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src) SELECT src AS vec_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY vec_id")),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(
       "WITH e AS (SELECT label, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 9) AS nrm FROM embeddings) SELECT label, COUNT(*) AS n, round(CAST(SUM(CAST(nrm AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm, round(MIN(nrm), 6) AS min_norm, round(MAX(nrm), 6) AS max_norm FROM e GROUP BY label ORDER BY label"))
   )

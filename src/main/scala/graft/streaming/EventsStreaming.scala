@@ -119,6 +119,30 @@ object EventsStreaming {
       .dropDuplicates("doc_id", "idx_id")
   }
 
+  /** Streaming decontamination gate: flag streamed documents sharing any
+    * word 4-gram with a STATIC benchmark set — the ingest-time twin of
+    * Curation.decontaminate, and the gate an eval-protection pipeline
+    * runs on every incoming batch. Stream-static broadcast join (the
+    * benchmark gram set is eval-set-sized); flagged ids are deduped with
+    * keyed state (unbounded over a true 24/7 run — bound with a watermark
+    * on an ingest-time column in production, same caveat as the near-dup
+    * gate). */
+  def decontaminateStream(docStream: DataFrame, benchmark: DataFrame)
+      : DataFrame = {
+    import graft.operators.Curation
+    val benchGrams = Curation.tokenized(benchmark)
+      .select(explode(Curation.ngramsFromToks(col("t"), 4)).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val streamGrams = docStream
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        explode(Curation.ngramsFromToks(col("t"), 4)).as("g"))
+    streamGrams.join(broadcast(benchGrams), "g")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
   /** Declared streaming correctness entry: the tumbling aggregation run as
     * a REAL Structured Streaming query — stage the events table as a
     * parquet directory, micro-batch it through the file source

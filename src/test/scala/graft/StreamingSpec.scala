@@ -179,6 +179,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate flags exactly the contaminated docs") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val bench = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_decon_stream").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta unrelated words follow here now ok"),
+      (3L, "completely different content with no overlap at all here"),
+      (4L, "more clean text that shares nothing with the benchmark set"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventsStreaming.decontaminateStream(stream, bench)
+      .writeStream.format("memory").queryName("sink_decon")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val flagged = spark.table("sink_decon").collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 2L), flagged.toString)
+  }
+
   test("flatMapGroupsWithState running profiles converge to batch totals") {
     val streamed = runStream("prof",
       df => EventsStreaming.runningProfiles(spark, df).toDF(), "update")
