@@ -305,6 +305,24 @@ object Relational2 {
       .orderBy("r_regionkey")
   }
 
+  // ORC roundtrip twin of q_scan_csv: write the nation dim as ORC, read
+  // it back schema-explicit — Spark's other native columnar format, with
+  // the same vectorized-scan/pushdown properties as parquet. The oracle
+  // reads the same rows from parquet, so the roundtrip must be lossless.
+  val qScanOrc: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_orc_" +
+      s.sparkContext.applicationId
+    graft.sources.Sources.writeOrcTable(
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
+      tmp)
+    graft.sources.Sources.readOrcTable(s, tmp, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))))
+      .orderBy("n_nationkey")
+  }
+
   // Exact interpolated percentiles (R-7, the same definition DuckDB's
   // quantile_cont uses) — the distribution profile a data-quality pass
   // computes per partition of a 100 TB corpus.
@@ -520,6 +538,8 @@ object Relational2 {
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_scan_csv", qScanCsv, Some(
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+    QueryDef("q_scan_orc", qScanOrc, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("q_scan_json", qScanJson, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("q_agg_distinct", qAggDistinct, Some(

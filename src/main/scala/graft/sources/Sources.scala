@@ -58,4 +58,14 @@ object Sources {
       : Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(path)
+
+  /** ORC scan/sink — the other columnar interchange format Spark ships
+    * natively (vectorized reader, predicate pushdown, same scan
+    * properties as parquet). Schema-explicit like every other source. */
+  def readOrcTable(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrcTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

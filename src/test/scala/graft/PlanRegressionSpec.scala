@@ -136,7 +136,10 @@ class PlanRegressionSpec extends SparkSpec {
     // verify join must be a shuffle equi-join with the exact predicate in
     // its condition. An `Inner` BNLJ (the brute-force all-pairs shape) must
     // not appear — the crossJoin-with-k-centroids BNLJs are `Cross` type.
-    val df = SparkEntry.queries("q_embed_near_dup_bucketed")(spark, sf)
+    // Built via the library function: the declared key serves the cached
+    // (checkpointed) pair table (same approach as the dedup plan tests).
+    val df = operators.Similarity.nearDupPairsBucketed(
+      Tables.embeddings(spark, sf), threshold = 0.4, k = 10)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(1200))
     assert(!p.linesIterator.exists(l =>
