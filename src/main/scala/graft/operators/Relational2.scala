@@ -67,6 +67,28 @@ object Relational2 {
           col("exact_nd"), 4))
       .orderBy("l_returnflag")
 
+  // Approximate percentiles as a MERGEABLE SKETCH — completes the sketch
+  // family (HLL distinct, MinHash similarity, quantile sketch): at 100 TB
+  // the exact interpolated percentile (q_percentile) needs a per-group
+  // sort, while approx_percentile keeps fixed-size partial state that
+  // merges on any partition layout. Self-validating like
+  // q_approx_distinct: the row carries the exact value alongside and the
+  // absolute rank error bound implied by `accuracy`; rows-only (sketch
+  // internals differ across engines).
+  val qApproxPercentile: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+        expr("percentile(o_totalprice, 0.5)").as("p50_exact"))
+      .withColumn("rank_err_bound", round(col("n") / 1000.0, 2))
+      .withColumn("abs_err",
+        round(abs(col("p50_approx") - col("p50_exact")), 4))
+      .select("o_orderstatus", "n", "p50_approx", "p50_exact",
+        "rank_err_bound", "abs_err")
+      .orderBy("o_orderstatus")
+
   // GROUPING SETS — the general form behind rollup/cube: two independent
   // one-column breakdowns plus the grand total in one pass (Spark plans a
   // single Expand + partial/final agg, not three scans).
@@ -495,6 +517,7 @@ object Relational2 {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_distinct", qApproxDistinct, None),
+    QueryDef("q_approx_percentile", qApproxPercentile, None),
     QueryDef("q_agg_collect", qAggCollect, Some(
       "SELECT o_orderstatus, array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_grouping_sets", qGroupingSets, Some(

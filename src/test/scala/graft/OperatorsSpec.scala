@@ -109,6 +109,26 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Double]("rel_err") < 0.05, r.toString))
   }
 
+  test("approx-percentile sketch honors its rank-error contract") {
+    // percentile_approx(accuracy=1000) must return an actual data value
+    // whose RANK is within n/1000 of the true median rank — check against
+    // the data itself, not just the value delta (the contract is on rank).
+    val rows = operators.Relational2.qApproxPercentile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+    rows.foreach { r =>
+      val status = r.getAs[String]("o_orderstatus")
+      val n = r.getAs[Long]("n")
+      val approx = r.getAs[Double]("p50_approx")
+      val below = orders
+        .filter(col("o_orderstatus") === status &&
+          col("o_totalprice") <= approx).count()
+      val bound = n / 1000.0 + 1
+      assert(math.abs(below - n / 2.0) <= bound + 1,
+        s"$status: rank ${below} vs target ${n / 2.0} (bound $bound)")
+    }
+  }
+
   test("multimodal feature extraction is deterministic over payload bytes") {
     val f1 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
     val f2 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
