@@ -443,17 +443,21 @@ object Dedup {
       val viaLabels = labels.as("a")
         .join(labels.as("b"), col("a.lbl") === col("b.node"))
         .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
-      val next = labels.select(col("node"), col("lbl"))
-        .unionByName(viaEdges)
-        .unionByName(viaLabels)
+      // The previous label rides along as `old` (each node contributes it
+      // exactly once, from the labels branch; max() ignores the nulls the
+      // other branches carry), so convergence detection reads the freshly
+      // checkpointed table instead of paying a labels⋈next join per round.
+      val next = labels.select(col("node"), col("lbl"),
+          col("lbl").as("old"))
+        .unionByName(viaEdges.withColumn("old",
+          lit(null).cast("long")))
+        .unionByName(viaLabels.withColumn("old",
+          lit(null).cast("long")))
         .groupBy("node")
-        .agg(min("lbl").as("lbl"))
+        .agg(min("lbl").as("lbl"), max("old").as("old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("node", "lbl")
       iter += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
