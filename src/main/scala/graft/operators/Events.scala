@@ -93,6 +93,33 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  // FORWARD as-of: for each purchase, the user's EARLIEST click at-or-
+  // after it — the other direction time-series engines pair with the
+  // backward as-of above ("what did the user do next"). Same union-tag
+  // single-window shape (one shuffle on user_id); at equal ts the click
+  // sorts after the purchase so the inclusive forward frame sees it.
+  val qAsofForward: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(0).as("is_p"), lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("click_id"), lit(1).as("is_p"),
+        col("event_id").as("purchase_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_p").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_click", first(col("click_id"), ignoreNulls = true)
+        .over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("next_click"))
+      .orderBy("purchase_id")
+  }
+
   val qEventsSliding: (SparkSession, String) => DataFrame = (s, d) =>
     slidingAgg(Tables.events(s, d)).orderBy("event_type", "win_start")
 
@@ -132,6 +159,10 @@ object Events {
     QueryDef("q_events_sessions", qEventsSessions, Some(
       "WITH t AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start")),
     QueryDef("q_asof_join", qAsofJoin, Some(
-      "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS prior_click FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND c.ts <= p.ts ORDER BY purchase_id"))
+      "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS prior_click FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND c.ts <= p.ts ORDER BY purchase_id")),
+    QueryDef("q_asof_forward", qAsofForward, Some(
+      // window mirror of the forward as-of (DuckDB's ASOF sugar is
+      // backward-oriented; the window form is the portable statement)
+      "WITH u AS (SELECT user_id, ts, event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id, 0 AS is_p FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, 1 FROM events WHERE event_type = 'purchase'), w AS (SELECT *, first_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ASC, is_p DESC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click FROM u) SELECT purchase_id, user_id, next_click FROM w WHERE purchase_id IS NOT NULL ORDER BY purchase_id"))
   )
 }
