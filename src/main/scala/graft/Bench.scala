@@ -52,13 +52,32 @@ object Bench {
           catch { case _: Throwable => false }
         name -> (((System.nanoTime() - t0) / 1e9, ok))
       }
-    val qs = results.map { case (k, (v, ok)) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0)
-    }.mkString("{", ",", "}")
+    // The driver captures only the last ~2000 chars of output, and the full
+    // per-query map (~100 entries at double precision) overflows that
+    // window — rounds 2 and 3 both arrived truncated and unparseable
+    // ("parsed": null). So: the FULL map goes to BENCH_DETAIL.json in the
+    // repo, and the printed one-line JSON carries the summary stats the
+    // baseline targets are stated in (total / median / worst, BASELINE.md
+    // Part B) plus the slowest queries — compact enough to survive the
+    // window with room to grow.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def qjson(entries: Iterable[(String, (Double, Boolean))]): String =
+      entries.map { case (k, (v, ok)) =>
+        "\"" + k + "\":" + (if (ok) fmt(v) else "-1")
+      }.mkString("{", ",", "}")
     val errors = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, (v, true)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val okTimes = results.collect { case (_, (v, true)) => v }.toIndexedSeq.sorted
+    val total = okTimes.sum
+    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+    val worst = if (okTimes.isEmpty) 0.0 else okTimes.last
+    val slowest = results.toIndexedSeq.sortBy { case (_, (v, _)) => -v }.take(10)
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"errors":$errors,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"median":${fmt(median)},"worst":${fmt(worst)},"queries":${qjson(slowest)},"errors":$errors,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
