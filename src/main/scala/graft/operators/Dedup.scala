@@ -282,6 +282,12 @@ object Dedup {
   val qDedupMinhash: (SparkSession, String) => DataFrame = (s, d) =>
     cachedMinhashPairs(s, d)
 
+  /** The shared per-(session, corpus) verified pair table — the persisted
+    * artifact every downstream near-dup consumer (pair report, clustering,
+    * corpus curation) reads instead of re-running shingle→band→verify. */
+  def sharedMinhashPairs(s: SparkSession, d: String): DataFrame =
+    cachedMinhashPairs(s, d)
+
   // --- persisted LSH index: the on-disk form of the dedup scale path ---
   // The banded signature table written BUCKETED by bucket key: the ingest
   // gate ("is this new doc a near-dup of anything indexed?") then joins new

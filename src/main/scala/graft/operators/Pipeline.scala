@@ -30,8 +30,21 @@ object Pipeline {
 
   /** Curated, annotated corpus: exact+near dedup'd, quality-gated, split.
     * Output columns: doc_id, lang, source, n_chars, lang_pred, n_tokens,
-    * quality, split. */
-  def curateCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
+    * quality, split.
+    *
+    * `fullCorpusPairs`: an already-verified near-dup pair table over the
+    * UN-dedup'd corpus (the persisted artifact a 100 TB pipeline computes
+    * once and feeds to every consumer — SCALE.md §2). When supplied, the
+    * LSH stage is replaced by two semi-joins restricting those pairs to the
+    * exact-dedup survivors. That restriction equals recomputing pairs on
+    * the survivor subset: banding is a deterministic per-doc function, so
+    * the subset's candidate pairs are exactly the full corpus's candidate
+    * pairs with both endpoints surviving. (Caveat: under the hot-bucket
+    * cap's star degradation a removed hub can under-connect the restricted
+    * set — on a corpus adversarial enough to trip the cap, recompute on
+    * the survivors instead.) */
+  def curateCorpus(docs: DataFrame, minQuality: Double,
+      fullCorpusPairs: Option[DataFrame] = None): DataFrame = {
     val featured = TextAnalysis.withTextFeatures(docs)
     // 2. exact dedup — row_number, not dropDuplicates: survivor choice
     // must be deterministic (SURVEY §2 A2 tie-break trap)
@@ -42,8 +55,16 @@ object Pipeline {
       .drop("__rn")
     // 3. near-dup collapse via the LSH scale path; left join keeps docs
     // that never appeared in any near-dup pair (canonical IS NULL)
-    val clusters = Dedup.connectedComponents(
-      Dedup.minhashPairs(exactKept.select("doc_id", "text")))
+    val pairs = fullCorpusPairs match {
+      case Some(p) =>
+        val ids = exactKept.select("doc_id")
+        p.join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+            "left_semi")
+          .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+            "left_semi")
+      case None => Dedup.minhashPairs(exactKept.select("doc_id", "text"))
+    }
+    val clusters = Dedup.connectedComponents(pairs)
     val bucket = pmod(
       xxhash64(concat(lit("graft_split"), col("fingerprint"))), lit(100L))
     exactKept
@@ -60,8 +81,12 @@ object Pipeline {
 
   // Declared rows-only: the composition crosses the LSH/CC stages DuckDB
   // cannot replicate; every constituent stage has its own oracle or spec.
+  // Feeds from the SHARED verified pair table (computed once per corpus and
+  // reused by the pair report and both clusterings) instead of re-running
+  // shingle→band→verify on the survivor subset.
   val qCorpusCurate: (SparkSession, String) => DataFrame = (s, d) =>
-    curateCorpus(Tables.documents(s, d), minQuality = 0.3)
+    curateCorpus(Tables.documents(s, d), minQuality = 0.3,
+      fullCorpusPairs = Some(Dedup.sharedMinhashPairs(s, d)))
 
   /** The HARD-ORACLED composition: annotate → exact dedup → quality gate →
     * deterministic split, i.e. [[curateCorpus]] minus the LSH/CC stage (the

@@ -43,5 +43,15 @@ class PipelineSpec extends SparkSpec {
     assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
     val trainFrac = bySplit.getOrElse("train", 0).toDouble / out.length
     assert(trainFrac > 0.6 && trainFrac < 0.95, s"train frac $trainFrac")
+
+    // Shared-artifact path: restricting FULL-corpus pairs to the exact-dedup
+    // survivors must produce the identical curated corpus as recomputing
+    // pairs on the survivor subset (subset-closure of candidate generation
+    // — the property qCorpusCurate's pair-table reuse relies on).
+    val fullPairs = Dedup.minhashPairs(docs.select("doc_id", "text"))
+    val viaShared =
+      Pipeline.curateCorpus(docs, minQuality = 0.3, Some(fullPairs))
+        .collect()
+    assert(viaShared.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 }
