@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim instead of routing it
+// via the sbt logger: the bench/verify mains print one machine-parseable
+// JSON line, and the logger's "[info] " prefix has broken the driver's
+// parse of it in every round so far (BENCH_r0{1..4}.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / baseDirectory := (ThisBuild / baseDirectory).value
+// The fork CWD is the repo root (line above); mains that write artifacts
+// (BENCH_DETAIL.json) also get it explicitly:
+run / javaOptions += s"-Dgraft.repo.root=${(ThisBuild / baseDirectory).value}"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

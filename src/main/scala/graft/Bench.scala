@@ -39,6 +39,13 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
+    // The warmup (even at a smaller SF when warmDir == sfDir) populates the
+    // session-level pair-table artifact caches, so without this no TIMED
+    // query would ever pay the shingle→band→verify cost (ADVICE r4).
+    // Clearing here makes the first timed consumer rebuild the artifact —
+    // the pair-table construction lands in the timed window exactly once,
+    // matching a real pipeline run that computes it once and reuses it.
+    graft.operators.Dedup.clearPairCaches()
     // name -> (elapsed_sec, ok): a crashing query must surface as a
     // sentinel, never as a plausible-looking timing.
     val results: Map[String, (Double, Boolean)] =
@@ -69,13 +76,23 @@ object Bench {
       .mkString("[", ",", "]")
     val okTimes = results.collect { case (_, (v, true)) => v }.toIndexedSeq.sorted
     val total = okTimes.sum
-    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+    val median =
+      if (okTimes.isEmpty) 0.0
+      else {
+        val n = okTimes.size // even count: average the two middle values
+        (okTimes((n - 1) / 2) + okTimes(n / 2)) / 2.0
+      }
     val worst = if (okTimes.isEmpty) 0.0 else okTimes.last
     val slowest = results.toIndexedSeq.sortBy { case (_, (v, _)) => -v }.take(10)
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"errors":$errors,"sf":"$sfDir"}"""
+    // Resolve against the repo root, not the process CWD (sbt forks the
+    // run; an overridden fork directory must not scatter the artifact).
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
+      .orElse(sys.props.get("graft.repo.root"))
+      .getOrElse(sys.props("user.dir"))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(repoRoot).resolve("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"median":${fmt(median)},"worst":${fmt(worst)},"queries":${qjson(slowest)},"errors":$errors,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()

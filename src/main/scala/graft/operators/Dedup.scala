@@ -192,7 +192,19 @@ object Dedup {
   // ONCE via localCheckpoint instead of recomputing per reference — the
   // local analogue of persisting the signature table to storage, which is
   // what the 100 TB pipeline does to reuse it across jobs.
-  def minhashPairs(docsIn: DataFrame, cap: Int = HotBucketCap): DataFrame = {
+  /** Verified near-dup pairs plus how the candidate generation got them:
+    * `nHotBuckets` > 0 means the hot-bucket cap engaged and the pair set is
+    * star-degraded (member↔member pairs inside an over-cap bucket are only
+    * represented through the hub). Consumers that RESTRICT a pair table to a
+    * doc subset (Pipeline.curateCorpus) must know this: restriction equals
+    * recompute-on-subset only for the uncapped pair set. */
+  final case class PairTable(pairs: DataFrame, nHotBuckets: Long)
+
+  def minhashPairs(docsIn: DataFrame, cap: Int = HotBucketCap): DataFrame =
+    minhashPairsWithStats(docsIn, cap).pairs
+
+  def minhashPairsWithStats(docsIn: DataFrame,
+      cap: Int = HotBucketCap): PairTable = {
     val docs = shingleDocs(docsIn).localCheckpoint()
     val exploded = docs
       .select(col("doc_id"), explode(lshBands(minhashSignature(col("sh"))))
@@ -259,11 +271,12 @@ object Dedup {
     // broadcast limit). Candidates are the sparse side — hint them as the
     // hash-build side; AQE may still broadcast at runtime when the data is
     // actually tiny, which is the correct adaptive behavior.
-    cand.hint("shuffle_hash").join(sa, "doc_a")
+    val verified = cand.hint("shuffle_hash").join(sa, "doc_a")
       .hint("shuffle_hash").join(sb, "doc_b")
       .filter(jac >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
       .orderBy("doc_a", "doc_b")
+    PairTable(verified, nHot)
   }
 
   // The verified pair table is computed once per (session, corpus) and
@@ -273,20 +286,39 @@ object Dedup {
   // steps from it; localCheckpoint is the in-session analogue. Results are
   // deterministic, so the cache is semantics-free.
   private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String), PairTable]
 
-  private def cachedMinhashPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, d),
-      minhashPairs(Tables.documents(s, d)).localCheckpoint())
+  private def cachedMinhashPairs(s: SparkSession, d: String): PairTable =
+    pairsCache.getOrElseUpdate((s, d), {
+      val pt = minhashPairsWithStats(Tables.documents(s, d))
+      pt.copy(pairs = pt.pairs.localCheckpoint())
+    })
 
   val qDedupMinhash: (SparkSession, String) => DataFrame = (s, d) =>
-    cachedMinhashPairs(s, d)
+    cachedMinhashPairs(s, d).pairs
 
   /** The shared per-(session, corpus) verified pair table — the persisted
     * artifact every downstream near-dup consumer (pair report, clustering,
     * corpus curation) reads instead of re-running shingle→band→verify. */
   def sharedMinhashPairs(s: SparkSession, d: String): DataFrame =
+    cachedMinhashPairs(s, d).pairs
+
+  /** Same shared artifact WITH its candidate-generation stats — consumers
+    * that restrict the pair set to a doc subset need `nHotBuckets` to know
+    * whether restriction is exact (see [[PairTable]]). */
+  def sharedMinhashPairTable(s: SparkSession, d: String): PairTable =
     cachedMinhashPairs(s, d)
+
+  /** Drop the per-(session, corpus) pair-table artifacts (minhash + ngram).
+    * Benchmark plumbing: the bench's untimed warmup would otherwise build
+    * these caches so no timed query ever pays the shingle→band→verify cost
+    * (ADVICE r4); clearing between warmup and the timed pass makes the
+    * first timed consumer pay the build exactly once, mirroring a real
+    * pipeline that computes the artifact in-run. */
+  def clearPairCaches(): Unit = {
+    pairsCache.clear()
+    ngramPairsCache.clear()
+  }
 
   // --- persisted LSH index: the on-disk form of the dedup scale path ---
   // The banded signature table written BUCKETED by bucket key: the ingest
@@ -487,7 +519,7 @@ object Dedup {
   // so the cluster sets coincide there, but that equivalence is statistical
   // and is NOT declared as an oracle equality.
   val qDedupClustersLsh: (SparkSession, String) => DataFrame = (s, d) =>
-    connectedComponents(cachedMinhashPairs(s, d))
+    connectedComponents(cachedMinhashPairs(s, d).pairs)
 
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */

@@ -34,17 +34,21 @@ object Pipeline {
     *
     * `fullCorpusPairs`: an already-verified near-dup pair table over the
     * UN-dedup'd corpus (the persisted artifact a 100 TB pipeline computes
-    * once and feeds to every consumer — SCALE.md §2). When supplied, the
-    * LSH stage is replaced by two semi-joins restricting those pairs to the
-    * exact-dedup survivors. That restriction equals recomputing pairs on
-    * the survivor subset: banding is a deterministic per-doc function, so
-    * the subset's candidate pairs are exactly the full corpus's candidate
-    * pairs with both endpoints surviving. (Caveat: under the hot-bucket
-    * cap's star degradation a removed hub can under-connect the restricted
-    * set — on a corpus adversarial enough to trip the cap, recompute on
-    * the survivors instead.) */
+    * once and feeds to every consumer — SCALE.md §2). When supplied AND the
+    * table was built without the hot-bucket cap engaging
+    * (`nHotBuckets == 0`), the LSH stage is replaced by two semi-joins
+    * restricting those pairs to the exact-dedup survivors. That restriction
+    * equals recomputing pairs on the survivor subset: banding is a
+    * deterministic per-doc function, so the subset's candidate pairs are
+    * exactly the full corpus's candidate pairs with both endpoints
+    * surviving. When the cap DID engage, restriction is not exact — star
+    * degradation routes member↔member pairs through a hub, and if the full
+    * corpus trips the cap where the survivor subset would not, verified
+    * member↔member pairs are simply absent from the restricted set
+    * (clusters under-merge, duplicates survive) even when every hub
+    * survives — so this falls back to recomputing pairs on the survivors. */
   def curateCorpus(docs: DataFrame, minQuality: Double,
-      fullCorpusPairs: Option[DataFrame] = None): DataFrame = {
+      fullCorpusPairs: Option[Dedup.PairTable] = None): DataFrame = {
     val featured = TextAnalysis.withTextFeatures(docs)
     // 2. exact dedup — row_number, not dropDuplicates: survivor choice
     // must be deterministic (SURVEY §2 A2 tie-break trap)
@@ -56,13 +60,19 @@ object Pipeline {
     // 3. near-dup collapse via the LSH scale path; left join keeps docs
     // that never appeared in any near-dup pair (canonical IS NULL)
     val pairs = fullCorpusPairs match {
-      case Some(p) =>
+      case Some(pt) if pt.nHotBuckets == 0 =>
         val ids = exactKept.select("doc_id")
-        p.join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        pt.pairs
+          .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"),
             "left_semi")
           .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"),
             "left_semi")
-      case None => Dedup.minhashPairs(exactKept.select("doc_id", "text"))
+      case other =>
+        if (other.isDefined)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "shared pair table was built with the hot-bucket cap engaged; " +
+              "recomputing near-dup pairs on the exact-dedup survivors")
+        Dedup.minhashPairs(exactKept.select("doc_id", "text"))
     }
     val clusters = Dedup.connectedComponents(pairs)
     val bucket = pmod(
@@ -86,7 +96,7 @@ object Pipeline {
   // shingle→band→verify on the survivor subset.
   val qCorpusCurate: (SparkSession, String) => DataFrame = (s, d) =>
     curateCorpus(Tables.documents(s, d), minQuality = 0.3,
-      fullCorpusPairs = Some(Dedup.sharedMinhashPairs(s, d)))
+      fullCorpusPairs = Some(Dedup.sharedMinhashPairTable(s, d)))
 
   /** The HARD-ORACLED composition: annotate → exact dedup → quality gate →
     * deterministic split, i.e. [[curateCorpus]] minus the LSH/CC stage (the

@@ -48,10 +48,38 @@ class PipelineSpec extends SparkSpec {
     // survivors must produce the identical curated corpus as recomputing
     // pairs on the survivor subset (subset-closure of candidate generation
     // — the property qCorpusCurate's pair-table reuse relies on).
-    val fullPairs = Dedup.minhashPairs(docs.select("doc_id", "text"))
+    val fullPairs =
+      Dedup.minhashPairsWithStats(docs.select("doc_id", "text"))
+    assert(fullPairs.nHotBuckets === 0L) // precondition of the reuse path
     val viaShared =
       Pipeline.curateCorpus(docs, minQuality = 0.3, Some(fullPairs))
         .collect()
     assert(viaShared.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("cap-engaged pair table triggers the recompute fallback") {
+    import spark.implicits._
+    // >HotBucketCap docs sharing one boilerplate text: every LSH bucket
+    // they land in is wider than the cap, so the full-corpus pair table is
+    // star-degraded — the one regime where restricting it to a doc subset
+    // diverges from recomputing on that subset (ADVICE r4). The curation
+    // must detect nHotBuckets > 0 and recompute on the survivors.
+    val boiler = "this exact boilerplate sentence repeats across the " +
+      "corpus with no variation at all in any copy of the document"
+    val m = Dedup.HotBucketCap + 36
+    val docs = (1 to m).map(i => (i.toLong, boiler))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("dup"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pt = Dedup.minhashPairsWithStats(docs.select("doc_id", "text"))
+    assert(pt.nHotBuckets > 0L, "fixture must engage the hot-bucket cap")
+    val viaShared =
+      Pipeline.curateCorpus(docs, minQuality = 0.0, Some(pt)).collect()
+    val recomputed =
+      Pipeline.curateCorpus(docs, minQuality = 0.0, None).collect()
+    assert(viaShared.map(_.toSeq).toSeq === recomputed.map(_.toSeq).toSeq)
+    // all copies are exact dups of doc 1 — exact dedup alone collapses them,
+    // so exactly one survivor regardless of which pair path ran
+    assert(viaShared.map(_.getLong(0)).toSeq === Seq(1L))
   }
 }
