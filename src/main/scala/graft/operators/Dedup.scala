@@ -450,23 +450,77 @@ object Dedup {
   }
 
   // --- near-dup clustering: connected components over verified pairs ---
-  // Iterative min-label propagation WITH pointer jumping (driver loop,
-  // localCheckpoint per round to cut lineage): each round a node adopts the
-  // min of (its label, its neighbors' labels, the label of its current
-  // label's node). The label-of-label hop doubles the propagation distance
-  // per round, so convergence is O(log diameter) instead of O(diameter) —
-  // the difference between ~5 and ~15 shuffles on a long dupe chain. Each
-  // round is self-contained shuffles on node id; at cluster scale you
-  // checkpoint to storage instead of locally. Labels only ever move to the
-  // min id reachable, so the result is exactly the per-component min.
+  // Two regimes, selected by the size of the PAIR table (which is sparse
+  // relative to the corpus — it holds only verified near-duplicates):
+  //
+  //  * pair set fits a driver bound → union-find on the driver in one
+  //    collect. The bound plays the same role as a broadcast-join
+  //    threshold: 2M pairs ≈ 32 MB on the driver, and the iterative
+  //    alternative pays O(log d) full driver-loop rounds (measured 13
+  //    rounds / 2.7 s on the sf0.1 embedding graph vs ~0.1 s local).
+  //    The labels are IDENTICAL by construction (canonical = component
+  //    min), and ConnectedComponentsPropertySpec holds both paths equal
+  //    on random graphs.
+  //  * larger → iterative min-label propagation WITH pointer jumping
+  //    (driver loop, localCheckpoint per round to cut lineage): each
+  //    round a node adopts the min of (its label, its neighbors' labels,
+  //    the label of its current label's node). The label-of-label hop
+  //    doubles the propagation distance per round, so convergence is
+  //    O(log diameter) instead of O(diameter). Each round is
+  //    self-contained shuffles on node id; at cluster scale you
+  //    checkpoint to storage instead of locally. Labels only ever move
+  //    to the min id reachable, so the result is exactly the
+  //    per-component min.
+
+  /** Pair-count bound for the driver union-find fast path. */
+  val LocalCcMaxPairs = 2000000L
+
   /** Connected components over an undirected pair set (doc_a, doc_b):
-    * (doc_id, canonical = min id in component). */
-  def connectedComponents(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.select("doc_a", "doc_b")
+    * (doc_id, canonical = min id in component). `localMaxPairs` bounds the
+    * driver fast path (0 forces the distributed loop — ScaleProbe and the
+    * property spec exercise it explicitly). */
+  def connectedComponents(pairsIn: DataFrame,
+      localMaxPairs: Long = LocalCcMaxPairs): DataFrame = {
+    val s = pairsIn.sparkSession
+    val ccT0 = System.nanoTime()
+    val pairs = pairsIn
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .localCheckpoint()
+    val pairCount = pairs.count()
+    if (sys.props.contains("graft.cc.debug"))
+      System.err.println(s"CC pairs ckpt n=$pairCount " +
+        s"t=${(System.nanoTime() - ccT0) / 1e6}ms")
+    if (pairCount <= localMaxPairs) return localUnionFind(s, pairs)
+    // The iterative rounds pay task scheduling on every stage of every
+    // round, so the loop's shuffles AND the edge table itself are sized to
+    // the GRAPH (~500k directed edges per partition), not the session
+    // default — the same size-to-volume move as the streaming state
+    // partitions (EventsStreaming.runToMemorySink). The near-dup graph is
+    // sparse relative to the corpus, so at test scale the default 32-way
+    // layout schedules ~30 near-empty tasks per stage per round; at
+    // cluster scale edges/500k exceeds the default and the min() keeps
+    // the session's full parallelism. Set for the loop's eager jobs only,
+    // restored after.
+    val edgeCount = 2L * pairCount
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val nParts = math.max(1L, math.min(prevParts.toLong,
+      (edgeCount + 499999L) / 500000L)).toInt
+    s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    // With the shuffles explicitly sized above, AQE has nothing left to
+    // adapt inside a round — it only splits each checkpoint into one job
+    // per query stage (scheduling overhead multiplied by rounds).
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    // Hash-partitioned by src and checkpointed ONCE: LogicalRDD preserves
+    // the partitioning, so each round's edges⋈labels equi-join reuses it
+    // (only the label side shuffles) instead of re-exchanging the edge
+    // table every round.
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
+      .repartition(nParts, col("src"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -497,8 +551,56 @@ object Dedup {
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("node", "lbl")
       iter += 1
+      if (sys.props.contains("graft.cc.debug"))
+        System.err.println(s"CC iter=$iter changed=$changed " +
+          s"t=${(System.nanoTime() - ccT0) / 1e6}ms")
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical"))
+      .orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** Driver union-find over a bounded pair set: path-halving find, union
+    * by root id (the smaller root wins, so the final root of every
+    * component IS its min id — the same canonical the distributed loop
+    * converges to). One collect in, one parallelize out. */
+  private def localUnionFind(s: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    val it = pairs.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      parent.size())
+    val keys = parent.keySet().iterator()
+    while (keys.hasNext) {
+      val k = keys.next()
+      out += ((k, find(k)))
+    }
+    s.createDataset(out.toSeq).toDF("doc_id", "canonical")
       .orderBy("doc_id")
   }
 

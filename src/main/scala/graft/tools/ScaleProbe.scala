@@ -65,8 +65,11 @@ object ScaleProbe {
       Similarity.nearDupPairs(embs, 0.4).count())
     time(s"BUCKETED embedding near-dup over ${n}x embeddings")(
       Similarity.nearDupPairsBucketed(embs, 0.4, k = 10).count())
+    // localMaxPairs = 0: the stress probe must exercise the DISTRIBUTED
+    // pointer-jumping loop, not the driver union-find fast path.
     time(s"connected components over LSH pairs of ${n}x docs")(
-      Dedup.connectedComponents(Dedup.minhashPairs(docs)).count())
+      Dedup.connectedComponents(Dedup.minhashPairs(docs),
+        localMaxPairs = 0L).count())
 
     // Round-3 adversarial probes.
     // (a) TRUE hot-bucket case: a 500-doc slice duplicated 100-way — every

@@ -2,11 +2,12 @@ package graft
 
 import graft.operators.Dedup
 
-/** Property test for the pointer-jumping connected-components loop: on
-  * randomized graphs — sparse, chains (worst diameter), cliques, and
-  * forests with isolated pairs — the distributed result must equal a naive
-  * in-memory union-find, proving the label-of-label doubling hop never
-  * under- or over-merges. */
+/** Property test for BOTH connected-components paths: on randomized
+  * graphs — sparse, chains (worst diameter), cliques, and forests with
+  * isolated pairs — the distributed pointer-jumping loop (forced via
+  * localMaxPairs = 0) AND the driver union-find fast path must each equal
+  * a naive in-memory union-find, proving the label-of-label doubling hop
+  * never under- or over-merges and the two regimes agree. */
 class ConnectedComponentsPropertySpec extends SparkSpec {
 
   private def naiveComponents(edges: Seq[(Long, Long)])
@@ -25,10 +26,16 @@ class ConnectedComponentsPropertySpec extends SparkSpec {
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = edges.toDF("doc_a", "doc_b")
     val expected = naiveComponents(edges)
-    assert(got === expected)
+    // distributed pointer-jumping loop, fast path forced off
+    val distributed = Dedup.connectedComponents(df, localMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === expected)
+    // driver union-find fast path (the default at this size)
+    val local = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === expected)
   }
 
   test("random sparse graph matches union-find") {
