@@ -168,22 +168,32 @@ object EventsStreaming {
     })
 
   private def runToMemorySink(s: SparkSession, d: String, name: String,
-      plan: DataFrame => DataFrame): DataFrame = {
+      plan: DataFrame => DataFrame): DataFrame =
+    runDirToMemorySink(s, stageEventsDir(s, d), name, "complete",
+      dir => plan(readEventsStream(s, dir)))
+
+  /** Run an arbitrary streaming plan built FROM a staged directory to a
+    * memory sink and return the sink table. Generalizes runToMemorySink
+    * for plans that need a specific staging (ordered replay) or output
+    * mode (update/append), or that read the directory more than once
+    * (stream-stream joins). */
+  private def runDirToMemorySink(s: SparkSession, dir: String, name: String,
+      mode: String, plan: String => DataFrame, parts: Int = 8): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val dir = stageEventsDir(s, d)
     val sink = s"graft_stream_${name}_sink"
     // Stateful streaming pays a state-store commit per partition per
     // micro-batch, so the partition count must be sized to the per-batch
     // volume, not inherited from the batch default: at ~250k rows/batch,
     // 8 state partitions run 1.5× faster than 32 (measured); a real
-    // deployment sizes this UP with volume instead. Fixed at query start,
-    // restored after.
+    // deployment sizes this UP with volume instead. Stream-stream joins
+    // maintain FOUR state stores per partition per side, so they size
+    // down further (parts = 4). Fixed at query start, restored after.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, prev.toInt).toString)
+      math.min(parts, prev.toInt).toString)
     try {
-      val q = plan(readEventsStream(s, dir)).writeStream
-        .format("memory").queryName(sink).outputMode("complete")
+      val q = plan(dir).writeStream
+        .format("memory").queryName(sink).outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
       // A false return means the 5-minute timeout elapsed mid-run — the
@@ -307,24 +317,82 @@ object EventsStreaming {
     runToMemorySink(s, d, "sessions", Events.sessionAgg)
       .orderBy("user_id", "sess_start")
 
-  val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_stream_tumbling_append", qStreamTumblingAppend, Some(
-      // Append-mode semantics in SQL: only the newest-day rows (batch 1)
-      // reach emitted windows; the late batch is either dropped (window
-      // already finalized) or parked in the never-emitted tail windows.
-      // Emitted = window end at or below the final watermark
-      // (max(ts) − 10 min).
-      "WITH b AS (SELECT max(ts) AS tmax FROM events), r AS (SELECT e.* FROM events e CROSS JOIN b WHERE e.ts > b.tmax - INTERVAL 24 HOURS) SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM r CROSS JOIN b WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= b.tmax - INTERVAL 10 MINUTE GROUP BY event_type, win_start ORDER BY event_type, win_start")),
-    QueryDef("q_stream_tumbling", qStreamTumbling, Some(
-      // identical to q_events_tumbling's oracle: streaming == batch
-      "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
-    QueryDef("q_stream_sliding", qStreamSliding, Some(
-      // identical to q_events_sliding's oracle: streaming == batch
-      "SELECT event_type, strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks GROUP BY event_type, win_start ORDER BY event_type, win_start")),
-    QueryDef("q_stream_sessions", qStreamSessions, Some(
-      // identical to q_events_sessions' oracle: streaming == batch
-      "WITH t AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"))
-  )
+
+  // --- stream-stream interval join: clicks leading to purchases ---
+  //
+  // The canonical two-stream pattern: join a purchase stream to a click
+  // stream on user with an EVENT-TIME RANGE (click within the 30 minutes
+  // at-or-before the purchase). Both sides carry a watermark and the range
+  // condition bounds the join state: a buffered click is evictable once
+  // the watermark passes c_ts + 30 min (no future purchase can reach
+  // back to it), a buffered purchase once the watermark passes p_ts.
+  //
+  // The replay is staged TIME-ORDERED (range-partitioned files replayed
+  // oldest-first) so no input row ever arrives behind the watermark —
+  // which makes the append-mode result equal the batch interval join
+  // exactly, and therefore DuckDB-oracle-able: the driver hash-verifies
+  // the stateful two-stream machinery, not just that rows flowed.
+  private val stagedOrdered =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageOrderedEventsDir(s: SparkSession, d: String): String =
+    stagedOrdered.getOrElseUpdate((s, d), {
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|ordered|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_ordered_$key"
+      val tmp = s"${dir}_tmp"
+      // range partitioning yields time-disjoint files; part-0000N order IS
+      // time order, pinned for the file source via ascending mtimes
+      Tables.events(s, d).repartitionByRange(3, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis()
+      new java.io.File(dir).mkdirs()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = new java.io.File(dir, f"$i%02d.parquet")
+        java.nio.file.Files.move(p.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(t0 - (parts.length - i) * 60000L): Unit
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+      dir
+    })
+
+  /** The two-stream interval join plan: (purchase, click) pairs per user
+    * with the click inside the purchase's trailing 30-minute window. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame)
+      : DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  val qStreamJoin: (SparkSession, String) => DataFrame = (s, d) =>
+    runDirToMemorySink(s, stageOrderedEventsDir(s, d), "join", "append",
+      dir => {
+        val purchases = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "purchase")
+        val clicks = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "click")
+        purchaseClickJoin(purchases, clicks)
+      }, parts = 4)
+      .orderBy("p_id", "c_id")
 
   /** Custom streaming state via flatMapGroupsWithState: a per-user running
     * profile (event count + decimal value sum) updated each micro-batch.
@@ -353,4 +421,52 @@ object EventsStreaming {
           Iterator(UserProfile(uid, cnt, sum))
         })
   }
+
+  /** Declared flatMapGroupsWithState query: run the running profiles over
+    * the staged micro-batched replay in UPDATE mode, then reduce the
+    * sink's per-batch updates to each user's final state (events_seen is
+    * strictly increasing per update, so argmax selects it
+    * deterministically). The final state must equal the batch per-user
+    * aggregate — the DuckDB oracle — so the custom-state machinery is
+    * hash-verified end-to-end, not just spec-asserted. Decimal state sum
+    * is exact and order-independent, hence replay-stable. */
+  val qStreamUserProfiles: (SparkSession, String) => DataFrame = (s, d) => {
+    val sinkDf = runDirToMemorySink(s, stageEventsDir(s, d), "profiles",
+      "update", dir => runningProfiles(s, readEventsStream(s, dir)).toDF())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("events_seen").desc)
+    sinkDf
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("events_seen"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_join", qStreamJoin, Some(
+      // stream-stream interval join over a time-ordered replay == the
+      // batch interval join (no input is ever watermark-late; eviction
+      // only discards state the range condition already rules out)
+      "SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM events p JOIN events c ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts WHERE p.event_type = 'purchase' AND c.event_type = 'click' ORDER BY p_id, c_id")),
+    QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
+      // final flatMapGroupsWithState state == batch per-user aggregate
+      "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
+    QueryDef("q_stream_tumbling_append", qStreamTumblingAppend, Some(
+      // Append-mode semantics in SQL: only the newest-day rows (batch 1)
+      // reach emitted windows; the late batch is either dropped (window
+      // already finalized) or parked in the never-emitted tail windows.
+      // Emitted = window end at or below the final watermark
+      // (max(ts) − 10 min).
+      "WITH b AS (SELECT max(ts) AS tmax FROM events), r AS (SELECT e.* FROM events e CROSS JOIN b WHERE e.ts > b.tmax - INTERVAL 24 HOURS) SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM r CROSS JOIN b WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= b.tmax - INTERVAL 10 MINUTE GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_stream_tumbling", qStreamTumbling, Some(
+      // identical to q_events_tumbling's oracle: streaming == batch
+      "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_stream_sliding", qStreamSliding, Some(
+      // identical to q_events_sliding's oracle: streaming == batch
+      "SELECT event_type, strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_stream_sessions", qStreamSessions, Some(
+      // identical to q_events_sessions' oracle: streaming == batch
+      "WITH t AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"))
+  )
 }
