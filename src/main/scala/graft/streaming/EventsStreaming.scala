@@ -394,6 +394,62 @@ object EventsStreaming {
       }, parts = 4)
       .orderBy("p_id", "c_id")
 
+  // --- checkpointed restart: exactly-once state recovery, hash-verified ---
+  //
+  // THE production property of a stateful streaming pipeline: kill the
+  // query, restart it against the same checkpoint, and the state picks up
+  // where it left off — no lost windows, no double counting. Staged as two
+  // RUNS of the tumbling aggregation sharing one checkpoint directory: run
+  // 1 consumes two of three staged files and stops; the third file lands;
+  // run 2 restarts from the checkpoint and consumes only the new file,
+  // merging into the RESTORED window state. The complete-mode result after
+  // run 2 must therefore equal the batch aggregation over all three files
+  // — q_events_tumbling's DuckDB oracle verbatim — which hash-fails if
+  // recovery either drops state (missing counts) or replays file 1-2
+  // (doubled counts). Fresh dirs per invocation: a reused checkpoint would
+  // see no new files on a second call and emit nothing.
+  private val restartInvocation = new java.util.concurrent.atomic.AtomicInteger
+
+  val qStreamRestart: (SparkSession, String) => DataFrame = (s, d) => {
+    val inv = restartInvocation.incrementAndGet()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_restart_" +
+      s.sparkContext.applicationId + s"_$inv"
+    val dataDir = s"$base/data"; val ckpt = s"$base/ckpt"
+    Tables.events(s, d).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/staged")
+    val parts = new java.io.File(s"$base/staged").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length == 3, s"expected 3 staged files, got ${parts.length}")
+    new java.io.File(dataDir).mkdirs()
+    def land(i: Int): Unit = {
+      java.nio.file.Files.move(parts(i).toPath,
+        new java.io.File(dataDir, f"$i%02d.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    val sink = s"graft_stream_restart_sink_$inv"
+    def runOnce(): Unit = {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = tumbling(readEventsStream(s, dataDir)).writeStream
+        .format("memory").queryName(sink).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q_stream_restart run timed out after 300s")
+      q.stop()
+    }
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    try {
+      land(0); land(1)
+      runOnce() // run 1: two files, state checkpointed
+      land(2)
+      runOnce() // run 2: recovers state, consumes only the new file
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(sink).orderBy("event_type", "win_start")
+  }
+
   /** Custom streaming state via flatMapGroupsWithState: a per-user running
     * profile (event count + decimal value sum) updated each micro-batch.
     * This is the escape hatch when built-in windows can't express the
@@ -461,6 +517,9 @@ object EventsStreaming {
       "WITH b AS (SELECT max(ts) AS tmax FROM events), r AS (SELECT e.* FROM events e CROSS JOIN b WHERE e.ts > b.tmax - INTERVAL 24 HOURS) SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM r CROSS JOIN b WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= b.tmax - INTERVAL 10 MINUTE GROUP BY event_type, win_start ORDER BY event_type, win_start")),
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(
       // identical to q_events_tumbling's oracle: streaming == batch
+      "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_stream_restart", qStreamRestart, Some(
+      // checkpoint recovery: restarted-state result == batch over ALL files
       "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
     QueryDef("q_stream_sliding", qStreamSliding, Some(
       // identical to q_events_sliding's oracle: streaming == batch
