@@ -402,6 +402,87 @@ object Similarity {
       .select("vec_id", "sim")
       .orderBy(col("sim").desc, col("vec_id").asc)
 
+  // --- batch ANN: the SERVING shape — a query batch in one corpus pass ---
+
+  /** Brute-force top-k for a BATCH of query vectors in ONE corpus scan:
+    * the realistic serving request (and the oracle baseline for the batch
+    * IVF probe below). The query batch is broadcast — small by definition,
+    * the one broadcast that is always safe — and per-query top-k uses a
+    * rank window, which Spark plans as WindowGroupLimit: the k-filter is
+    * pushed below the shuffle, so each map task forwards at most k rows
+    * per query instead of its whole corpus slice. */
+  def cosineTopKBatch(embs: DataFrame, queryIds: Seq[Long], k: Int)
+      : DataFrame = {
+    val e = prepare(embs)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"),
+        col("n2").as("qn2"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select("q_id", "vec_id", "sim")
+      .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+  }
+
+  val batchQueryIds: Seq[Long] = (0L until 8L)
+
+  val qAnnBatch: (SparkSession, String) => DataFrame = (s, d) =>
+    cosineTopKBatch(Tables.embeddings(s, d), batchQueryIds, k = 5)
+
+  /** Batch IVF probe: assign the corpus once (query-independent), pick
+    * each query's nprobe nearest centroids, and join candidates on the
+    * CLUSTER id — one shuffle keyed by cluster regardless of batch size.
+    * At 100 TB the corpus is bucketed by c_id on disk, so the join reads
+    * each probed bucket once for the whole batch instead of once per
+    * query — that batching is the point of the serving shape. */
+  def ivfSearchBatch(s: SparkSession, d: String, queryIds: Seq[Long],
+      k: Int, nprobe: Int): DataFrame = {
+    val e = prepared(s, d)
+    val centroids = ivfCentroids(s, d, 10, 3)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"),
+        col("n2").as("qn2"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("csim").desc, col("c_id").asc)
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("q_id"), col("qe"), col("qn2"), col("c_id"),
+        sim(col("centroid"), col("cn2"), col("qe"), col("qn2")).as("csim"))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nprobe)
+      .select("q_id", "qe", "qn2", "c_id")
+    val assigned = e
+      .crossJoin(broadcast(centroids
+        .select(col("c_id").as("a_id"), col("centroid").as("a_c"),
+          col("cn2").as("a_n2"))))
+      .withColumn("d2", col("a_n2") - lit(2.0) * dotd(col("ce"), col("a_c")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("ce"), col("n2"), col("a_id")),
+        struct(col("d2"), col("a_id"))).as("m"))
+      .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
+        col("m.a_id").as("a_id"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(probed, col("a_id") === col("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6).as("sim"))
+      .withColumn("__rnk", row_number().over(wTop))
+      .filter(col("__rnk") <= k)
+      .select("q_id", "vec_id", "sim")
+      .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+  }
+
+  // Exhaustive batch probe (nprobe = all 10 lists) ≡ brute batch top-k —
+  // the batch twin of q_ann_ivf_exhaustive's hard oracle, sharing
+  // q_ann_batch's oracle string verbatim.
+  val qAnnBatchExhaustive: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfSearchBatch(s, d, batchQueryIds, k = 5, nprobe = 10)
+
   // --- q_ann_recall: IVF recall@10 against the brute-force ground truth —
   // the evaluation metric an ANN index ships with, SELF-VALIDATING in the
   // q_approx_distinct style: the row carries the ground-truth size, the
@@ -571,6 +652,11 @@ object Similarity {
       // exhaustive probe ≡ brute force: the SAME oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_index_probe", qAnnIndexProbe, None),
+    QueryDef("q_ann_batch", qAnnBatch, Some(
+      s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id < 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, sim DESC, vec_id")),
+    QueryDef("q_ann_batch_exhaustive", qAnnBatchExhaustive, Some(
+      // exhaustive batch probe ≡ brute batch: the SAME oracle as q_ann_batch
+      s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id < 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, sim DESC, vec_id")),
     QueryDef("q_ann_recall", qAnnRecall, None),
     QueryDef("q_embed_clusters", qEmbedClusters, Some(
       "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src) SELECT src AS vec_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY vec_id")),

@@ -50,6 +50,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("batch ANN pushes per-query top-k below the shuffle and only " +
+      "broadcasts the query batch") {
+    val p = plan("q_ann_batch")
+    // WindowGroupLimit: map tasks forward at most k rows per query
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    // the only broadcast is the query batch (corpus stays put)
+    assert(p.split("BroadcastExchange").length <= 3, p.take(800))
+  }
+
   test("near-dup similarity predicates stay inside join conditions") {
     // the declared key serves the cached (checkpointed) pair table, so the
     // plan property is asserted on the underlying builder — same approach
