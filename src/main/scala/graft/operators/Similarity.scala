@@ -483,6 +483,25 @@ object Similarity {
   val qAnnBatchExhaustive: (SparkSession, String) => DataFrame = (s, d) =>
     ivfSearchBatch(s, d, batchQueryIds, k = 5, nprobe = 10)
 
+  // Self-validating recall for the PRUNED batch probe (nprobe=2 — the
+  // serving configuration): one row per query carrying the ground-truth
+  // size, the hit count, and recall@5, q_ann_recall-style, so a collapsed
+  // index or a miscounted join is visible in the output itself. Rows-only
+  // (pruned recall is a property of the index, not SQL-expressible).
+  val qAnnBatchRecall: (SparkSession, String) => DataFrame = (s, d) => {
+    val truth = cosineTopKBatch(Tables.embeddings(s, d), batchQueryIds, 5)
+      .select(col("q_id"), col("vec_id"))
+    val got = ivfSearchBatch(s, d, batchQueryIds, k = 5, nprobe = 2)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    truth.join(got, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("truth_k"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .withColumn("recall",
+        round(col("hits").cast("double") / col("truth_k"), 4))
+      .orderBy("q_id")
+  }
+
   // --- q_ann_recall: IVF recall@10 against the brute-force ground truth —
   // the evaluation metric an ANN index ships with, SELF-VALIDATING in the
   // q_approx_distinct style: the row carries the ground-truth size, the
@@ -658,6 +677,7 @@ object Similarity {
       // exhaustive batch probe ≡ brute batch: the SAME oracle as q_ann_batch
       s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id < 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, sim DESC, vec_id")),
     QueryDef("q_ann_recall", qAnnRecall, None),
+    QueryDef("q_ann_batch_recall", qAnnBatchRecall, None),
     QueryDef("q_embed_clusters", qEmbedClusters, Some(
       "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src) SELECT src AS vec_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY vec_id")),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(

@@ -335,33 +335,95 @@ object EventsStreaming {
   private val stagedOrdered =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Write `df` as `nFiles` time-range-partitioned files into `dir` with
+    * ascending mtimes starting at slot `firstSlot` (file-source replay
+    * order = time order); returns the next free slot. */
+  private def writeOrderedFiles(df: DataFrame, dir: String, nFiles: Int,
+      firstSlot: Int, totalSlots: Int): Int = {
+    val tmp = s"${dir}_tmp_$firstSlot"
+    df.repartitionByRange(nFiles, col("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis()
+    new java.io.File(dir).mkdirs()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val slot = firstSlot + i
+      val dest = new java.io.File(dir, f"$slot%02d.parquet")
+      java.nio.file.Files.move(p.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(t0 - (totalSlots - slot).toLong * 60000L): Unit
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    firstSlot + parts.length
+  }
+
   private def stageOrderedEventsDir(s: SparkSession, d: String): String =
     stagedOrdered.getOrElseUpdate((s, d), {
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|ordered|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_ordered_$key"
-      val tmp = s"${dir}_tmp"
-      // range partitioning yields time-disjoint files; part-0000N order IS
-      // time order, pinned for the file source via ascending mtimes
-      Tables.events(s, d).repartitionByRange(3, col("ts"))
-        .write.mode("overwrite").parquet(tmp)
-      val parts = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      val t0 = System.currentTimeMillis()
-      new java.io.File(dir).mkdirs()
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val dest = new java.io.File(dir, f"$i%02d.parquet")
-        java.nio.file.Files.move(p.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dest.setLastModified(t0 - (parts.length - i) * 60000L): Unit
-      }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(tmp))
+      writeOrderedFiles(Tables.events(s, d), dir, 3, 0, 3): Unit
       dir
     })
+
+  // --- late-data variant: the join watermark actually DROPPING input ---
+  //
+  // The oldest 15 days' clicks are HELD OUT of the ordered replay and
+  // delivered last, far behind the watermark. By then the join's input
+  // filter (previous-batch watermark — the carrier batch lets it catch
+  // up, same two-readings behavior q_stream_tumbling_append pins) sits at
+  // max(ts) − 10 min, so every held-out click is dropped on arrival and
+  // none of its pairs appear. The oracle is the batch interval join MINUS
+  // exactly those pairs — the driver hash-verifies WHAT the join's
+  // watermark dropped. The carrier is a synthesized click with user_id
+  // −1 (matches no purchase, invisible in the output).
+  private val stagedLateJoin =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageLateJoinDir(s: SparkSession, d: String): String =
+    stagedLateJoin.getOrElseUpdate((s, d), {
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|latejoin|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_latejoin_$key"
+      val ev = Tables.events(s, d)
+      // 15 of the ~30 staged days: wide enough that held-out clicks
+      // participate in pairs at EVERY test SF (a 24h cut drops zero pairs
+      // — the gate would pass vacuously, proving nothing about the drop)
+      val cut = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAYS")).as("cut"))
+      val withCut = ev.crossJoin(broadcast(cut))
+      val isHoldout = col("event_type") === "click" && col("ts") < col("cut")
+      val main = withCut.filter(!isHoldout).drop("cut")
+      val holdout = withCut.filter(isHoldout).drop("cut")
+      val carrier = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("click"))
+      // 2 main files (1 range boundary still proves cross-batch join
+      // state) — each extra batch costs a full state-store commit cycle
+      var slot = writeOrderedFiles(main, dir, 2, 0, 4)
+      slot = writeOrderedFiles(carrier, dir, 1, slot, 4)
+      writeOrderedFiles(holdout, dir, 1, slot, 4): Unit
+      dir
+    })
+
+  val qStreamJoinLate: (SparkSession, String) => DataFrame = (s, d) =>
+    runDirToMemorySink(s, stageLateJoinDir(s, d), "join_late", "append",
+      dir => {
+        val purchases = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "purchase")
+        val clicks = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "click")
+        purchaseClickJoin(purchases, clicks)
+      }, parts = 4)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("p_id", "c_id")
 
   /** The two-stream interval join plan: (purchase, click) pairs per user
     * with the click inside the purchase's trailing 30-minute window. */
@@ -505,6 +567,10 @@ object EventsStreaming {
       // batch interval join (no input is ever watermark-late; eviction
       // only discards state the range condition already rules out)
       "SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM events p JOIN events c ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts WHERE p.event_type = 'purchase' AND c.event_type = 'click' ORDER BY p_id, c_id")),
+    QueryDef("q_stream_join_late", qStreamJoinLate, Some(
+      // the held-out oldest-day clicks arrive behind the watermark and are
+      // dropped on input — the oracle is the batch join minus their pairs
+      "WITH b AS (SELECT min(ts) + INTERVAL 15 DAYS AS cut FROM events) SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM events p JOIN events c ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts CROSS JOIN b WHERE p.event_type = 'purchase' AND c.event_type = 'click' AND c.ts >= b.cut ORDER BY p_id, c_id")),
     QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
       // final flatMapGroupsWithState state == batch per-user aggregate
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
