@@ -130,10 +130,149 @@ object Pipeline {
   val qCorpusCurateExact: (SparkSession, String) => DataFrame = (s, d) =>
     curateCorpusExact(Tables.documents(s, d), minQuality = 0.3)
 
+  // --- incremental curation: gate a NEW batch against what's been seen ---
+
+  private def fingerprintOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(to_binary(lower(regexp_replace(c, "\\s+", " ")), lit("utf-8")))
+
+  /** INCREMENTAL curation — the production loop: a 100 TB pipeline curates
+    * a day's batch against the corpus it has already ingested; it never
+    * recurates the corpus. Gates, in order: (1) within-batch exact dedup
+    * (deterministic survivor); (2) exact-dup-of-seen rejection (anti-join
+    * on fingerprint — equivalent to checking curated survivors, because an
+    * identical text fails the identical quality gate); (3) near-dup-of-seen
+    * rejection via the banded-signature join (the in-memory twin of
+    * probing the persisted LSH index, which is built over everything
+    * ingested); (4) within-batch near-dup collapse (LSH pairs → connected
+    * components → canonical); (5) quality gate; (6) the same deterministic
+    * split as [[curateCorpus]].
+    *
+    * Batch-vs-incremental caveat (inherent, documented): a new doc that
+    * BRIDGES two already-accepted near-dup clusters is simply rejected
+    * here, while a full recuration would merge the clusters and keep one
+    * survivor — incremental curation never mutates accepted rows.
+    * PipelineSpec pins both the no-bridge equivalence and this divergence. */
+  def curateIncrement(seenDocs: DataFrame, newDocs: DataFrame,
+      minQuality: Double): DataFrame = {
+    val featured = TextAnalysis.withTextFeatures(newDocs)
+    val wExact = Window.partitionBy("fingerprint").orderBy("doc_id")
+    val batchKept = featured
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val seenFp = seenDocs
+      .select(fingerprintOf(col("text")).as("fingerprint"))
+      .distinct()
+    val freshExact = batchKept
+      .join(seenFp, Seq("fingerprint"), "left_anti")
+    // near-dup of anything seen: banded-signature equi-join on
+    // (band, bkey), exact-Jaccard verified — only the new batch shuffles
+    // against a persisted index at scale (Dedup.nearDupAgainstLshIndex)
+    val seenBands = Dedup.bandedSignatures(
+        seenDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("idx_id"), col("sh").as("idx_sh"),
+        col("n").as("idx_n"), col("band"), col("bkey"))
+    val newBands = Dedup.bandedSignatures(
+      freshExact.select(col("doc_id"), col("text")))
+    val inter = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("sh"), col("idx_sh")).cast("double")
+    val jac = inter / (col("n") + col("idx_n") - inter)
+    val nearSeen = newBands.join(seenBands, Seq("band", "bkey"))
+      .filter(jac >= 0.8)
+      .select("doc_id").distinct()
+      .localCheckpoint()
+    // Within-batch near-dup clusters over ALL exact-survivors (BEFORE the
+    // near-of-seen removal): a batch cluster that touches anything seen is
+    // rejected WHOLE — a doc connected to the seen corpus only through a
+    // rejected batch-mate must still go (it would join the seen cluster
+    // under full recuration). This makes the increment equal a full
+    // recuration restricted to the new ids (uncapped regime; spec-pinned).
+    val pairs = Dedup.minhashPairs(freshExact.select("doc_id", "text"))
+    val clusters = Dedup.connectedComponents(pairs)
+    val flaggedClusters = clusters
+      .join(nearSeen, Seq("doc_id"), "left_semi")
+      .select(col("canonical")).distinct()
+    val bucket = pmod(
+      xxhash64(concat(lit("graft_split"), col("fingerprint"))), lit(100L))
+    freshExact
+      .join(nearSeen.withColumn("__near", lit(1)), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(flaggedClusters.withColumn("__flagged", lit(1)),
+        Seq("canonical"), "left")
+      .filter(col("__near").isNull && col("__flagged").isNull &&
+        (col("canonical").isNull || col("canonical") === col("doc_id")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "n_chars", "lang_pred",
+        "n_tokens", "quality", "split")
+      .orderBy("doc_id")
+  }
+
+  /** The HARD-ORACLED increment: [[curateIncrement]] minus the LSH stages
+    * (within-batch exact dedup + exact-dup-of-seen rejection + gate +
+    * md5-hex split) — fully DuckDB-expressible, so the incremental gating
+    * chain is hash-verified end-to-end. */
+  def curateIncrementExact(seenDocs: DataFrame, newDocs: DataFrame,
+      minQuality: Double): DataFrame = {
+    val featured = TextAnalysis.withTextFeatures(newDocs)
+    val wExact = Window.partitionBy("fingerprint").orderBy("doc_id")
+    val seenFp = seenDocs
+      .select(fingerprintOf(col("text")).as("fingerprint"))
+      .distinct()
+    val h = md5(to_binary(concat(lit("graft_split"), col("fingerprint")),
+      lit("utf-8")))
+    val bucket =
+      (expr("instr('0123456789abcdef', substring(__h, 1, 1))") - 1) * 16 +
+        (expr("instr('0123456789abcdef', substring(__h, 2, 1))") - 1)
+    featured
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") === 1)
+      .join(seenFp, Seq("fingerprint"), "left_anti")
+      .filter(col("quality") >= minQuality)
+      .withColumn("__h", h)
+      .withColumn("split",
+        when(bucket < 205, "train").when(bucket < 231, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "n_chars", "lang_pred",
+        "n_tokens", "quality", "split")
+      .orderBy("doc_id")
+  }
+
+  // Declared increment queries: the TOP 20% of doc ids play the new batch
+  // arriving after the bottom 80% was ingested — ids grow with ingest
+  // time, which is also the regime where increment ≡ full-recuration-
+  // restricted-to-new holds (an interleaved-id new doc could steal
+  // canonical status from an accepted old doc under full recuration,
+  // which an immutable-corpus increment must not emulate).
+  private def splitOldNew(docs: DataFrame): (DataFrame, DataFrame) = {
+    val cut = docs.agg(((max(col("doc_id")) + 1L) * 4L).as("__c4"))
+    val d = docs.crossJoin(broadcast(cut))
+    (d.filter(col("doc_id") * 5L < col("__c4")).drop("__c4"),
+      d.filter(col("doc_id") * 5L >= col("__c4")).drop("__c4"))
+  }
+
+  val qCorpusCurateIncrement: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val (old, fresh) = splitOldNew(Tables.documents(s, d))
+      curateIncrement(old, fresh, minQuality = 0.3)
+    }
+
+  val qCorpusCurateIncrementExact: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val (old, fresh) = splitOldNew(Tables.documents(s, d))
+      curateIncrementExact(old, fresh, minQuality = 0.3)
+    }
+
   // DuckDB mirror of curateCorpusExact, stage for stage (marker scores and
   // quality identical to the q_lang_id / q_quality_score oracles; survivor
   // window identical to q_dedup_exact's; split bucket from md5 hex).
-  private val curateExactOracle: String = {
+  // Parameterized so the INCREMENT oracle reuses the identical pipeline
+  // over the new-batch slice with the seen-fingerprint rejection added.
+  private def curateExactSql(extraCtes: String, docWhere: String,
+      extraKeptCond: String): String = {
     val markers = Seq(
       "s_en" -> Seq(" the ", " and ", " of "),
       "s_fr" -> Seq(" le ", " la ", " et "),
@@ -145,12 +284,22 @@ object Pipeline {
         s"(length(padded) - length(replace(padded, '$m', '')))")
         .mkString(" + ") + s" AS $n"
     }.mkString(", ")
-    s"""WITH f AS (SELECT doc_id, lang, source, n_chars, text, ' ' || text || ' ' AS padded, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents), sc AS (SELECT *, $scoreCols FROM f), lp AS (SELECT *, CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und' WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en' WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_de AND s_es >= s_zh THEN 'es' WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_pred, round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(padded) - length(replace(padded, ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM sc), kept AS (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM lp), b AS (SELECT *, (instr('0123456789abcdef', substring(md5('graft_split' || fingerprint), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5('graft_split' || fingerprint), 2, 1)) - 1) AS bk FROM kept WHERE rn = 1 AND quality >= 0.3) SELECT doc_id, lang, source, n_chars, lang_pred, n_tokens, quality, CASE WHEN bk < 205 THEN 'train' WHEN bk < 231 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"""
+    s"""WITH ${extraCtes}f AS (SELECT doc_id, lang, source, n_chars, text, ' ' || text || ' ' AS padded, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents$docWhere), sc AS (SELECT *, $scoreCols FROM f), lp AS (SELECT *, CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und' WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en' WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_de AND s_es >= s_zh THEN 'es' WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_pred, round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(padded) - length(replace(padded, ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM sc), kept AS (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM lp), b AS (SELECT *, (instr('0123456789abcdef', substring(md5('graft_split' || fingerprint), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5('graft_split' || fingerprint), 2, 1)) - 1) AS bk FROM kept WHERE rn = 1 AND quality >= 0.3$extraKeptCond) SELECT doc_id, lang, source, n_chars, lang_pred, n_tokens, quality, CASE WHEN bk < 205 THEN 'train' WHEN bk < 231 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"""
   }
+
+  private val curateExactOracle: String = curateExactSql("", "", "")
+
+  private val curateIncrementExactOracle: String = curateExactSql(
+    "old_fp AS (SELECT DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents WHERE doc_id * 5 < (SELECT (max(doc_id) + 1) * 4 FROM documents)), ",
+    " WHERE doc_id * 5 >= (SELECT (max(doc_id) + 1) * 4 FROM documents)",
+    " AND fingerprint NOT IN (SELECT fp FROM old_fp)")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_corpus_curate", qCorpusCurate, None),
     QueryDef("q_corpus_curate_exact", qCorpusCurateExact,
-      Some(curateExactOracle))
+      Some(curateExactOracle)),
+    QueryDef("q_corpus_curate_increment", qCorpusCurateIncrement, None),
+    QueryDef("q_corpus_curate_increment_exact", qCorpusCurateIncrementExact,
+      Some(curateIncrementExactOracle))
   )
 }

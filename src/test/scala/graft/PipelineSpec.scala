@@ -57,6 +57,44 @@ class PipelineSpec extends SparkSpec {
     assert(viaShared.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("incremental curation equals full recuration restricted to the " +
+      "new batch") {
+    // the declared split: the top 20% of ids arrive as the new batch AFTER
+    // the rest of the corpus was ingested — the increment must accept
+    // exactly the new-id rows a full recuration of old ∪ new would accept,
+    // including transitive rejections (a new doc connected to the seen
+    // corpus only through a rejected batch-mate)
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") < 400L)
+    val fresh = docs.filter(col("doc_id") >= 400L)
+    val full = Pipeline.curateCorpus(docs, minQuality = 0.3)
+      .filter(col("doc_id") >= 400L)
+      .collect()
+    val inc = Pipeline.curateIncrement(old, fresh, minQuality = 0.3)
+      .collect()
+    assert(inc.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+  }
+
+  test("incremental curation gates: exact-of-seen, near-of-seen, " +
+      "within-batch dup, junk") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf)
+    val seenRows = base.limit(2).select("doc_id", "text").collect()
+    val extra = Seq(
+      (900001L, seenRows(0).getString(1)), // exact dup of a seen doc
+      (900002L, seenRows(1).getString(1) + " extra"), // near dup of seen
+      (900003L, "xx"), // junk: fails the quality gate
+      (900004L, seenRows(1).getString(1) + " extra"), // within-batch dup of 900002 (also near-seen)
+      (900005L, ("fresh unique paragraph about entirely novel topics " * 6)
+        .trim)) // genuinely new
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Pipeline.curateIncrement(base, extra, minQuality = 0.3)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(900005L), out.mkString(","))
+  }
+
   test("cap-engaged pair table triggers the recompute fallback") {
     import spark.implicits._
     // >HotBucketCap docs sharing one boilerplate text: every LSH bucket
