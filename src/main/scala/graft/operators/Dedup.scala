@@ -321,11 +321,18 @@ object Dedup {
   }
 
   // --- persisted LSH index: the on-disk form of the dedup scale path ---
-  // The banded signature table written BUCKETED by bucket key: the ingest
-  // gate ("is this new doc a near-dup of anything indexed?") then joins new
-  // docs against the index with NO shuffle of the index side — only the
-  // (small) new-doc side is hashed into the index's bucketing. This is the
-  // batch twin of EventsStreaming.nearDupAgainstIndex, persisted.
+  // TWO tables, routing separated from payload (round 5 — the single
+  // banded-signature table duplicated every doc's shingle array across
+  // its 8 band rows, so every probe scanned 8× the payload):
+  //   <table>       (doc_id, band, bkey)  bucketed by bkey   — routing
+  //   <table>_sigs  (doc_id, sh, n)       bucketed by doc_id — payload
+  // The ingest gate ("is this new doc a near-dup of anything indexed?")
+  // joins probe bands against the routing table (index side
+  // exchange-free: the bucket layout satisfies the join clustering),
+  // dedups candidates, and only THEN fetches each candidate's shingles
+  // from the payload table — read once per candidate doc, not once per
+  // band row. This is the batch twin of
+  // EventsStreaming.nearDupAgainstIndex, persisted.
 
   /** Banded signature table for a corpus: (doc_id, sh, n, band, bkey). */
   def bandedSignatures(docs: DataFrame): DataFrame =
@@ -335,50 +342,89 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("n"),
         col("b.band").as("band"), col("b.bkey").as("bkey"))
 
-  /** Persist the LSH index as a bucketed table; returns the table name. */
-  def writeLshIndex(docs: DataFrame, table: String, buckets: Int = 64)
-      : String =
-    graft.functions.ScalePatterns.writeBucketed(
-      bandedSignatures(docs), table, "bkey", buckets)
+  private def bandsOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+        explode(lshBands(minhashSignature(col("sh")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.bkey").as("bkey"))
 
-  /** INCREMENTAL index maintenance: append new documents' banded
-    * signatures into an existing LSH index table, reusing the table's own
-    * bucket spec so the bucketing invariant (probe joins shuffle only the
-    * probe side) survives the append. A 100 TB pipeline appends a day's
-    * docs; it never rebuilds the corpus index. Banding is a deterministic
-    * per-doc function, so append(old, new) is row-identical to a full
-    * rebuild over old ∪ new — LshIndexSpec proves probe equality. */
-  def appendToLshIndex(spark: SparkSession, table: String,
-      newDocs: DataFrame): String = {
-    val buckets = spark.sessionState.catalog
+  /** Persist the LSH index (routing + payload tables); returns the base
+    * table name. */
+  def writeLshIndex(docs: DataFrame, table: String, buckets: Int = 64)
+      : String = {
+    val sh = shingleDocs(docs).localCheckpoint()
+    graft.functions.ScalePatterns.writeBucketed(
+      bandsOf(sh), table, "bkey", buckets)
+    graft.functions.ScalePatterns.writeBucketed(
+      sh.select("doc_id", "sh", "n"), s"${table}_sigs", "doc_id", buckets)
+    table
+  }
+
+  private def bucketCountOf(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(
         s"$table is not a bucketed LSH index"))
-    bandedSignatures(newDocs).write.mode("append")
+
+  /** INCREMENTAL index maintenance: append new documents into both index
+    * tables, reusing each table's own bucket spec so the bucketing
+    * invariant (probe joins shuffle only the probe side) survives the
+    * append. A 100 TB pipeline appends a day's docs; it never rebuilds
+    * the corpus index. Banding is a deterministic per-doc function, so
+    * append(old, new) is row-identical to a full rebuild over old ∪ new —
+    * LshIndexSpec proves probe equality. */
+  def appendToLshIndex(spark: SparkSession, table: String,
+      newDocs: DataFrame): String = {
+    val buckets = bucketCountOf(spark, table)
+    val sigBuckets = bucketCountOf(spark, s"${table}_sigs")
+    val sh = shingleDocs(newDocs).localCheckpoint()
+    bandsOf(sh).write.mode("append")
       .bucketBy(buckets, "bkey").sortBy("bkey")
       .format("parquet").saveAsTable(table)
+    sh.select("doc_id", "sh", "n").write.mode("append")
+      .bucketBy(sigBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_sigs")
     table
   }
 
   /** Batch ingest gate against a persisted index: verified near-dup pairs
-    * (new_doc_id, idx_id, jac). The index scan arrives pre-partitioned on
-    * bkey (bucket layout satisfies the join's clustering), so only the
-    * new-doc side shuffles. */
+    * (new_doc_id, idx_id, jac). Routing join first (index side
+    * exchange-free), candidate dedup, then one payload fetch per
+    * candidate from the doc_id-bucketed signature table (its side of the
+    * fetch join is likewise exchange-free). */
   def nearDupAgainstLshIndex(spark: SparkSession, table: String,
       newDocs: DataFrame): DataFrame = {
-    val idx = spark.table(table)
+    val probeSh = shingleDocs(newDocs).localCheckpoint()
+    // Routing join on bkey ALONE — it equals the bucket column exactly, so
+    // the bucketed scan engages (a join on (band, bkey) would need
+    // subset-bucketing, which Spark does not auto-select). bkey already
+    // hashes the band id into the key, so a cross-band bkey collision is
+    // merely a spurious candidate that the exact-Jaccard verify removes.
+    val cand = bandsOf(probeSh).select("doc_id", "bkey")
+      .join(spark.table(table)
+        .select(col("doc_id").as("idx_id"), col("bkey")),
+        Seq("bkey"))
+      .filter(col("doc_id") =!= col("idx_id"))
+      .select("doc_id", "idx_id")
+      .distinct()
+    val idxSigs = spark.table(s"${table}_sigs")
       .select(col("doc_id").as("idx_id"), col("sh").as("idx_sh"),
-        col("n").as("idx_n"), col("band"), col("bkey"))
-    val probe = bandedSignatures(newDocs)
+        col("n").as("idx_n"))
     val inter = graft.functions.VectorFunctions
       .sortedIntersectCount(col("sh"), col("idx_sh")).cast("double")
     val jac = inter / (col("n") + col("idx_n") - inter)
-    probe.join(idx, Seq("band", "bkey"))
-      .filter(col("doc_id") =!= col("idx_id") && jac >= 0.8)
+    // probe payload attaches FIRST (probe-batch-sized join), the index
+    // payload LAST on the bucketed key — so nothing downstream ever
+    // re-shuffles index-table data, only candidate-sized rows move
+    // (LshIndexSpec asserts no exchange above either index scan)
+    cand
+      .join(probeSh.select(col("doc_id"), col("sh"), col("n")),
+        Seq("doc_id"))
+      .join(idxSigs, Seq("idx_id"))
+      .filter(jac >= 0.8)
       .select(col("doc_id"), col("idx_id"), round(jac, 4).as("jac"))
-      .distinct()
   }
 
   // --- SimHash: 64-bit frequency-weighted signature + banded pairing ---

@@ -154,7 +154,8 @@ object Pipeline {
     * survivor — incremental curation never mutates accepted rows.
     * PipelineSpec pins both the no-bridge equivalence and this divergence. */
   def curateIncrement(seenDocs: DataFrame, newDocs: DataFrame,
-      minQuality: Double): DataFrame = {
+      minQuality: Double, seenIndexTable: Option[String] = None)
+      : DataFrame = {
     val featured = TextAnalysis.withTextFeatures(newDocs)
     val wExact = Window.partitionBy("fingerprint").orderBy("doc_id")
     val batchKept = featured
@@ -167,21 +168,31 @@ object Pipeline {
     val freshExact = batchKept
       .join(seenFp, Seq("fingerprint"), "left_anti")
     // near-dup of anything seen: banded-signature equi-join on
-    // (band, bkey), exact-Jaccard verified — only the new batch shuffles
-    // against a persisted index at scale (Dedup.nearDupAgainstLshIndex)
-    val seenBands = Dedup.bandedSignatures(
-        seenDocs.select(col("doc_id"), col("text")))
-      .select(col("doc_id").as("idx_id"), col("sh").as("idx_sh"),
-        col("n").as("idx_n"), col("band"), col("bkey"))
-    val newBands = Dedup.bandedSignatures(
-      freshExact.select(col("doc_id"), col("text")))
-    val inter = graft.functions.VectorFunctions
-      .sortedIntersectCount(col("sh"), col("idx_sh")).cast("double")
-    val jac = inter / (col("n") + col("idx_n") - inter)
-    val nearSeen = newBands.join(seenBands, Seq("band", "bkey"))
-      .filter(jac >= 0.8)
-      .select("doc_id").distinct()
-      .localCheckpoint()
+    // (band, bkey), exact-Jaccard verified. With `seenIndexTable` set the
+    // seen side is the PERSISTED bucketed LSH index — the production
+    // shape: the index exists before the batch arrives, only the batch
+    // side shuffles into its bucketing (LshIndexSpec locks the
+    // exchange-free property). Without it, the same join runs against
+    // in-memory banded signatures (identical criterion, spec-pinned).
+    val nearSeen = (seenIndexTable match {
+      case Some(table) =>
+        Dedup.nearDupAgainstLshIndex(seenDocs.sparkSession, table,
+          freshExact.select(col("doc_id"), col("text")))
+          .select("doc_id")
+      case None =>
+        val seenBands = Dedup.bandedSignatures(
+            seenDocs.select(col("doc_id"), col("text")))
+          .select(col("doc_id").as("idx_id"), col("sh").as("idx_sh"),
+            col("n").as("idx_n"), col("band"), col("bkey"))
+        val newBands = Dedup.bandedSignatures(
+          freshExact.select(col("doc_id"), col("text")))
+        val inter = graft.functions.VectorFunctions
+          .sortedIntersectCount(col("sh"), col("idx_sh")).cast("double")
+        val jac = inter / (col("n") + col("idx_n") - inter)
+        newBands.join(seenBands, Seq("band", "bkey"))
+          .filter(jac >= 0.8)
+          .select("doc_id")
+    }).distinct().localCheckpoint()
     // Within-batch near-dup clusters over ALL exact-survivors (BEFORE the
     // near-of-seen removal): a batch cluster that touches anything seen is
     // rejected WHOLE — a doc connected to the seen corpus only through a
@@ -254,10 +265,27 @@ object Pipeline {
       d.filter(col("doc_id") * 5L >= col("__c4")).drop("__c4"))
   }
 
+  // The seen-corpus LSH index is INGEST-time state — it exists before any
+  // batch arrives (built once per (session, corpus) here, persisted on
+  // disk in deployment; the same precomputed-artifact pattern as the IVF
+  // centroid cache). The increment query probes it instead of re-banding
+  // the seen corpus per call.
+  private val seenIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def seenLshIndex(s: SparkSession, d: String,
+      old: DataFrame): String =
+    seenIndexCache.getOrElseUpdate((s, d), {
+      val table = "graft_seen_lsh_" + Integer.toHexString(
+        (s.sparkContext.applicationId + "|" + d).hashCode)
+      Dedup.writeLshIndex(old.select(col("doc_id"), col("text")), table)
+    })
+
   val qCorpusCurateIncrement: (SparkSession, String) => DataFrame =
     (s, d) => {
       val (old, fresh) = splitOldNew(Tables.documents(s, d))
-      curateIncrement(old, fresh, minQuality = 0.3)
+      curateIncrement(old, fresh, minQuality = 0.3,
+        seenIndexTable = Some(seenLshIndex(s, d, old)))
     }
 
   val qCorpusCurateIncrementExact: (SparkSession, String) => DataFrame =

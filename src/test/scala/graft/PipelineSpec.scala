@@ -73,6 +73,14 @@ class PipelineSpec extends SparkSpec {
     val inc = Pipeline.curateIncrement(old, fresh, minQuality = 0.3)
       .collect()
     assert(inc.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+
+    // the persisted-index path (the declared query's production shape)
+    // must gate identically to the in-memory banded join
+    val table = Dedup.writeLshIndex(
+      old.select(col("doc_id"), col("text")), "pipelinespec_seen_idx")
+    val viaIndex = Pipeline.curateIncrement(old, fresh, minQuality = 0.3,
+      seenIndexTable = Some(table)).collect()
+    assert(viaIndex.map(_.toSeq).toSeq === inc.map(_.toSeq).toSeq)
   }
 
   test("incremental curation gates: exact-of-seen, near-of-seen, " +
