@@ -44,5 +44,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash64",
         "graft_simhash64(hashes) - 64-bit SimHash of an array<bigint> of token hashes"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    // Spark's runtime-filter bloom machinery surfaced as SQL functions
+    // (membership-set sketch for seen-set gating; see Curation
+    // .decontaminateBloom). The probe's bloom argument must be a constant
+    // or scalar subquery — Spark's own BloomFilterMightContain contract.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(hashed_value, est_items) - mergeable Bloom filter over pre-hashed (xxhash64) bigint values"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      info("graft_bloom_might_contain",
+        "graft_bloom_might_contain(bloom, hashed_value) - membership probe; false is definite, true needs exact verify"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
   }
 }

@@ -21,6 +21,7 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Relational2.defs ++
+      operators.Olap.defs ++
       operators.Events.defs ++
       operators.TextAnalysis.defs ++
       operators.Curation.defs ++

@@ -106,4 +106,25 @@ object SketchFunctions {
 
   def simhash64(tokenHashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
+
+  /** Mergeable Bloom filter over a LONG column (pre-hash values with
+    * xxhash64) — Spark's own runtime-filter aggregate
+    * (catalyst BloomFilterAggregate: partial filters per partition, OR-ed
+    * at final), surfaced as a library Column. The result is ONE binary
+    * value whose size depends only on `expectedItems`, never on the data —
+    * the membership-set shape that stays broadcastable when the set
+    * itself no longer is. */
+  def bloomAgg(hashedValue: Column, expectedItems: Long): Column =
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(GraftBridge.expression(hashedValue),
+          expectedItems)
+        .toAggregateExpression())
+
+  /** Membership probe against a [[bloomAgg]] filter: false ⇒ definitely
+    * absent; true ⇒ present OR false positive (callers exact-verify). */
+  def bloomMightContain(bloom: Column, hashedValue: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(bloom), GraftBridge.expression(hashedValue)))
 }

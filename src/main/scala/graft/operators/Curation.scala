@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.SketchFunctions
 
 /** Training-data curation operators beyond dedup/quality: benchmark
   * decontamination, repetition/spam signals, identifier scrubbing, and
@@ -76,6 +77,52 @@ object Curation {
       docs.filter(pmod(col("doc_id"), lit(50L)) === 0L))
   }
 
+  /** Bloom-gated decontamination — what [[decontaminate]] becomes when the
+    * benchmark/seen gram set outgrows an exact broadcast (decontaminating
+    * new data against an entire ingested corpus, not a 1k-task eval set).
+    * Spark's runtime-filter machinery, applied deliberately:
+    *   1. reduce the benchmark grams to ONE fixed-size Bloom filter
+    *      (mergeable partial/final aggregate — size set by expectedItems,
+    *      not by the data);
+    *   2. feed it in as a SCALAR SUBQUERY (computed once, shipped to every
+    *      task with the plan — BloomFilterMightContain requires a
+    *      constant/subquery bloom side) and gate the corpus gram stream
+    *      map-side, BEFORE the distinct — the corpus-wide shuffle that
+    *      dominates [[decontaminate]] now carries only true overlaps plus
+    *      the fp residue;
+    *   3. exact-verify survivors with a shuffle join against the real
+    *      gram set (no broadcast hint — the whole premise is that side is
+    *      big; AQE will still broadcast it when it isn't).
+    * False positives cost only wasted verify work, never wrong output, so
+    * the result is bit-identical to [[decontaminate]] and shares its
+    * DuckDB oracle. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      expectedGrams: Long = 1000000L): DataFrame = {
+    val benchGrams = tokenized(benchmark)
+      .select(explode(ngramsFromToks(col("t"), 4)).as("g"))
+      .distinct()
+    val bloom = benchGrams
+      .agg(SketchFunctions.bloomAgg(xxhash64(col("g")),
+        expectedGrams).as("bf"))
+      .scalar()
+    val gated = tokenized(docs)
+      .select(col("doc_id"), explode(ngramsFromToks(col("t"), 4)).as("g"))
+      .filter(SketchFunctions.bloomMightContain(bloom,
+        xxhash64(col("g"))))
+      .distinct()
+    gated.join(benchGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminateBloom: (SparkSession, String) => DataFrame = (s, d) => {
+    val docs = Tables.documents(s, d)
+    decontaminateBloom(
+      docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(50L)) === 0L))
+  }
+
   /** Repetition/spam signals, one codegen'd pass, zero shuffle:
     *  - rep_bigram: 1 − distinct/total word bigrams (copy-paste loops);
     *  - top_tok_frac: most frequent token's share (one-word spam).
@@ -135,6 +182,10 @@ object Curation {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_decontaminate", qDecontaminate, Some(
+      s"WITH $gramsCte, bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0) SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id")),
+    // bit-identical to q_decontaminate by construction (bloom gate is a
+    // superset pre-filter; exact verify restores equality) — same oracle
+    QueryDef("q_decontaminate_bloom", qDecontaminateBloom, Some(
       s"WITH $gramsCte, bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0) SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_repetition_score", qRepetitionScore, Some(
       "SELECT doc_id, CASE WHEN len(bg) > 0 THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) ELSE 0.0 END AS rep_bigram, round(CAST(list_max(list_transform(list_distinct(t), u -> len(list_filter(t, x -> x = u)))) AS DOUBLE) / len(t), 6) AS top_tok_frac FROM (SELECT doc_id, t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)) ORDER BY doc_id")),

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.ScalePatterns
+
+/** Classic OLAP headline queries (TPC-H shapes Q1/Q3/Q5/Q6, adapted to the
+  * driver's TPC-H-ish testdata schemas) plus the salted-aggregation scale
+  * pattern as a declared, oracled query.
+  *
+  * These are the workloads an analytics engine is judged on: wide
+  * scan+agg (Q1), star-join top-k (Q3), multi-dim star join (Q5),
+  * filter-heavy single-pass agg (Q6). The scale notes per query say what
+  * the plan must look like at 100 TB; OlapPlanSpec locks the load-bearing
+  * properties (pushed filters, partial aggregation, broadcast ONLY on
+  * true dims, TakeOrdered for the top-k).
+  *
+  * Money determinism (QueryDef contract): every price expression runs in
+  * exact DECIMAL wide enough to never round — (12,2) for prices/
+  * quantities, (4,2) for the ±1-bounded rates, products at scale 4/6 —
+  * and is cast to DOUBLE only at the end, so Spark and DuckDB hash
+  * identically regardless of partitioning or aggregation order.
+  */
+object Olap {
+
+  private def d12(c: Column): Column = c.cast("decimal(12,2)")
+  private def d4(c: Column): Column = c.cast("decimal(4,2)")
+  private val one = lit(1).cast("decimal(4,2)")
+
+  // shared SQL fragments for the oracle side (DuckDB applies its own
+  // width rules — (12,2)*(5,2)→(17,4) etc. — exact at these widths too)
+  private val sqlDisc =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+  private val sqlCharge =
+    s"$sqlDisc * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+  /** Q1 — pricing summary. One wide scan, partial agg map-side, 6-group
+    * final: the shuffle carries ~groups×partitions rows regardless of
+    * corpus size, so this is scan-bound at any scale (the point of the
+    * shape). The shipdate predicate must reach the parquet scan. */
+  val qTpchQ1: (SparkSession, String) => DataFrame = (s, d) => {
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    val charge = disc * (one + d4(col("l_tax")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(d12(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(d12(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        sum(d4(col("l_discount"))).cast("double").as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .withColumn("avg_disc", col("sum_disc") / col("count_order"))
+      .drop("sum_disc")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q3 — shipping-priority top-k. customer is a FACT-SIZED table
+    * (scales with SF), so it is NOT broadcast — customer⋈orders and
+    * ⋈lineitem are shuffle joins on their keys (AQE may still broadcast
+    * the post-filter customer side when the segment filter makes it
+    * small — that's a runtime decision, not a plan assumption). The
+    * top-10 runs as TakeOrderedAndProject: no global sort ever
+    * materializes. */
+  val qTpchQ3: (SparkSession, String) => DataFrame = (s, d) => {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+        col("o_orderpriority"))
+      .agg(sum(disc).cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate_s", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q5 — regional supplier volume. The star pattern at scale: region,
+    * nation, supplier are TRUE dims (fixed/small cardinality) and are
+    * broadcast explicitly; customer⋈orders and ⋈lineitem shuffle on
+    * their keys. The c_nationkey = s_nationkey condition rides the
+    * lineitem⋈supplier broadcast join as a post-condition filter. */
+  val qTpchQ5: (SparkSession, String) => DataFrame = (s, d) => {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    val dims = Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Q6 — forecast revenue change. Pure scan+filter+agg, zero shuffle
+    * beyond the single-row final agg; every predicate must be a pushed
+    * parquet filter. The canary for "is the scan actually pruned". */
+  val qTpchQ6: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(d12(col("l_extendedprice")) * d4(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** The salted-aggregation scale pattern as a declared query: two-stage
+    * sum/count over (key, content-hash salt) then per-key merge, so one
+    * hot key spreads over 64 reducers instead of melting one. Result is
+    * identical to the direct groupBy (order-independent aggregates on
+    * exact decimal) — the oracle is the PLAIN group-by. */
+  val qAggSalted: (SparkSession, String) => DataFrame = (s, d) =>
+    ScalePatterns.saltedSum(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)"), 64)
+      .select(col("key"), col("sum").cast("double").as("sum_qty"),
+        col("cnt"))
+      .orderBy("key")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tpch_q1", qTpchQ1, Some(
+      s"SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, CAST(SUM($sqlDisc) AS DOUBLE) AS sum_disc_price, CAST(SUM($sqlCharge) AS DOUBLE) AS sum_charge, COUNT(*) AS count_order, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price, CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+    QueryDef("q_tpch_q3", qTpchQ3, Some(
+      s"SELECT l_orderkey, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority ORDER BY revenue DESC, l_orderkey ASC LIMIT 10")),
+    QueryDef("q_tpch_q5", qTpchQ5, Some(
+      s"SELECT n_name, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name ASC")),
+    QueryDef("q_tpch_q6", qTpchQ6, Some(
+      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
+    QueryDef("q_agg_salted", qAggSalted, Some(
+      "SELECT l_returnflag AS key, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan + equivalence locks for the OLAP headline queries (Olap.scala)
+  * and the bloom decontamination gate — the properties each query's
+  * 100 TB scale note claims. */
+class OlapPlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    // scan metadata (PushedFilters/ReadSchema) truncates at 100 chars by
+    // default, hiding the later pushed filters from the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
+  test("Q1 aggregates partial-then-final with the shipdate filter pushed") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("partial_sum"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1200))
+  }
+
+  test("Q3 top-10 runs as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("rangepartitioning"), p.take(800))
+  }
+
+  test("Q5 broadcasts only the supplier⋈nation⋈region dim tree") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // lineitem and orders must arrive via shuffle, not broadcast: the
+    // explicit broadcast() covers the dim side only. AQE may add its own
+    // small-side broadcasts at sf0.001 runtime; the STATIC plan carries
+    // exactly the hinted dim exchange plus AQE-planned customer/orders
+    // candidates — the fact table l_orderkey join must stay non-broadcast.
+    assert(!p.linesIterator.exists(l =>
+        l.contains("BroadcastExchange") && l.contains("l_orderkey")),
+      p.take(1500))
+  }
+
+  test("Q6 pushes every predicate to the parquet scan and prunes columns") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(1200))
+    assert(p.contains("LessThan(l_quantity,24.0)"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p.take(1200))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("salted aggregation equals the direct groupBy on a skewed fixture") {
+    import spark.implicits._
+    // one giant key (the skew case salting exists for) + small keys
+    val df = (Seq.fill(5000)(("hot", 1.0)) ++
+        (1 to 50).map(i => (s"k$i", i.toDouble)))
+      .toDF("k", "v")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+    val salted = graft.functions.ScalePatterns
+      .saltedSum(df, col("k"), col("v"), 16)
+      .select(col("key"), col("sum").cast("double"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val direct = df.groupBy(col("k").as("key"))
+      .agg(sum("v").cast("double").as("sum"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(salted === direct)
+  }
+
+  test("bloom gate: q_decontaminate_bloom ≡ q_decontaminate, and the " +
+      "plan probes a bloom subquery before the distinct") {
+    val bloomDf = SparkEntry.queries("q_decontaminate_bloom")(spark, sf)
+    val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().toSeq
+    assert(bloomDf.collect().toSeq === exact)
+    assert(exact.nonEmpty) // fixture must actually exercise the overlap
+    val p = bloomDf.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(1500))
+    // the exact-verify join must NOT hint a broadcast of the gram set
+    // (the premise of the bloom path); AQE deciding so at runtime on
+    // tiny fixtures is fine — the static hint is what we lock.
+    val analyzed = bloomDf.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("broadcast"),
+      analyzed.take(1500))
+  }
+}
