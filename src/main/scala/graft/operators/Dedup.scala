@@ -518,16 +518,46 @@ object Dedup {
   //    to the min id reachable, so the result is exactly the
   //    per-component min.
 
-  /** Pair-count bound for the driver union-find fast path. */
+  /** Default pair-count bound for the driver union-find fast path.
+    * Deployments tune it per driver size with the session conf
+    * `graft.cc.localMaxPairs` (read at call time, so a long-lived session
+    * can lower it when the driver is sharing heap with other work). */
   val LocalCcMaxPairs = 2000000L
+
+  /** Conservative driver cost of one union-find pair: up to two boxed
+    * HashMap entries (node→parent) plus table slack. Deliberately padded —
+    * the guard exists to refuse the fast path long before OOM risk. */
+  private val CcBytesPerPair = 200L
+
+  /** Memory-pressure guard for the fast path: the projected union-find
+    * footprint must fit in a quarter of the heap NOT already in use.
+    * A pair set under the count bound but arriving on a pressured driver
+    * (caches, other artifacts) degrades to the distributed loop instead
+    * of gambling on GC. */
+  private def ccDriverCanHold(pairCount: Long): Boolean = {
+    val rt = Runtime.getRuntime
+    val headroom = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
+    pairCount * CcBytesPerPair < headroom / 4
+  }
+
+  /** Which regime the last connectedComponents call took ("local" |
+    * "distributed") — observability for specs asserting the conf override
+    * and the memory guard actually steer the path. */
+  @volatile private[graft] var lastCcPath: String = ""
 
   /** Connected components over an undirected pair set (doc_a, doc_b):
     * (doc_id, canonical = min id in component). `localMaxPairs` bounds the
     * driver fast path (0 forces the distributed loop — ScaleProbe and the
-    * property spec exercise it explicitly). */
+    * property spec exercise it explicitly); callers that pass nothing get
+    * the session conf `graft.cc.localMaxPairs` (default LocalCcMaxPairs),
+    * further gated by the driver-memory guard above. */
   def connectedComponents(pairsIn: DataFrame,
-      localMaxPairs: Long = LocalCcMaxPairs): DataFrame = {
+      localMaxPairs: Long = -1L): DataFrame = {
     val s = pairsIn.sparkSession
+    val maxPairs =
+      if (localMaxPairs >= 0L) localMaxPairs
+      else s.conf.getOption("graft.cc.localMaxPairs").map(_.toLong)
+        .getOrElse(LocalCcMaxPairs)
     val ccT0 = System.nanoTime()
     val pairs = pairsIn
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
@@ -536,7 +566,11 @@ object Dedup {
     if (sys.props.contains("graft.cc.debug"))
       System.err.println(s"CC pairs ckpt n=$pairCount " +
         s"t=${(System.nanoTime() - ccT0) / 1e6}ms")
-    if (pairCount <= localMaxPairs) return localUnionFind(s, pairs)
+    if (pairCount <= maxPairs && ccDriverCanHold(pairCount)) {
+      lastCcPath = "local"
+      return localUnionFind(s, pairs)
+    }
+    lastCcPath = "distributed"
     // The iterative rounds pay task scheduling on every stage of every
     // round, so the loop's shuffles AND the edge table itself are sized to
     // the GRAPH (~500k directed edges per partition), not the session

@@ -63,4 +63,24 @@ class ConnectedComponentsPropertySpec extends SparkSpec {
     val starB = (31L to 50L).map(i => (30L, i))
     check(starA ++ starB :+ ((10L, 40L)))
   }
+
+  test("graft.cc.localMaxPairs conf steers the regime; labels identical") {
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, i + 1))
+    val df = edges.toDF("doc_a", "doc_b")
+    val expected = naiveComponents(edges)
+    // conf low → distributed loop even though the default would go local
+    spark.conf.set("graft.cc.localMaxPairs", "0")
+    try {
+      val viaConf = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.lastCcPath === "distributed")
+      assert(viaConf === expected)
+    } finally spark.conf.unset("graft.cc.localMaxPairs")
+    // conf unset → default bound, tiny graph, healthy heap → fast path
+    val viaDefault = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastCcPath === "local")
+    assert(viaDefault === expected)
+  }
 }
