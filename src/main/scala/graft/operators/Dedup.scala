@@ -703,6 +703,34 @@ object Dedup {
   val qDedupClustersLsh: (SparkSession, String) => DataFrame = (s, d) =>
     connectedComponents(cachedMinhashPairs(s, d).pairs)
 
+  /** Leakage-free train/valid/test split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document — assigning per-doc lets one member of a
+    * duplicate pair land in train and its twin in test, leaking training
+    * text into evaluation (the classic contamination bug cluster-aware
+    * splitting exists to prevent). Every doc resolves its cluster
+    * canonical (itself when unpaired — left join + coalesce, no shuffle
+    * beyond the cluster join), then a ~75/12.5/12.5 split is drawn from a
+    * salted md5 of the CANONICAL id (first hex char mod 10 — mildly
+    * non-uniform across the ten buckets, exactly reproducible; a uniform
+    * split would widen to more hex chars), so whole clusters move
+    * together and the assignment is stable across engines/runs/layouts.
+    * Oracled end-to-end via the recursive-CTE cluster oracle;
+    * PipelineSpec asserts the no-split-straddling-pair property. */
+  val qSplitLeakageFree: (SparkSession, String) => DataFrame = (s, d) => {
+    val clusters = connectedComponents(cachedNgramPairs(s, d))
+    val bucket = ascii(substring(md5(to_binary(
+      concat(lit("split"), col("canonical").cast("string")),
+      lit("utf-8"))), 1, 1)) % 10
+    Tables.documents(s, d)
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "valid")
+          .otherwise("test"))
+      .select("doc_id", "canonical", "split")
+      .orderBy("doc_id")
+  }
+
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */
   private val ngramPairsCte =
@@ -717,6 +745,8 @@ object Dedup {
     QueryDef("q_dedup_clusters", qDedupClusters, Some(
       s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY doc_id")),
     QueryDef("q_dedup_clusters_lsh", qDedupClustersLsh, None),
+    QueryDef("q_split_leakage_free", qSplitLeakageFree, Some(
+      s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), canon AS (SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src) SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical, CASE WHEN ascii(substr(md5('split' || CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)), 1, 1)) % 10 < 8 THEN 'train' WHEN ascii(substr(md5('split' || CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)), 1, 1)) % 10 = 8 THEN 'valid' ELSE 'test' END AS split FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id ORDER BY d.doc_id")),
     QueryDef("q_dedup_minhash", qDedupMinhash, None),
     QueryDef("q_dedup_simhash", qDedupSimhash, None)
   )

@@ -128,4 +128,24 @@ class PipelineSpec extends SparkSpec {
     // so exactly one survivor regardless of which pair path ran
     assert(viaShared.map(_.getLong(0)).toSeq === Seq(1L))
   }
+
+  test("leakage-free split never straddles a near-dup pair and covers " +
+      "every doc exactly once") {
+    val split = SparkEntry.queries("q_split_leakage_free")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(split.size.toLong === nDocs) // total function: one row per doc
+    // the defining property: both ends of every verified near-dup pair
+    // land in the SAME split (same canonical ⇒ same salted bucket)
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) canonical differs")
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) split differs")
+    }
+    // all three splits materialize on the fixture
+    assert(split.values.map(_._2).toSet === Set("train", "valid", "test"))
+  }
 }
