@@ -147,7 +147,59 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Weekly cohort retention: users grouped by the Monday-start week of
+    * their FIRST event, activity counted as distinct users per
+    * (cohort, whole-week offset). The product-analytics staple, shaped
+    * for scale: first-touch is a partial-agg'd min per user (one shuffle
+    * on user_id), the join back rides the same key (AQE may broadcast
+    * the first-touch side when small — a runtime call, not a plan
+    * assumption), and the distinct-user count partial-aggregates on
+    * (cohort, offset, user) before the final count. */
+  val qCohortRetention: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val first = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+    e.join(first, "user_id")
+      .select(
+        date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        floor(datediff(to_date(col("ts")), to_date(col("first_ts"))) / 7.0)
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Ordered conversion funnel view → click-after-view →
+    * purchase-after-that-click, counted once per user. The stage
+    * dependencies are sequential (each stage's min-ts must fall strictly
+    * after the previous stage's), so it composes as three per-user min
+    * aggregations chained by user_id equi-joins — all on ONE shuffle key,
+    * so a cluster run reuses the user_id partitioning across stages
+    * instead of re-exchanging. Left joins keep drop-off visible; the
+    * final row is the funnel summary. */
+  val qFunnel: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vt"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("vt"))
+      .groupBy("user_id").agg(min("ts").as("ct"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("ct"))
+      .groupBy("user_id").agg(min("ts").as("pt"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("vt")).as("n_view"),
+        count(col("ct")).as("n_view_click"),
+        count(col("pt")).as("n_view_click_purchase"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cohort_retention", qCohortRetention, Some(
+      "SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week, CAST(floor(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_offset, COUNT(DISTINCT user_id) AS n_users FROM (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events) GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset")),
+    QueryDef("q_funnel", qFunnel, Some(
+      "WITH v AS (SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id), p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id) SELECT COUNT(v.vt) AS n_view, COUNT(c.ct) AS n_view_click, COUNT(p.pt) AS n_view_click_purchase FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id")),
     QueryDef("q_props_map", qPropsMap, Some(
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(len(json_keys(props)) AS INT) AS n_keys FROM events ORDER BY event_id")),
     QueryDef("q_events_tumbling", qEventsTumbling, Some(
