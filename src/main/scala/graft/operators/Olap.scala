@@ -124,6 +124,26 @@ object Olap {
       .agg(sum(d12(col("l_extendedprice")) * d4(col("l_discount")))
         .cast("double").as("revenue"))
 
+  /** Q14 — promo revenue share. Conditional aggregation over the
+    * lineitem⋈part join: both conditional branches stay exact decimal
+    * until the final double division (written left-associative
+    * identically in both engines). part is NOT hinted broadcast — it
+    * scales with SF (unlike nation/region); AQE promotes it at runtime
+    * when small. */
+  val qTpchQ14: (SparkSession, String) => DataFrame = (s, d) => {
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0)))
+          .cast("double").as("promo"),
+        sum(disc).cast("double").as("total"))
+      .select(((lit(100.0) * col("promo")) / col("total"))
+        .as("promo_revenue"))
+  }
+
   /** The salted-aggregation scale pattern as a declared query: two-stage
     * sum/count over (key, content-hash salt) then per-key merge, so one
     * hot key spreads over 64 reducers instead of melting one. Result is
@@ -145,6 +165,8 @@ object Olap {
       s"SELECT n_name, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name ASC")),
     QueryDef("q_tpch_q6", qTpchQ6, Some(
       "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
+    QueryDef("q_tpch_q14", qTpchQ14, Some(
+      s"SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlDisc ELSE 0 END) AS DOUBLE) / CAST(SUM($sqlDisc) AS DOUBLE) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'")),
     QueryDef("q_agg_salted", qAggSalted, Some(
       "SELECT l_returnflag AS key, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
   )
