@@ -88,8 +88,33 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling — the video/audio analogue of the decode path: one
+    * media payload explodes into fixed-width frames, each carrying
+    * (frame_idx, fingerprint, length). The explode is a Generate INSIDE
+    * the scan stage (no shuffle — frames are born distributed next to
+    * their payload), which is the property that matters when one 100 GB
+    * partition of videos becomes 10k× more frame rows: the fan-out never
+    * crosses the network, and downstream per-frame work (a real decoder
+    * would emit pixels here; the md5 stands in as the frame payload
+    * derivative) starts already-partitioned. Frames here are 64-byte
+    * windows over the ASCII payload so the whole path is oracle-able. */
+  val qMediaFrames: (SparkSession, String) => DataFrame = (s, d) => {
+    val frame = substring(col("text"), col("fi") * 64 + 1, lit(64))
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          ((length(col("text")) - 1) / lit(64)).cast("int"))).as("fi"))
+      .select(col("doc_id"), col("fi").cast("long").as("frame_idx"),
+        md5(to_binary(frame, lit("utf-8"))).as("frame_md5"),
+        length(frame).as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_features", qMultimodalFeatures, Some(
-      "SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, octet_length(encode(text)) % 480 + 1 AS height, CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) * (octet_length(encode(text)) % 480 + 1) AS n_pixels FROM documents ORDER BY doc_id"))
+      "SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, octet_length(encode(text)) % 480 + 1 AS height, CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) * (octet_length(encode(text)) % 480 + 1) AS n_pixels FROM documents ORDER BY doc_id")),
+    QueryDef("q_media_frames", qMediaFrames, Some(
+      "SELECT doc_id, fi AS frame_idx, md5(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS frame_md5, CAST(len(substring(text, CAST(fi * 64 + 1 AS INT), 64)) AS INT) AS frame_len FROM (SELECT doc_id, text, unnest(range(0, ((len(text) - 1) // 64) + 1)) AS fi FROM documents WHERE len(text) > 0) ORDER BY doc_id, frame_idx"))
   )
 }
