@@ -142,6 +142,61 @@ object Dedup {
   val qDedupNgramJaccard: (SparkSession, String) => DataFrame = (s, d) =>
     cachedNgramPairs(s, d)
 
+  // --- asymmetric containment near-dup (doc-inside-doc) ---
+  // Jaccard misses the quote/boilerplate case: a short doc wholly pasted
+  // into a much longer one has tiny Jaccard but containment
+  // |A∩B|/|A| ≈ 1. Candidate generation uses PREFIX FILTERING (the
+  // ppjoin family): order all shingles by global rarity (document
+  // frequency asc, hash asc — a total order both docs agree on); if B
+  // contains ≥ t = ceil(0.9·|A|) of A's shingles, B must contain one of
+  // A's first |A|−t+1 RAREST shingles (pigeonhole), so joining only
+  // that prefix against the full inverted index finds every qualifying
+  // pair. EXACT: candidates are then verified with the merge-scan
+  // intersection, so the result equals the brute-force oracle. Scale
+  // shape: gram-df aggregate + per-doc rank window + equi-join on the
+  // gram hash — all key-partitioned shuffles; rarest-first prefixes
+  // make the probe side naturally skew-resistant (a gram shared by
+  // every doc is never anyone's prefix once corpus df ranks it last —
+  // an adversarial single-gram corpus degrades to the LSH hot-bucket
+  // cap regime and would be salted the same way).
+  def containmentPairs(docsIn: DataFrame, tauPct: Int = 90): DataFrame = {
+    val docs = shingleDocs(docsIn).localCheckpoint()
+    val grams = docs.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // overlap threshold t = ceil(tau·n) in pure integer arithmetic
+    val t = floor((col("n") * tauPct + lit(99)) / lit(100))
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gdf").asc, col("g").asc)))
+      .filter(col("rk") <= col("n") - t + 1)
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("g").as("pg"))
+    val index = grams.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("g"))
+    val cand = prefix.join(index,
+        col("pg") === col("g") &&
+          // containment needs |B| ≥ t ≥ tau·|A|; direction: small-in-big,
+          // equal sizes tie-broken by id so mirrored pairs appear once
+          col("n_b") * 100 >= col("n_a") * tauPct &&
+          (col("n_a") < col("n_b") ||
+            (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+      .select("doc_a", "doc_b", "n_a").distinct()
+    val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .filter(inter * 100 >= col("n_a") * tauPct)
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / col("n_a"), 4).as("cont"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupContainment: (SparkSession, String) => DataFrame = (s, d) =>
+    containmentPairs(Tables.documents(s, d))
+
   // --- MinHash + LSH (the scale path; verified against true Jaccard) ---
   val NumHashes = 32
   private val Bands = 8
@@ -740,6 +795,8 @@ object Dedup {
     QueryDef("q_minhash_source_sketch", qMinhashSourceSketch, None),
     QueryDef("q_dedup_exact", qDedupExact, Some(
       "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
+    QueryDef("q_dedup_containment", qDedupContainment, Some(
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, len(a.sh) AS na, len(list_distinct(list_intersect(a.sh, b.sh))) AS inter FROM sh a CROSS JOIN sh b WHERE len(a.sh) > 0 AND (len(a.sh) < len(b.sh) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)) AND len(b.sh) * 100 >= len(a.sh) * 90) SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / na, 4) AS cont FROM pairs WHERE inter * 100 >= na * 90 ORDER BY doc_a, doc_b""")),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(
       s"WITH $ngramPairsCte SELECT doc_a, doc_b, round(jac, 4) AS jac FROM pairs ORDER BY doc_a, doc_b")),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(

@@ -88,6 +88,47 @@ object Multimodal {
     }
   }
 
+  /** Resized payload row: the re-encoded thumbnail plus its dimensions. */
+  final case class ResizedBlob(doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int)
+
+  /** REAL in-JDK resize: decode → scale (area-averaging, deterministic)
+    * → re-encode PNG. Returns None for undecodable payloads (same
+    * quarantine contract as decode). */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int)
+      : Option[Array[Byte]] =
+    Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { src =>
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src.getScaledInstance(w, h,
+          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Per-partition batch resize to a fixed thumbnail size — the
+    * normalize-before-training step of an image pipeline (every payload
+    * leaves at w×h regardless of source size). Same mapPartitions batch
+    * shape as decode: codec init once per partition, corrupt payloads
+    * quarantined, and the output is again an opaque binary column, so
+    * resize stages compose (ingest → resize → feature-extract) without
+    * the data ever leaving the executor until a shuffle is actually
+    * asked for. */
+  def resizeImages(spark: SparkSession, blobs: DataFrame,
+      w: Int = 64, h: Int = 64): Dataset[ResizedBlob] = {
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.flatMap { b =>
+        resizeImage(b.payload, w, h).map(ResizedBlob(b.doc_id, _, w, h))
+      }
+    }
+  }
+
   /** Frame sampling — the video/audio analogue of the decode path: one
     * media payload explodes into fixed-width frames, each carrying
     * (frame_idx, fingerprint, length). The explode is a Generate INSIDE

@@ -144,6 +144,60 @@ object Olap {
         .as("promo_revenue"))
   }
 
+  /** Q18 — large-volume customers. The having-filter-then-join shape:
+    * lineitem aggregates per order FIRST (partial agg map-side, one
+    * shuffle on l_orderkey), the >300 filter reduces that to a tiny
+    * order set, and only then do orders and customer join in. The
+    * classic formulation re-joins lineitem and re-aggregates; reusing
+    * the already-computed per-order sum is algebraically identical and
+    * saves a second lineitem shuffle — the rewrite an optimizer would
+    * want. AQE broadcasts the post-filter agg side at runtime (it is
+    * ~0.1% of orders); the top-100 is TakeOrderedAndProject. */
+  val qTpchQ18: (SparkSession, String) => DataFrame = (s, d) => {
+    val qty = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(d12(col("l_quantity"))).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 300)
+    Tables.orders(s, d)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+        col("o_totalprice"),
+        col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Co-located join over bucketed table layouts — the shuffle-free
+    * fact⋈fact join. Both sides are written `bucketBy(orderkey)` +
+    * sorted (the write cost is paid ONCE; at 100 TB that is the daily
+    * landing job), after which the sort-merge join and the per-order
+    * aggregation read pre-partitioned, pre-sorted buckets: ZERO
+    * exchanges anywhere in the plan (OlapPlanSpec locks this). The
+    * grouping keys start with the bucket key, so even the groupBy
+    * reuses the bucket partitioning. */
+  val qJoinBucketed: (SparkSession, String) => DataFrame = (s, d) => {
+    ScalePatterns.writeBucketed(Tables.orders(s, d),
+      "graft_q_b_orders", "o_orderkey", 8)
+    ScalePatterns.writeBucketed(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_q_b_lineitem", "l_orderkey", 8)
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    // fact⋈fact: neither side broadcasts at real scale, so the join is
+    // declared merge (statistics on the toy fixture would otherwise
+    // pick a broadcast and forfeit the bucket layout)
+    s.table("graft_q_b_orders").hint("merge")
+      .join(s.table("graft_q_b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(sum(disc).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   /** The salted-aggregation scale pattern as a declared query: two-stage
     * sum/count over (key, content-hash salt) then per-key merge, so one
     * hot key spreads over 64 reducers instead of melting one. Result is
@@ -167,6 +221,10 @@ object Olap {
       "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
     QueryDef("q_tpch_q14", qTpchQ14, Some(
       s"SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlDisc ELSE 0 END) AS DOUBLE) / CAST(SUM($sqlDisc) AS DOUBLE) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'")),
+    QueryDef("q_tpch_q18", qTpchQ18, Some(
+      "SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_totalprice, CAST(sq AS DOUBLE) AS sum_qty FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) JOIN orders ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100")),
+    QueryDef("q_join_bucketed", qJoinBucketed, Some(
+      s"SELECT o_orderkey, o_orderpriority, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 20")),
     QueryDef("q_agg_salted", qAggSalted, Some(
       "SELECT l_returnflag AS key, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
   )

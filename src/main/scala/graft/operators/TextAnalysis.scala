@@ -261,7 +261,69 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  // --- unigram log-probability quality score (perplexity proxy) ---
+  // avg_t ln p(t) under the corpus's own MLE unigram model — the cheap
+  // cousin of LM-perplexity filtering: gibberish and boilerplate-free
+  // word salad score far below fluent text, repeated boilerplate scores
+  // suspiciously high; rows at either tail get gated. Same two keyed
+  // shuffles as TF-IDF (corpus token counts, token join) + the per-doc
+  // agg; the count table is vocabulary-sized so it is never
+  // broadcast-hinted. Determinism: each ln is rounded to 6 then fixed to
+  // DECIMAL(24,6), so the per-doc weighted sum is order-independent and
+  // engine-exact; only the final already-exact division re-enters double.
+  val qQualityUnigramLp: (SparkSession, String) => DataFrame = (s, d) => {
+    val tokens = Tables.documents(s, d).select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("tok").agg(sum("tf").as("c"))
+    val tot = cnt.agg(sum("c").cast("double").as("t"))
+    tf.hint("shuffle_hash").join(cnt, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp1",
+        round(log(col("c").cast("double") / col("t")), 6)
+          .cast("decimal(24,6)"))
+      .groupBy("doc_id")
+      .agg((sum(col("tf") * col("lp1")).cast("double") / sum("tf"))
+        .as("lp_raw"))
+      .select(col("doc_id"), round(col("lp_raw"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  // --- count-min-sketch token heavy hitters (self-validating) ---
+  // Completes the mergeable-sketch family (HLL distinct, MinHash
+  // similarity, quantile sketch, Bloom membership): frequency estimation
+  // in ONE pass with fixed-size partial state that merges on any
+  // partition layout — at 100 TB the exact per-token groupBy shuffles
+  // the full vocabulary, the sketch ships a few KB per partition. The
+  // estimate is one-sided (est ≥ exact always; est ≤ exact + ε·N with
+  // prob 1−δ), and the row carries exact count, overestimate, and the
+  // ε·N bound so the contract is self-validating. Driver traffic is
+  // metadata-sized only (one sketch + 20 probe tokens), same budget as
+  // the IVF centroid collect; rows-only for the driver (sketch
+  // internals have no DuckDB counterpart).
+  val qApproxTopk: (SparkSession, String) => DataFrame = (s, d) => {
+    val eps = 0.001
+    val toks = Tables.documents(s, d).select(
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val sketch = toks.stat.countMinSketch(col("tok"), eps, 0.99, 42)
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(20).collect()
+    import s.implicits._
+    top.map { r =>
+      val (tok, exact) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(tok)
+      (tok, exact, est, est - exact, bound)
+    }.toSeq
+      .toDF("tok", "exact_cnt", "est_cnt", "overestimate", "err_bound")
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_approx_topk", qApproxTopk, None),
+    QueryDef("q_quality_unigram_lp", qQualityUnigramLp, Some(
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2), cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt) SELECT doc_id, round(CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(24,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_bm25_topterms", qBm25TopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(

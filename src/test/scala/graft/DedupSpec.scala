@@ -46,6 +46,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment finds doc-in-doc pairs Jaccard misses, and the " +
+      "prefix filter loses nothing vs a cross-join brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) =
+      (0 until n).map(_ => s"$tag${rnd.nextInt(400)}").mkString(" ")
+    val small = words(30, "w")
+    // doc 1 is wholly pasted into doc 2 (20× longer): containment ≈ 1,
+    // Jaccard ≈ 0.05 — invisible to the 0.8-Jaccard operators
+    val docs = (Seq(
+      (1L, small),
+      (2L, words(300, "w") + " " + small + " " + words(300, "w")),
+      (3L, words(40, "x")), (4L, words(35, "y"))) ++
+      (5L to 30L).map(i => (i, words(20 + rnd.nextInt(80), s"t$i"))))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.9 },
+      got.mkString(","))
+    assert(!operators.Dedup.ngramJaccardPairs(docs).collect()
+      .exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // brute force over every size-eligible pair on the same shingles
+    val sh = operators.Dedup.shingleDocs(docs)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("n").as("n_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("n").as("n_b"))
+    val inter = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val brute = a.crossJoin(b)
+      .filter((col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))) &&
+        inter * 100 >= col("n_a") * 90)
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / col("n_a"), 4).as("cont"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet === brute.toSet)
+    assert(brute.nonEmpty)
+  }
+
   test("hot-bucket cap bounds candidates on an all-identical corpus") {
     // Adversarial: m identical one-sentence docs collide into ONE bucket
     // per band. Uncapped that is m·(m−1)/2 candidate pairs (m=2000 →

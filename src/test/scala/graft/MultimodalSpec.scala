@@ -60,4 +60,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(f => (f.doc_id, f.width, f.height)).toSeq ===
       Seq((9L, 33, 21)))
   }
+
+  test("resize normalizes every decodable payload to the target size " +
+      "and composes with the decode stage") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, png(7, 11)), (2L, png(640, 2)), (3L, png(64, 64)),
+      (4L, Array[Byte](0, 1, 2))) // corrupt → quarantined
+      .toDF("doc_id", "payload")
+      .repartition(2)
+    val resized = Multimodal.resizeImages(spark, blobs, 64, 64)
+    // resize output is itself a valid media-blob table: feed it straight
+    // back through the decode stage and demand exact thumbnail dims
+    val redecoded = Multimodal
+      .extractImageFeatures(spark, resized.toDF())
+      .collect().map(f => (f.doc_id, f.width, f.height)).sortBy(_._1)
+    assert(redecoded.toSeq === Seq((1L, 64, 64), (2L, 64, 64),
+      (3L, 64, 64)))
+  }
 }

@@ -54,6 +54,23 @@ class OlapPlanSpec extends SparkSpec {
       !readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("Q18 aggregates lineitem exactly once and top-100s via TakeOrdered") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // one partial+final agg pair over lineitem, no re-aggregation after
+    // the joins (the saved second lineitem shuffle is the point)
+    assert("partial_sum".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("bucketed fact⋈fact join and its groupBy run with zero exchanges") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(1200))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("SelectedBucketsCount"), p.take(2000))
+  }
+
   test("salted aggregation equals the direct groupBy on a skewed fixture") {
     import spark.implicits._
     // one giant key (the skew case salting exists for) + small keys

@@ -109,6 +109,18 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Double]("rel_err") < 0.05, r.toString))
   }
 
+  test("count-min heavy hitters: estimates are one-sided and bounded") {
+    val rows = operators.TextAnalysis.qApproxTopk(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val over = r.getAs[Long]("overestimate")
+      assert(over >= 0, s"count-min must never underestimate: $r")
+      assert(over <= r.getAs[Long]("err_bound"), r.toString)
+    }
+    // heavy hitters must actually be heavy: top-1 exact count sanity
+    assert(rows.head.getAs[Long]("exact_cnt") > 100)
+  }
+
   test("approx-percentile sketch honors its rank-error contract") {
     // percentile_approx(accuracy=1000) must return an actual data value
     // whose RANK is within n/1000 of the true median rank — check against
