@@ -331,6 +331,30 @@ object Relational2 {
   // it back schema-explicit — Spark's other native columnar format, with
   // the same vectorized-scan/pushdown properties as parquet. The oracle
   // reads the same rows from parquet, so the roundtrip must be lossless.
+  /** Partition-pruned scan over a hive-layout fact — the standard 100 TB
+    * time-series layout: events land partitioned by day
+    * (`path/day=2024-01-08/...`), and a one-week query reads exactly 7
+    * directories out of 30 (`PartitionFilters` in the scan, locked by
+    * SourcesSpec) — the other 23 days are never opened, which at scale
+    * is the difference between scanning 7 TB and 30 TB. Partition-value
+    * inference types `day` as DATE on read; the output pins it back to
+    * string so the schema is engine-stable. */
+  val qScanPartitionPruned: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_events_byday_" +
+        s.sparkContext.applicationId
+      graft.sources.Sources.writePartitioned(
+        Tables.events(s, d)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        tmp, "day")
+      s.read.parquet(tmp)
+        .filter(col("day") >= "2024-01-08" && col("day") <= "2024-01-14")
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+    }
+
   val qScanOrc: (SparkSession, String) => DataFrame = (s, d) => {
     import org.apache.spark.sql.types._
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_orc_" +
@@ -563,6 +587,8 @@ object Relational2 {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
     QueryDef("q_scan_orc", qScanOrc, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+    QueryDef("q_scan_partition_pruned", qScanPartitionPruned, Some(
+      "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' GROUP BY 1 ORDER BY 1")),
     QueryDef("q_scan_json", qScanJson, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("q_agg_distinct", qAggDistinct, Some(

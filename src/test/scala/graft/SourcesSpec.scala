@@ -68,6 +68,24 @@ class SourcesSpec extends SparkSpec {
       plansFixture.orderBy("subscription_plan_id").collect().toSeq)
   }
 
+  test("partitioned layout prunes: the week query reads 7 of 30 day " +
+      "directories via PartitionFilters, not a full scan") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val df = SparkEntry
+        .queries("q_scan_partition_pruned")(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      val scanLine = p.linesIterator
+        .find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(scanLine.contains("day"), p.take(2000))
+      // the day bounds must be partition filters (pruned at planning),
+      // NOT data filters pushed into row groups
+      assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*>=[^\\]]*\\].*"),
+        scanLine)
+      assert(df.collect().length === 7)
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
   test("CSV sink + scan roundtrips with schema") {
     val subsSchema = StructType(Seq(
       StructField("subscription_id", LongType),
