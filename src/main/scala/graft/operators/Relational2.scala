@@ -285,10 +285,13 @@ object Relational2 {
       .orderBy("doc_id")
 
   // Docs ⋈ embeddings on shared key domain (doc_id = vec_id): the
-  // text+vector join every multimodal pipeline needs; dim side broadcast.
+  // text+vector join every multimodal pipeline needs. Embeddings is NOT a
+  // dim — it's one row per document and scales with the corpus — so no
+  // broadcast hint: both sides shuffle on the shared key (AQE may still
+  // pick broadcast when the build side is genuinely small at runtime).
   val qDocEmbeddingJoin: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.documents(s, d)
-      .join(broadcast(Tables.embeddings(s, d)),
+      .join(Tables.embeddings(s, d),
         col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("label"), col("n_chars"), col("lang"))
       .orderBy("doc_id")
@@ -331,6 +334,49 @@ object Relational2 {
   // it back schema-explicit — Spark's other native columnar format, with
   // the same vectorized-scan/pushdown properties as parquet. The oracle
   // reads the same rows from parquet, so the roundtrip must be lossless.
+  // The day-partitioned landing layout is written ONCE per (session, sf
+  // dir): at 100 TB the landing job runs daily and every later query reads
+  // the layout it produced, so re-writing it inside each timed query would
+  // charge the scan query for the landing. The landing job itself is
+  // declared separately (q_landing_partitioned) so its cost stays visible.
+  private val stagedByDay = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private def eventsByDayDir(s: SparkSession, d: String): String =
+    stagedByDay.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_events_byday_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.Sources.writePartitioned(
+        Tables.events(s, d)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        dir, "day")
+      dir
+    })
+
+  /** The landing job as its own declared query: repartition the raw
+    * events into the hive day-layout and profile what landed (per-day
+    * counts over ALL days — the full post-landing scan). This is the
+    * write q_scan_partition_pruned's pruned read depends on; declaring
+    * it separately keeps the bench honest about where the one-time cost
+    * lives. Unlike the memoized layout the reads share, the landing row
+    * re-runs its write on every call — a bench iteration of this query
+    * times the landing, by design. */
+  private val landingRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  val qLandingPartitioned: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_landing_" +
+      s.sparkContext.applicationId + "_" + landingRuns.incrementAndGet()
+    graft.sources.Sources.writePartitioned(
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      dir, "day")
+    s.read.parquet(dir)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("day")
+  }
+
   /** Partition-pruned scan over a hive-layout fact — the standard 100 TB
     * time-series layout: events land partitioned by day
     * (`path/day=2024-01-08/...`), and a one-week query reads exactly 7
@@ -340,20 +386,13 @@ object Relational2 {
     * inference types `day` as DATE on read; the output pins it back to
     * string so the schema is engine-stable. */
   val qScanPartitionPruned: (SparkSession, String) => DataFrame =
-    (s, d) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_events_byday_" +
-        s.sparkContext.applicationId
-      graft.sources.Sources.writePartitioned(
-        Tables.events(s, d)
-          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
-        tmp, "day")
-      s.read.parquet(tmp)
+    (s, d) =>
+      s.read.parquet(eventsByDayDir(s, d))
         .filter(col("day") >= "2024-01-08" && col("day") <= "2024-01-14")
         .groupBy(col("day").cast("string").as("day"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")
-    }
 
   val qScanOrc: (SparkSession, String) => DataFrame = (s, d) => {
     import org.apache.spark.sql.types._
@@ -589,6 +628,8 @@ object Relational2 {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("q_scan_partition_pruned", qScanPartitionPruned, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' GROUP BY 1 ORDER BY 1")),
+    QueryDef("q_landing_partitioned", qLandingPartitioned, Some(
+      "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("q_scan_json", qScanJson, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("q_agg_distinct", qAggDistinct, Some(

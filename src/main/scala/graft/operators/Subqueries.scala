@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryDef, Tables}
+
+/** Correlated-subquery surface — EXISTS / NOT EXISTS / correlated scalar
+  * aggregate / NOT IN — declared as SQL text over temp views so Catalyst's
+  * decorrelation actually runs (`RewritePredicateSubquery`,
+  * `RewriteCorrelatedScalarSubquery`). These are the shapes an analytics
+  * user types first (TPC-H Q4/Q21/Q2/Q16), and the scale contract is that
+  * every one of them lands as a semi/anti/outer JOIN in the physical plan —
+  * never a per-row subplan re-executed for each outer row.
+  * PlanRegressionSpec locks the rewrites.
+  *
+  * The schemas lack `l_commitdate`/`l_receiptdate`/`partsupp`, so the
+  * "late" predicate is shipped-more-than-60-days-after-order-date and the
+  * Q16 grouping runs over `part` directly; the join/decorrelation shapes
+  * are the TPC-H ones unchanged.
+  *
+  * Unlike the rest of the surface (DataFrame builders), these are kept as
+  * SQL on purpose: the DataFrame API cannot express EXISTS/IN subqueries,
+  * and hand-rewriting them to joins (what `q_lookup_guarded` does) skips
+  * the very optimizer path this module exists to exercise.
+  */
+object Subqueries {
+
+  /** Bind the session-scoped views the SQL text references. Re-registered
+    * on every call — a cheap catalog update with no Spark job — so a
+    * session that switches testdata dirs never reads stale views. The
+    * resulting plan captures the view's logical plan at `sql()` time. */
+  private def bindViews(s: SparkSession, d: String): Unit = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+  }
+
+  private def sqlQuery(text: String): (SparkSession, String) => DataFrame =
+    (s, d) => { bindViews(s, d); s.sql(text) }
+
+  /** TPC-H Q4 shape — priority count of orders with at least one late
+    * lineitem. The EXISTS must rewrite to a LEFT SEMI join on l_orderkey
+    * (with the non-equi lateness comparison riding the join condition):
+    * lineitem is scanned once and shuffled once, not probed per order. */
+  val qExistsSemi: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM g_orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM g_lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority""")
+
+  /** TPC-H Q21 shape — suppliers who were the sole late shipper on a
+    * multi-supplier finished order. EXISTS + NOT EXISTS over the same
+    * fact: the rewrite is one LEFT SEMI and one LEFT ANTI join against
+    * lineitem keyed on l_orderkey — three passes over lineitem total,
+    * every one a key-partitioned shuffle (no per-row re-scan). */
+  val qNotExists: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM g_supplier, g_lineitem l1, g_orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM g_lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC""")
+
+  /** TPC-H Q2 shape — correlated scalar aggregate in the SELECT list: the
+    * declarative twin of `q_lookup_guarded` (whose Spark side is the
+    * hand-rewritten agg+join at Relational.scala — both share this very
+    * SQL as their DuckDB oracle). Catalyst must decorrelate to a
+    * per-key MAX aggregate LEFT OUTER joined back on o_custkey: orders
+    * aggregates once, customers never re-probe it. */
+  val qScalarSubquery: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT c_custkey,
+           (SELECT MAX(o_orderkey) FROM g_orders
+             WHERE o_custkey = c_custkey
+               AND o_orderstatus = 'P') AS latest_p_order
+    FROM g_customer
+    ORDER BY c_custkey""")
+
+  /** TPC-H Q16 shape — brand/type counts of parts that never appear in a
+    * near-full-quantity lineitem. NOT IN against a fact-side subquery is
+    * the null-aware anti join: l_partkey is non-null here, but the plan
+    * must still be a single LEFT ANTI join on the distinct subquery keys,
+    * not a per-part membership scan. */
+  val qNotIn: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT p_brand, p_type, COUNT(*) AS cnt
+    FROM g_part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM g_lineitem
+                            WHERE l_quantity >= 48)
+    GROUP BY p_brand, p_type
+    ORDER BY p_brand, p_type""")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_exists_semi", qExistsSemi, Some(
+      "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+    QueryDef("q_not_exists", qNotExists, Some(
+      "SELECT s_name, COUNT(*) AS numwait FROM supplier, lineitem l1, orders WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY s_name ORDER BY numwait DESC, s_name ASC")),
+    QueryDef("q_scalar_subquery", qScalarSubquery, Some(
+      "SELECT c_custkey, (SELECT MAX(o_orderkey) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') AS latest_p_order FROM customer ORDER BY c_custkey")),
+    QueryDef("q_not_in", qNotIn, Some(
+      "SELECT p_brand, p_type, COUNT(*) AS cnt FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48) GROUP BY p_brand, p_type ORDER BY p_brand, p_type"))
+  )
+}

@@ -62,6 +62,13 @@ class OlapPlanSpec extends SparkSpec {
     assert("partial_sum".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("Q13 never broadcasts the orders side (fact⋈fact outer join)") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftOuter"),
+      p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("bucketed fact⋈fact join and its groupBy run with zero exchanges") {
     val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -130,6 +130,36 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(900))
   }
 
+  test("subqueries decorrelate to semi/anti/outer joins — no per-row " +
+      "subplans") {
+    // The declared EXISTS/NOT EXISTS/scalar/NOT IN surface (Subqueries
+    // .scala) only scales if Catalyst rewrites each subquery into a JOIN
+    // executed once; a surviving subquery node means a separate pass (or,
+    // worse, per-row re-execution) over a fact-sized table.
+    assert(plan("q_exists_semi").contains("LeftSemi"))
+    val pn = plan("q_not_exists")
+    assert(pn.contains("LeftAnti") && pn.contains("LeftSemi"), pn.take(1500))
+    assert(plan("q_scalar_subquery").contains("LeftOuter"))
+    assert(plan("q_not_in").contains("LeftAnti"))
+    for (q <- Seq("q_exists_semi", "q_not_exists", "q_scalar_subquery",
+        "q_not_in"))
+      assert(!plan(q).contains("Subquery"), s"$q kept a subquery subplan")
+  }
+
+  test("doc⋈embedding join carries no broadcast hint (both sides scale " +
+      "with the corpus)") {
+    // embeddings is one row per document — NOT a dim. A broadcast hint here
+    // forces a driver-melting broadcast at 100×. The join must be left
+    // unhinted: Catalyst/AQE may still pick broadcast when the build side
+    // is genuinely small at runtime, but the plan must not mandate it.
+    val qe = SparkEntry.queries("q_doc_embedding_join")(spark, sf)
+      .queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      qe.analyzed.toString.take(900))
+    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
+      qe.optimizedPlan.toString.take(900))
+  }
+
   test("minhash verify join is shuffle-based, never a corpus broadcast") {
     // The LSH path is the declared 100 TB route: re-attaching shingles for
     // verification must shuffle on doc_id. A broadcast of the corpus-sized

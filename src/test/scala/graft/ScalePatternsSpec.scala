@@ -47,4 +47,30 @@ class ScalePatternsSpec extends SparkSpec {
     val expect = orders.join(lineitem, "o_orderkey").count()
     assert(joined.count() === expect)
   }
+
+  test("upsertByKey over a shared bucket layout runs with zero exchanges") {
+    // The 100 TB MERGE story: when base and update batch share the bucket
+    // layout, the full-outer key join reads co-located buckets — no side
+    // shuffles. (The declared q_upsert_bykey exercises the other regime:
+    // un-bucketed updates exchange INTO the base's layout.)
+    val orders = Tables.orders(spark, sf)
+    ScalePatterns.writeBucketed(orders, "b_up_base", "o_orderkey", 8)
+    ScalePatterns.writeBucketed(
+      orders.filter(col("o_orderstatus") === "P")
+        .withColumn("o_orderpriority", lit("0-REPRICED")),
+      "b_up_updates", "o_orderkey", 8)
+    val merged = ScalePatterns.upsertByKey(
+      spark.table("b_up_base").hint("merge"),
+      spark.table("b_up_updates"), "o_orderkey")
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      plan.take(1200))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed upsert must not shuffle:\n${plan.take(2000)}")
+    // and the merge semantics hold: same row count (all updates matched),
+    // every P row repriced
+    assert(merged.count() === orders.count())
+    assert(merged.filter(col("o_orderstatus") === "P" &&
+      col("o_orderpriority") =!= "0-REPRICED").count() === 0L)
+  }
 }

@@ -176,6 +176,16 @@ class StreamingSpec extends SparkSpec {
       }
       assert(n > 0, "rate source produced no windows within 60s")
       assert(q.isActive)
+      // the watermark must actually advance off the epoch: a stuck
+      // watermark means closed windows never finalize on an unbounded
+      // source (progress is reported per micro-batch; drain a couple
+      // more batches so the 2s delay has data behind it)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val wm = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .getOrElse("1970-01-01T00:00:00.000Z")
+      assert(wm > "1971-01-01", s"watermark never advanced: $wm")
     } finally q.stop()
   }
 
