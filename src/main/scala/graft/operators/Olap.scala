@@ -169,6 +169,29 @@ object Olap {
       .limit(100)
   }
 
+  /** Q10 — returned-item revenue report: one quarter of orders joined to
+    * their returned lineitems, revenue per customer, top 20. customer and
+    * orders/lineitem are fact-sized and shuffle on their keys; nation is
+    * the only true dim and is broadcast explicitly. The top-20 rides
+    * TakeOrderedAndProject off the aggregation — no global sort. */
+  val qTpchQ10: (SparkSession, String) => DataFrame = (s, d) => {
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(disc).cast("double").as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
     * with the filter on the null-producing side, per-customer count
     * (customers with no orders count 0 via COUNT(o_orderkey)), then a
@@ -288,6 +311,8 @@ object Olap {
       s"SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlDisc ELSE 0 END) AS DOUBLE) / CAST(SUM($sqlDisc) AS DOUBLE) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'")),
     QueryDef("q_tpch_q18", qTpchQ18, Some(
       "SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_totalprice, CAST(sq AS DOUBLE) AS sum_qty FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) JOIN orders ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100")),
+    QueryDef("q_tpch_q10", qTpchQ10, Some(
+      s"SELECT c_custkey, c_name, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue, c_acctbal, n_name FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey ASC LIMIT 20")),
     QueryDef("q_tpch_q13", qTpchQ13, Some(
       "SELECT c_count, COUNT(*) AS custdist FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) GROUP BY c_count ORDER BY custdist DESC, c_count DESC")),
     QueryDef("q_upsert_bykey", qUpsertByKey, Some(

@@ -104,6 +104,43 @@ object Subqueries {
     GROUP BY p_brand, p_type
     ORDER BY p_brand, p_type""")
 
+  /** TPC-H Q22 shape — nations' affluent-but-inactive customers: an
+    * UNCORRELATED scalar aggregate gate (the global average, computed
+    * exactly once as a scalar subquery — the one subquery form that
+    * correctly SURVIVES as a subplan) combined with a correlated
+    * NOT EXISTS that must still rewrite to a LEFT ANTI join. The gate's
+    * average is an exact decimal sum divided as double, so the threshold
+    * is bit-identical across engines. */
+  val qScalarGate: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM g_customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*)
+                       FROM g_customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM g_orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'P')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey""")
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: a correlated scalar
+    * AVG in the WHERE clause, per part. The rewrite must aggregate
+    * lineitem once per part key and join the thresholds back — lineitem
+    * is scanned twice total (once for rows, once for per-part averages),
+    * never once per part. l_quantity is integer-valued, so the average
+    * is exact in double and the 0.2× threshold compares identically
+    * across engines. */
+  val qScalarAvgFilter: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM g_lineitem, g_part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM g_lineitem l2
+                        WHERE l2.l_partkey = p_partkey)""")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_exists_semi", qExistsSemi, Some(
       "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority")),
@@ -112,6 +149,10 @@ object Subqueries {
     QueryDef("q_scalar_subquery", qScalarSubquery, Some(
       "SELECT c_custkey, (SELECT MAX(o_orderkey) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') AS latest_p_order FROM customer ORDER BY c_custkey")),
     QueryDef("q_not_in", qNotIn, Some(
-      "SELECT p_brand, p_type, COUNT(*) AS cnt FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48) GROUP BY p_brand, p_type ORDER BY p_brand, p_type"))
+      "SELECT p_brand, p_type, COUNT(*) AS cnt FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48) GROUP BY p_brand, p_type ORDER BY p_brand, p_type")),
+    QueryDef("q_scalar_gate", qScalarGate, Some(
+      "SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal FROM customer WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer WHERE c_acctbal > 0.0) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') GROUP BY c_nationkey ORDER BY c_nationkey")),
+    QueryDef("q_scalar_avg_filter", qScalarAvgFilter, Some(
+      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"))
   )
 }

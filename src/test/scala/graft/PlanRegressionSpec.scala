@@ -146,6 +146,22 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!plan(q).contains("Subquery"), s"$q kept a subquery subplan")
   }
 
+  test("scalar gates: uncorrelated gate runs once and reaches the scan; " +
+      "correlated avg filter decorrelates to a threshold join") {
+    // q_scalar_gate's global average is UNCORRELATED — the correct shape
+    // is a one-time scalar subquery whose result gates the scan as a
+    // pushed filter (plus the LeftAnti for the NOT EXISTS).
+    val pg = plan("q_scalar_gate")
+    assert(pg.contains("LeftAnti"), pg.take(1500))
+    assert(pg.contains("ScalarSubquery"), pg.take(1500))
+    // q_scalar_avg_filter's per-part average IS correlated — it must
+    // decorrelate to an aggregate joined back with the threshold riding
+    // the join condition, never a surviving subquery.
+    val pa = plan("q_scalar_avg_filter")
+    assert(pa.contains("avg(l_quantity)"), pa.take(1500))
+    assert(!pa.contains("Subquery"), pa.take(1500))
+  }
+
   test("doc⋈embedding join carries no broadcast hint (both sides scale " +
       "with the corpus)") {
     // embeddings is one row per document — NOT a dim. A broadcast hint here
