@@ -192,6 +192,37 @@ object Olap {
       .limit(20)
   }
 
+  /** Q7 — volume shipping between two nations: the dim-ROLE-reuse shape,
+    * nation joined twice under different roles (supplier's nation vs
+    * customer's nation). Both roles are pre-filtered to the two nations
+    * of interest BEFORE touching the facts, so the supplier and customer
+    * sides shrink at the scan; the cross-pair predicate (must be
+    * opposite nations) rides after the joins. Facts shuffle on their
+    * keys; only the two filtered nation roles broadcast. */
+  val qTpchQ7: (SparkSession, String) => DataFrame = (s, d) => {
+    val pair = Seq("NATION_12", "NATION_10")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.supplier(s, d).join(broadcast(n1),
+          col("s_nationkey") === col("n1_key")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).join(broadcast(n2),
+          col("c_nationkey") === col("n2_key")),
+        col("c_custkey") === col("o_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(disc).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
     * with the filter on the null-producing side, per-customer count
     * (customers with no orders count 0 via COUNT(o_orderkey)), then a
@@ -311,6 +342,8 @@ object Olap {
       s"SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlDisc ELSE 0 END) AS DOUBLE) / CAST(SUM($sqlDisc) AS DOUBLE) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'")),
     QueryDef("q_tpch_q18", qTpchQ18, Some(
       "SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_totalprice, CAST(sq AS DOUBLE) AS sum_qty FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) JOIN orders ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100")),
+    QueryDef("q_tpch_q7", qTpchQ7, Some(
+      s"SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, YEAR(l_shipdate) AS l_year, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue FROM supplier JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN lineitem ON l_suppkey = s_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE n1.n_name IN ('NATION_12','NATION_10') AND n2.n_name IN ('NATION_12','NATION_10') AND n1.n_name <> n2.n_name AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
     QueryDef("q_tpch_q10", qTpchQ10, Some(
       s"SELECT c_custkey, c_name, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue, c_acctbal, n_name FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey ASC LIMIT 20")),
     QueryDef("q_tpch_q13", qTpchQ13, Some(

@@ -141,6 +141,33 @@ object Subqueries {
       AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM g_lineitem l2
                         WHERE l2.l_partkey = p_partkey)""")
 
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT — "top order
+    * per customer" as the user writes it. The rewrite must be the
+    * two-phase ranking plan: WindowGroupLimit (partial then final — map
+    * tasks forward at most one row per key) below a key equi-join, never
+    * a per-customer subquery execution. The same top-k-per-key shape as
+    * q_argmax_per_group, reached from SQL instead of the DataFrame API. */
+  val qLateralTopk: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM g_customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM g_orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+    ORDER BY c_custkey""")
+
+  /** Correlated LATERAL aggregate — a multi-column correlated derived
+    * table (COUNT + MAX in one subquery; the scalar-subquery form would
+    * need two). Must decorrelate to one per-key aggregate LEFT OUTER
+    * joined back: customers without orders keep n_orders = 0 /
+    * max_price NULL (the ungrouped-aggregate-on-empty contract both
+    * engines share). */
+  val qLateralAgg: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT c_custkey, t.n_orders, t.max_price
+    FROM g_customer,
+    LATERAL (SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+             FROM g_orders WHERE o_custkey = c_custkey) t
+    ORDER BY c_custkey""")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_exists_semi", qExistsSemi, Some(
       "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority")),
@@ -153,6 +180,10 @@ object Subqueries {
     QueryDef("q_scalar_gate", qScalarGate, Some(
       "SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal FROM customer WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer WHERE c_acctbal > 0.0) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') GROUP BY c_nationkey ORDER BY c_nationkey")),
     QueryDef("q_scalar_avg_filter", qScalarAvgFilter, Some(
-      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"))
+      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)")),
+    QueryDef("q_lateral_topk", qLateralTopk, Some(
+      "SELECT c_custkey, t.o_orderkey, t.o_totalprice FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t ORDER BY c_custkey")),
+    QueryDef("q_lateral_agg", qLateralAgg, Some(
+      "SELECT c_custkey, t.n_orders, t.max_price FROM customer, LATERAL (SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price FROM orders WHERE o_custkey = c_custkey) t ORDER BY c_custkey"))
   )
 }

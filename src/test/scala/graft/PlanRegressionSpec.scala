@@ -162,6 +162,20 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!pa.contains("Subquery"), pa.take(1500))
   }
 
+  test("LATERAL derived tables decorrelate: top-k via WindowGroupLimit, " +
+      "aggregate via one outer join") {
+    // LATERAL ... ORDER BY ... LIMIT 1 must become the two-phase ranking
+    // plan (WindowGroupLimit below a key join) — the same shape as
+    // q_argmax_per_group, reached from SQL. A surviving subquery would
+    // re-run orders once per customer.
+    val pt = plan("q_lateral_topk")
+    assert(pt.contains("WindowGroupLimit"), pt.take(1200))
+    assert(!pt.contains("Subquery"), pt.take(1200))
+    val pa = plan("q_lateral_agg")
+    assert(pa.contains("LeftOuter"), pa.take(1200))
+    assert(!pa.contains("Subquery"), pa.take(1200))
+  }
+
   test("doc⋈embedding join carries no broadcast hint (both sides scale " +
       "with the corpus)") {
     // embeddings is one row per document — NOT a dim. A broadcast hint here

@@ -189,6 +189,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch MERGE into a keyed serving table converges to batch") {
+    // The streaming-mutation bridge: each micro-batch's per-user partials
+    // are merged (additively) into a versioned parquet serving table —
+    // the foreachBatch idiom a 100 TB deployment uses to keep a keyed
+    // store current without rewriting history (versioned dirs stand in
+    // for a table format's atomic commit). After an AvailableNow replay
+    // over 3 files the serving table must equal the batch aggregate —
+    // fails on lost, double-counted, or unmerged state.
+    val src = Files.createTempDirectory("graft_febatch_src").toString
+    Tables.events(spark, sf).repartition(3).write.mode("overwrite")
+      .parquet(src)
+    val base = Files.createTempDirectory("graft_febatch_srv").toString
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mergeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit = (batch, _) => {
+      val agg = batch.groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .as("sum_value"))
+      val cur = version.get()
+      val existing =
+        if (cur == 0) agg.limit(0)
+        else batch.sparkSession.read.parquet(s"$base/v$cur")
+      existing.unionByName(agg)
+        .groupBy("user_id")
+        .agg(sum("cnt").as("cnt"),
+          sum("sum_value").cast("decimal(38,2)").as("sum_value"))
+        .write.mode("overwrite").parquet(s"$base/v${cur + 1}")
+      version.incrementAndGet(): Unit
+    }
+    val q = EventsStreaming.readEventsStream(spark, src)
+      .writeStream
+      .foreachBatch(mergeBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(version.get() > 0, "no micro-batch ever committed")
+    val serving = spark.read.parquet(s"$base/v${version.get()}")
+      .select(col("user_id"), col("cnt"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("user_id").collect()
+    val batchAgg = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("user_id").collect()
+    assert(serving.length === batchAgg.length)
+    serving.zip(batchAgg).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("streaming decontamination gate flags exactly the contaminated docs") {
     import org.apache.spark.sql.types._
     import spark.implicits._
