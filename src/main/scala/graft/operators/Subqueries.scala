@@ -59,8 +59,10 @@ object Subqueries {
     * multi-supplier finished order. EXISTS + NOT EXISTS over the same
     * fact: the rewrite is one LEFT SEMI and one LEFT ANTI join against
     * lineitem keyed on l_orderkey — three passes over lineitem total,
-    * every one a key-partitioned shuffle (no per-row re-scan). */
-  val qNotExists: (SparkSession, String) => DataFrame = sqlQuery("""
+    * every one a key-partitioned shuffle (no per-row re-scan). The SQL
+    * text is public so ScaleProbe can run the same decorrelation shape
+    * over g_* views bound to replicated frames. */
+  val notExistsSql: String = """
     SELECT s_name, COUNT(*) AS numwait
     FROM g_supplier, g_lineitem l1, g_orders
     WHERE s_suppkey = l1.l_suppkey
@@ -75,7 +77,10 @@ object Subqueries {
                         AND l3.l_suppkey <> l1.l_suppkey
                         AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
     GROUP BY s_name
-    ORDER BY numwait DESC, s_name ASC""")
+    ORDER BY numwait DESC, s_name ASC"""
+
+  val qNotExists: (SparkSession, String) => DataFrame =
+    sqlQuery(notExistsSql)
 
   /** TPC-H Q2 shape — correlated scalar aggregate in the SELECT list: the
     * declarative twin of `q_lookup_guarded` (whose Spark side is the

@@ -88,6 +88,40 @@ object ScaleProbe {
     time(s"CAPPED bucketed embedding near-dup over ${n}x embeddings")(
       Similarity.nearDupPairsBucketedCapped(embs, 0.4, k = 10,
         cap = 4000).count())
+
+    // Round-6 probes: the mutation and decorrelation paths at scale.
+    // (a) MERGE: 10% of a replicated orders table re-priced — the upsert
+    // must stay one key shuffle regardless of base size.
+    time(s"upsertByKey over ${n}x orders (10% update batch)") {
+      val upd = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.functions.ScalePatterns.upsertByKey(orders, upd, "o_orderkey")
+        .count()
+    }
+    // (b) idempotent re-land: land the replicated events day-partitioned,
+    // then dynamic-overwrite ONE day — cost must track the day, not the
+    // table (the other 29 partitions' files are never rewritten).
+    time(s"dynamic-partition re-land of 1 of 30 days over ${n}x events") {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe_byday_" +
+        spark.sparkContext.applicationId
+      val ev = events.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      graft.sources.Sources.writePartitioned(ev, dir, "day")
+      ev.filter(col("day") === "2024-01-10")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(dir)
+      spark.read.parquet(dir).count()
+    }
+    // (c) Q21 decorrelation: EXISTS + NOT EXISTS over the replicated fact
+    // — the rewrite's three lineitem passes must all be key-partitioned
+    // shuffles (a surviving per-row subplan would be quadratic here).
+    time(s"Q21 NOT EXISTS decorrelation over ${n}x lineitem") {
+      orders.createOrReplaceTempView("g_orders")
+      lineitem.createOrReplaceTempView("g_lineitem")
+      Tables.supplier(spark, d).createOrReplaceTempView("g_supplier")
+      spark.sql(graft.operators.Subqueries.notExistsSql).count()
+    }
     spark.stop()
   }
 }
