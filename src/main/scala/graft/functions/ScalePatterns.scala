@@ -65,6 +65,17 @@ object ScalePatterns {
           .otherwise(col(c)).as(c)): _*)
   }
 
+  /** Small-file compaction — the standing maintenance job every
+    * streaming/incremental landing needs: micro-batch writers accumulate
+    * files far below the scan-optimal size, and at 100 TB the resulting
+    * per-file open/footer cost dominates the read. Rewrites the layout at
+    * the target file count into a fresh directory (an atomic swap is a
+    * table format's job; versioned directories keep readers consistent).
+    * `coalesce`, never `repartition`: compaction concatenates existing
+    * partitions without a shuffle — the job is IO-bound by design. */
+  def compactTo(src: DataFrame, dstDir: String, targetFiles: Int): Unit =
+    src.coalesce(targetFiles).write.mode("overwrite").parquet(dstDir)
+
   /** Write both sides bucketed+sorted by the join key so subsequent joins
     * are exchange-free (co-located sort-merge). Returns the table names.
     * The write cost is paid once; every later join on `key` skips its

@@ -133,6 +133,21 @@ object Events {
           .as("k"))
       .orderBy("event_id")
 
+  // VariantType surface (Spark 4): the schema-less semi-structured path —
+  // parse_json binary-encodes the document once, variant_get extracts a
+  // typed field lazily without a declared schema. At 100 TB this is the
+  // ingest shape for heterogenous event payloads: no schema inference
+  // pass, shredding/pushdown improves as the format matures, and a field
+  // added upstream never breaks the reader. Oracle is DuckDB's JSON
+  // extraction of the same field.
+  val qVariantExtract: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.events(s, d)
+      .selectExpr("event_type",
+        "variant_get(parse_json(props), '$.k', 'bigint') AS k_val")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k_val")).as("sum_k"))
+      .orderBy("event_type")
+
   // MapType surface (SURVEY §1.3's "from_json → MapType" extension row):
   // parse the props JSON into a map, extract + count keys. The map stays a
   // plan-internal type; outputs are scalars so the oracle hash is stable.
@@ -206,6 +221,8 @@ object Events {
       "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start")),
     QueryDef("q_events_sliding", qEventsSliding, Some(
       "SELECT event_type, strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_variant_extract", qVariantExtract, Some(
+      "SELECT event_type, COUNT(*) AS cnt, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type ORDER BY event_type")),
     QueryDef("q_events_extract_props", qEventsExtractProps, Some(
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k FROM events ORDER BY event_id")),
     QueryDef("q_events_sessions", qEventsSessions, Some(

@@ -136,6 +136,22 @@ object Relational2 {
       .orderBy("o_orderkey")
   }
 
+  // Distribution windows: cume_dist (fraction of peers at-or-below) +
+  // ntile bucket in one pass — completes the window-function family
+  // (ranks/navigation/frames/distribution). The unique tie-break makes
+  // every row its own peer group, so cume_dist = rank/n — a rational in
+  // double, deterministic cross-engine. Same inherent per-partition-sort
+  // scale note as qWindowRanks.
+  val qWindowCume: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(10).over(w).as("decile"))
+      .orderBy("o_orderkey")
+  }
+
   // The SCALE form of qWindowRanks — the plan you would actually run at
   // 100×: a global rank per 3-value status key cannot sort billions of
   // rows in one reducer, so rank in two phases: (1) range-bucket each row
@@ -618,6 +634,8 @@ object Relational2 {
       "SELECT c_custkey, o_custkey, p_orders FROM customer FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS p_orders FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) p ON c_custkey = o_custkey ORDER BY c_custkey NULLS LAST, o_custkey NULLS LAST")),
     QueryDef("q_window_ranks", qWindowRanks, Some(
       "SELECT o_orderkey, o_orderstatus, rank() OVER w AS rk, dense_rank() OVER w AS drk, round(percent_rank() OVER w, 6) AS prk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) ORDER BY o_orderkey")),
+    QueryDef("q_window_cume", qWindowCume, Some(
+      "SELECT o_orderkey, o_orderstatus, round(cume_dist() OVER w, 6) AS cd, ntile(10) OVER w AS decile FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) ORDER BY o_orderkey")),
     QueryDef("q_window_ranks_bucketed", qWindowRanksBucketed, Some(
       // the SAME oracle as q_window_ranks: the two-phase plan is exact
       "SELECT o_orderkey, o_orderstatus, rank() OVER w AS rk, dense_rank() OVER w AS drk, round(percent_rank() OVER w, 6) AS prk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) ORDER BY o_orderkey")),

@@ -48,6 +48,30 @@ class ScalePatternsSpec extends SparkSpec {
     assert(joined.count() === expect)
   }
 
+  test("compaction reduces a 64-file layout to the target without a " +
+      "shuffle and preserves every row") {
+    val src = java.nio.file.Files.createTempDirectory("graft_compact_src")
+      .toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact_dst")
+      .toString
+    val ev = Tables.events(spark, sf)
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    def partFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(partFiles(src) === 64)
+    val frame = spark.read.parquet(src)
+    // coalesce must NOT introduce an exchange — compaction is IO-bound
+    val plan = frame.coalesce(4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    ScalePatterns.compactTo(frame, dst, targetFiles = 4)
+    assert(partFiles(dst) <= 4)
+    assert(spark.read.parquet(dst).count() === ev.count())
+    // content identical, not just the count
+    assert(spark.read.parquet(dst).select("event_id").orderBy("event_id")
+      .collect().toSeq ===
+      ev.select("event_id").orderBy("event_id").collect().toSeq)
+  }
+
   test("upsertByKey over a shared bucket layout runs with zero exchanges") {
     // The 100 TB MERGE story: when base and update batch share the bucket
     // layout, the full-outer key join reads co-located buckets — no side
