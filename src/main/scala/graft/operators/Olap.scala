@@ -169,6 +169,62 @@ object Olap {
       .limit(100)
   }
 
+  /** Q19 — discounted revenue under an OR-of-ANDs predicate: the
+    * disjunctive-pushdown shape. Each disjunct mixes part and lineitem
+    * columns, so the whole predicate can only run post-join — but
+    * Catalyst's CNF conversion must still derive the single-table
+    * residuals (the union of the l_quantity ranges; the brand IN-set)
+    * and push them into both scans, shrinking the join inputs. */
+  val qTpchQ19: (SparkSession, String) => DataFrame = (s, d) => {
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(disc).cast("double").as("revenue"))
+  }
+
+  /** Q8 — market share: the two-nation-role star with a conditional
+    * share division. Customer nations restrict to one region (the
+    * market); supplier nations label the volume; share = one nation's
+    * volume over the total per year. Both sums stay exact decimal until
+    * the final double division (the Q14 discipline). nation/region are
+    * true dims and broadcast; the facts shuffle on their keys. */
+  val qTpchQ8: (SparkSession, String) => DataFrame = (s, d) => {
+    val disc = d12(col("l_extendedprice")) * (one - d4(col("l_discount")))
+    val custNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNations = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_12", disc).otherwise(lit(0)))
+          .cast("double").as("nation_volume"),
+        sum(disc).cast("double").as("total_volume"))
+      .select(col("o_year"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Q10 — returned-item revenue report: one quarter of orders joined to
     * their returned lineitems, revenue per customer, top 20. customer and
     * orders/lineitem are fact-sized and shuffle on their keys; nation is
@@ -342,6 +398,10 @@ object Olap {
       s"SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlDisc ELSE 0 END) AS DOUBLE) / CAST(SUM($sqlDisc) AS DOUBLE) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'")),
     QueryDef("q_tpch_q18", qTpchQ18, Some(
       "SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_totalprice, CAST(sq AS DOUBLE) AS sum_qty FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) JOIN orders ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100")),
+    QueryDef("q_tpch_q19", qTpchQ19, Some(
+      s"SELECT CAST(SUM($sqlDisc) AS DOUBLE) AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)")),
+    QueryDef("q_tpch_q8", qTpchQ8, Some(
+      s"SELECT YEAR(o_orderdate) AS o_year, CAST(SUM(CASE WHEN n2.n_name = 'NATION_12' THEN $sqlDisc ELSE 0 END) AS DOUBLE) / CAST(SUM($sqlDisc) AS DOUBLE) AS mkt_share FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1 ORDER BY 1")),
     QueryDef("q_tpch_q7", qTpchQ7, Some(
       s"SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, YEAR(l_shipdate) AS l_year, CAST(SUM($sqlDisc) AS DOUBLE) AS revenue FROM supplier JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN lineitem ON l_suppkey = s_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE n1.n_name IN ('NATION_12','NATION_10') AND n2.n_name IN ('NATION_12','NATION_10') AND n1.n_name <> n2.n_name AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
     QueryDef("q_tpch_q10", qTpchQ10, Some(

@@ -62,6 +62,16 @@ class OlapPlanSpec extends SparkSpec {
     assert("partial_sum".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("Q19's OR-of-ANDs derives single-table residuals into both scans") {
+    // The full disjunction mixes part and lineitem columns and can only
+    // run post-join — but CNF conversion must push the per-table
+    // residuals (union of quantity ranges; brand/size combinations) into
+    // the scans so the join inputs shrink before shuffling.
+    val p = plan("q_tpch_q19")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p.take(2500))
+    assert(p.contains("LessThanOrEqual(p_size,15)"), p.take(2500))
+  }
+
   test("Q13 never broadcasts the orders side (fact⋈fact outer join)") {
     val p = plan("q_tpch_q13")
     assert(p.contains("ShuffledHashJoin") && p.contains("LeftOuter"),
