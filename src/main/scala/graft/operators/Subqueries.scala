@@ -173,6 +173,31 @@ object Subqueries {
              FROM g_orders WHERE o_custkey = c_custkey) t
     ORDER BY c_custkey""")
 
+  /** TPC-H Q15 — top supplier by quarterly revenue: a CTE referenced
+    * TWICE (once as the join input, once under the MAX gate). Spark
+    * inlines the CTE into two aggregates — the gate side becomes a
+    * one-time scalar subquery over the same filtered scan (two passes
+    * over the quarter's lineitem slice, each filter-pushed; never
+    * per-row). Revenue stays an exact decimal through the MAX-equality
+    * comparison (double equality on aggregates would be
+    * engine-dependent), cast to double only in the output. */
+  val qTpchQ15: (SparkSession, String) => DataFrame = sqlQuery("""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               AS total_revenue
+      FROM g_lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM g_supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey""")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_exists_semi", qExistsSemi, Some(
       "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority")),
@@ -189,6 +214,8 @@ object Subqueries {
     QueryDef("q_lateral_topk", qLateralTopk, Some(
       "SELECT c_custkey, t.o_orderkey, t.o_totalprice FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t ORDER BY c_custkey")),
     QueryDef("q_lateral_agg", qLateralAgg, Some(
-      "SELECT c_custkey, t.n_orders, t.max_price FROM customer, LATERAL (SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price FROM orders WHERE o_custkey = c_custkey) t ORDER BY c_custkey"))
+      "SELECT c_custkey, t.n_orders, t.max_price FROM customer, LATERAL (SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price FROM orders WHERE o_custkey = c_custkey) t ORDER BY c_custkey")),
+    QueryDef("q_tpch_q15", qTpchQ15, Some(
+      "WITH revenue AS (SELECT l_suppkey AS supplier_no, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue FROM supplier, revenue WHERE s_suppkey = supplier_no AND total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY s_suppkey"))
   )
 }

@@ -86,6 +86,67 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
   }
 
+  test("malformed JSON rows: PERMISSIVE nulls + captures, DROPMALFORMED " +
+      "skips, FAILFAST throws") {
+    // Robustness contract for dirty landings — a 100 TB ingest ALWAYS
+    // contains broken records, and the engine must offer all three
+    // dispositions without failing the healthy rows.
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty_json")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2 "name": "missing comma"}
+        |{"id": 3, "name": "fine"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    try {
+      assert(permissive.count() === 4)
+      assert(permissive.filter(col("_corrupt_record").isNotNull)
+        .count() === 2)
+      assert(permissive.filter(col("_corrupt_record").isNull)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 3L))
+    } finally { permissive.unpersist(); () }
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    val failfast = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir.toString).collect()
+    }
+    assert(failfast.getMessage.toLowerCase.contains("malformed") ||
+      failfast.getCause != null)
+  }
+
+  test("schema evolution: mergeSchema unions columns across parquet " +
+      "file generations") {
+    // The other standing ingest reality: a column added upstream must not
+    // break readers of the mixed directory — old files surface NULL for
+    // the new column, new files carry it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve")
+      .toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    assert(merged.count() === 4)
+    assert(merged.filter(col("score").isNull).count() === 2)
+    assert(merged.filter(col("score").isNotNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L))
+  }
+
   test("CSV sink + scan roundtrips with schema") {
     val subsSchema = StructType(Seq(
       StructField("subscription_id", LongType),
