@@ -216,6 +216,47 @@ object Relational2 {
       .select("o_orderstatus", "n", "var_pop")
       .orderBy("o_orderstatus")
 
+  // Bivariate statistics (corr/covar) via EXACT-DECIMAL MOMENTS: native
+  // corr() accumulates doubles whose partial-merge order differs between
+  // engines (and between runs at different parallelism), so instead the
+  // five moment sums run exact and the correlation is derived in one
+  // deterministic double expression — the same discipline as
+  // qAggVariance. All moments come from ONE partial-agg'd pass.
+  val qAggCorr: (SparkSession, String) => DataFrame = (s, d) => {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .withColumn("corr_qp", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      .withColumn("covar_qp", round(
+        (col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 4))
+      .select("l_returnflag", "n", "corr_qp", "covar_qp")
+      .orderBy("l_returnflag")
+  }
+
+  // Null semantics surface: aggregates skip nulls (COUNT(col) vs
+  // COUNT(*)), a nullable grouping key forms its own group, null-safe
+  // equality (<=> / IS NOT DISTINCT FROM) treats NULL as a comparable
+  // value, and the output ordering pins NULLS FIRST explicitly — the
+  // fixture has no nulls, so NULLIF manufactures them in-plan.
+  val qNullSemantics: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .select(expr("NULLIF(o_orderstatus, 'P')").as("st"))
+      .groupBy("st")
+      .agg(count(lit(1)).as("cnt"), count(col("st")).as("cnt_st"),
+        sum(when(col("st") <=> lit("O"), 1).otherwise(0)).cast("bigint")
+          .as("nsafe_o"))
+      .orderBy(col("st").asc_nulls_first)
+
   // EXCEPT (distinct) — customers minus those with an in-progress order.
   val qSetExcept: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.customer(s, d).select("c_custkey")
@@ -639,6 +680,10 @@ object Relational2 {
     QueryDef("q_window_ranks_bucketed", qWindowRanksBucketed, Some(
       // the SAME oracle as q_window_ranks: the two-phase plan is exact
       "SELECT o_orderkey, o_orderstatus, rank() OVER w AS rk, dense_rank() OVER w AS drk, round(percent_rank() OVER w, 6) AS prk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) ORDER BY o_orderkey")),
+    QueryDef("q_agg_corr", qAggCorr, Some(
+      "WITH m AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy FROM lineitem GROUP BY 1) SELECT l_returnflag, n, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp, round((sxy - sx * sy / n) / n, 4) AS covar_qp FROM m ORDER BY l_returnflag")),
+    QueryDef("q_null_semantics", qNullSemantics, Some(
+      "SELECT NULLIF(o_orderstatus, 'P') AS st, COUNT(*) AS cnt, COUNT(NULLIF(o_orderstatus, 'P')) AS cnt_st, CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS BIGINT) AS nsafe_o FROM orders GROUP BY 1 ORDER BY st ASC NULLS FIRST")),
     QueryDef("q_agg_variance", qAggVariance, Some(
       "SELECT o_orderstatus, n, round((sum_sq - sum_price * sum_price / n) / n, 4) AS var_pop FROM (SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq FROM orders GROUP BY o_orderstatus) ORDER BY o_orderstatus")),
     QueryDef("q_regex_like", qRegexLike, Some(
