@@ -198,6 +198,23 @@ object Subqueries {
       AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s_suppkey""")
 
+  /** TPC-H Q20 shape — suppliers of heavily-shipped interesting parts:
+    * NESTED IN chains (supplier IN an aggregated-HAVING subquery whose
+    * own filter is another IN subquery). Both INs must rewrite to LEFT
+    * SEMI joins — the inner one gates lineitem before its aggregate, the
+    * outer one gates supplier on the HAVING survivors; nothing executes
+    * per-row. */
+  val qNestedIn: (SparkSession, String) => DataFrame = sqlQuery("""
+    SELECT s_suppkey, s_name
+    FROM g_supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM g_lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM g_part
+                          WHERE p_name LIKE '%widget%')
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 2000)
+    ORDER BY s_suppkey""")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_exists_semi", qExistsSemi, Some(
       "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority")),
@@ -215,6 +232,8 @@ object Subqueries {
       "SELECT c_custkey, t.o_orderkey, t.o_totalprice FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t ORDER BY c_custkey")),
     QueryDef("q_lateral_agg", qLateralAgg, Some(
       "SELECT c_custkey, t.n_orders, t.max_price FROM customer, LATERAL (SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price FROM orders WHERE o_custkey = c_custkey) t ORDER BY c_custkey")),
+    QueryDef("q_nested_in", qNestedIn, Some(
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%') GROUP BY l_suppkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 2000) ORDER BY s_suppkey")),
     QueryDef("q_tpch_q15", qTpchQ15, Some(
       "WITH revenue AS (SELECT l_suppkey AS supplier_no, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue FROM supplier, revenue WHERE s_suppkey = supplier_no AND total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY s_suppkey"))
   )

@@ -144,6 +144,10 @@ class PlanRegressionSpec extends SparkSpec {
     for (q <- Seq("q_exists_semi", "q_not_exists", "q_scalar_subquery",
         "q_not_in"))
       assert(!plan(q).contains("Subquery"), s"$q kept a subquery subplan")
+    // nested IN chains (Q20 shape): BOTH levels rewrite to semi joins
+    val pq20 = plan("q_nested_in")
+    assert(pq20.split("LeftSemi").length >= 3, pq20.take(1500))
+    assert(!pq20.contains("Subquery"), pq20.take(1500))
   }
 
   test("scalar gates: uncorrelated gate runs once and reaches the scan; " +
