@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -180,7 +181,51 @@ object Curation {
   private val gramsCte =
     """g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))"""
 
+  /** Sequence packing for LM training — concatenate documents in a
+    * deterministic order and cut at fixed 512-token boundaries, the
+    * standard pretraining batch-prep step. Emits one row per packed
+    * sequence: how many documents contribute, how many tokens it holds
+    * (512 everywhere except each shard's final sequence), and the
+    * contributing doc-id span.
+    *
+    * Scale shape: packing is per-SOURCE-shard (window partitioned by
+    * source, ordered by doc_id) — the global-concatenation variant would
+    * serialize the corpus through one partition, which is exactly the
+    * shape a 100 TB pipeline cannot run; sharded packing is what real
+    * pipelines do (each shard feeds its own reader). Everything is exact
+    * integer arithmetic: a doc's sequence span is derived from its
+    * running token offset (floor division), boundary-straddling docs
+    * explode into one row per spanned sequence (bounded by
+    * doc_len/512 + 1 — never corpus-sized), and per-sequence token
+    * counts are the interval intersection. One window shuffle on source,
+    * one group shuffle on (source, seq_id). */
+  def packSequences(docs: DataFrame, maxLen: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("cum_before") / maxLen).cast("long"),
+        floor((col("cum_before") + col("n_tok") - 1) / maxLen)
+          .cast("long"))))
+      .withColumn("tok_in_seq",
+        least(col("cum_before") + col("n_tok"), (col("seq_id") + 1) * maxLen)
+          - greatest(col("cum_before"), col("seq_id") * maxLen))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok_in_seq").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "seq_id")
+  }
+
+  val qPackSequences: (SparkSession, String) => DataFrame = (s, d) =>
+    packSequences(Tables.documents(s, d), 512)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pack_sequences", qPackSequences, Some(
+      "WITH docs AS (SELECT source, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM documents), spans AS (SELECT source, doc_id, n_tok, cum_before, unnest(generate_series(CAST(cum_before // 512 AS BIGINT), CAST((cum_before + n_tok - 1) // 512 AS BIGINT))) AS seq_id FROM docs) SELECT source, seq_id, COUNT(*) AS n_docs, CAST(SUM(LEAST(cum_before + n_tok, (seq_id + 1) * 512) - GREATEST(cum_before, seq_id * 512)) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM spans GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("q_decontaminate", qDecontaminate, Some(
       s"WITH $gramsCte, bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0) SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id")),
     // bit-identical to q_decontaminate by construction (bloom gate is a

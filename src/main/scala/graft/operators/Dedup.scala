@@ -50,6 +50,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Segment-level exact dedup — the line-level dedup of the
+    * training-data literature, adapted to this corpus's single-line
+    * documents: each document splits into fixed 16-token segments, every
+    * distinct segment keeps only its first corpus-wide occurrence
+    * (first = lowest (doc_id, seg_idx) — the deterministic-survivor
+    * discipline), and documents reassemble from surviving segments in
+    * order. Catches the repeated-boilerplate case document-level dedup
+    * misses without paying near-dup candidate generation.
+    *
+    * Scale shape: segmentation is a codegen'd HOF over the token array
+    * (no shuffle); the dedup window shuffles once keyed on the segment
+    * text (~100-byte keys); reassembly shuffles once on doc_id. Both are
+    * plain hash partitions — no corpus broadcast, no quadratic step.
+    * Documents whose every segment was seen earlier drop out entirely
+    * (they contribute nothing to training). */
+  def segmentDedup(docs: DataFrame, segLen: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nSegs = ceil(size(toks).cast("double") / segLen).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1),
+      i => array_join(slice(toks, i * segLen + 1, lit(segLen)), " "))
+    val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    docs
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_segments"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")), " ").as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupSegments: (SparkSession, String) => DataFrame = (s, d) =>
+    segmentDedup(Tables.documents(s, d), 16)
+
   /** Word-bigram shingles hashed to a sorted distinct Long array. The
     * sort+distinct make the merge-scan intersection valid; hashing makes
     * it allocation-free. Collision probability over ~10² shingles/doc is
@@ -793,6 +829,8 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_minhash_source_sketch", qMinhashSourceSketch, None),
+    QueryDef("q_dedup_segments", qDedupSegments, Some(
+      "WITH segs AS (SELECT doc_id, unnest(range(len(s))) AS seg_idx, unnest(s) AS seg FROM (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/16.0) AS BIGINT)), i -> array_to_string(t[i*16+1:i*16+16], ' ')) AS s FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents))), keep AS (SELECT doc_id, seg_idx, seg, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) SELECT doc_id, COUNT(*) AS kept_segments, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_dedup_exact", qDedupExact, Some(
       "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
     QueryDef("q_dedup_containment", qDedupContainment, Some(

@@ -8,6 +8,44 @@ import graft.operators.Curation
   * covers the fixtures; these pin the semantics on planted cases). */
 class CurationSpec extends SparkSpec {
 
+  test("sequence packing cuts at boundaries and splits straddling docs") {
+    import spark.implicits._
+    // source s1: 5 + 6 + 4 tokens, maxLen 8 → seq0 holds doc1 + 3 tokens
+    // of doc2, seq1 the rest of doc2 + doc3 (7 tokens, the short tail)
+    val docs = Seq(
+      ("s1", 1L, "t t t t t"), ("s1", 2L, "t t t t t t"),
+      ("s1", 3L, "t t t t"), ("s2", 4L, "t t t"))
+      .toDF("source", "doc_id", "text")
+    val out = Curation.packSequences(docs, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("s1", 0L, 2L, 8L, 1L, 2L), ("s1", 1L, 2L, 7L, 2L, 3L),
+      ("s2", 0L, 1L, 3L, 4L, 4L)))
+  }
+
+  test("packing conserves tokens: full sequences except each shard tail") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.packSequences(docs, 512).cache()
+    try {
+      // every sequence but the per-source last carries exactly 512 tokens
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val nonTail = out
+        .withColumn("max_seq", max("seq_id").over(w))
+        .filter(col("seq_id") < col("max_seq"))
+      assert(nonTail.filter(col("n_tokens") =!= 512).isEmpty)
+      // token conservation per source
+      val packed = out.groupBy("source")
+        .agg(sum("n_tokens").as("t")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val direct = docs.groupBy("source")
+        .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(packed === direct)
+    } finally out.unpersist()
+  }
+
   test("decontamination flags a planted benchmark copy maximally") {
     import spark.implicits._
     val bench = Seq(

@@ -28,6 +28,41 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("segment dedup removes repeated boilerplate and keeps first use") {
+    import spark.implicits._
+    // doc 1 owns segments A B; doc 2 repeats A (boilerplate) + fresh C;
+    // doc 3 is entirely doc 1's content and must vanish outright
+    val a = (1 to 4).map(i => s"a$i").mkString(" ")
+    val b = (1 to 4).map(i => s"b$i").mkString(" ")
+    val c = (1 to 4).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$b $a"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.segmentDedup(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq((1L, 2L, s"$a $b"), (2L, 1L, c)))
+  }
+
+  test("segment dedup on testdata: unique docs pass through intact") {
+    // sf0.001 has no duplicate texts, but segments CAN repeat across
+    // docs; invariants rather than exact content: survivors keep >= 1
+    // segment, and total kept segments == total distinct segments
+    val docs = Tables.documents(spark, sf)
+    val out = operators.Dedup.segmentDedup(docs, 16).cache()
+    try {
+      val kept = out.agg(sum("kept_segments")).collect()(0).getLong(0)
+      val toks = split(trim(col("text")), "\\s+")
+      val nSegs = ceil(size(toks).cast("double") / 16).cast("int")
+      val distinctSegs = docs.select(posexplode(transform(
+          sequence(lit(0), nSegs - 1),
+          i => array_join(slice(toks, i * 16 + 1, lit(16)), " ")))
+          .as(Seq("i", "seg")))
+        .select("seg").distinct().count()
+      assert(kept === distinctSegs)
+      assert(out.filter(col("kept_segments") < 1).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("docs with <2 tokens never pair (no NaN-Jaccard leakage)") {
     // Empty shingle sets make Jaccard 0/0 = NaN, and Spark orders NaN
     // above every double — without the token-count guard, `jac >= 0.8`

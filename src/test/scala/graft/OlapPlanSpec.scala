@@ -79,6 +79,38 @@ class OlapPlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("Q9 broadcasts only the nation dim; facts arrive via shuffle") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("partial_sum"), p.take(800))
+    // the only hinted broadcast is nation (25 rows at any SF); the
+    // orders/lineitem fact join must not carry a static broadcast
+    assert(!p.linesIterator.exists(l =>
+        l.contains("BroadcastExchange") && l.contains("o_orderkey")),
+      p.take(2000))
+  }
+
+  test("Q11's threshold is one 1-row broadcast over the grouped set") {
+    val p = plan("q_tpch_q11")
+    // the supplier gate must land as a LEFT SEMI join, the scalar
+    // threshold as a broadcast nested-loop over the 1-row aggregate —
+    // never a per-part re-aggregation
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("partial_sum".r.findAllIn(p).size <= 3, p.take(2500))
+  }
+
+  test("Q12 pushes the shipdate year filter to the lineitem scan") {
+    val p = plan("q_tpch_q12")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+    // the lateness comparison mixes both tables and rides the join —
+    // but the single-table year range must still prune the scan
+    val readSchema = p.linesIterator
+      .find(l => l.contains("ReadSchema:") && l.contains("l_returnflag"))
+      .getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
   test("bucketed fact⋈fact join and its groupBy run with zero exchanges") {
     val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
