@@ -657,7 +657,41 @@ object Similarity {
   private val cosineSql =
     "list_dot_product(ce, qe) / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))"
 
+  /** Int8 symmetric quantization of the embedding column — the storage /
+    * serving compression step (absmax scaling, the standard int8 scheme):
+    * per-vector scale = max|v|/127, q_i = round(v_i/scale), plus the
+    * reconstruction MSE the compression costs. Pure per-row HOF work in
+    * one pass, no shuffle: at 100 TB this is a map-only rewrite of the
+    * vector column (4× smaller payload for the ANN serving path).
+    * Determinism: all math runs in double with the same expression shape
+    * both engines evaluate left-to-right over the list in index order;
+    * outputs round to 6 places (the corpus's float inputs are exact in
+    * double, so both engines see bit-identical operands). */
+  val qEmbedQuantize: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("amax",
+        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .filter(col("amax") > 0)
+      .withColumn("scale", col("amax") / 127)
+      .withColumn("q",
+        transform(col("e"), x => round(x / col("scale")).cast("int")))
+      .withColumn("q_l1",
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x).cast("long")))
+      .withColumn("recon_mse", round(aggregate(
+          zip_with(col("e"), col("q"), (x, qi) =>
+            (x - qi.cast("double") * col("scale")) *
+              (x - qi.cast("double") * col("scale"))),
+          lit(0.0), (a, x) => a + x) / size(col("e")), 6))
+      .select(col("vec_id"), size(col("e")).as("n_dims"),
+        round(col("scale"), 6).as("scale_r"), col("q_l1"),
+        col("recon_mse"))
+      .orderBy("vec_id")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_quantize", qEmbedQuantize, Some(
+      "WITH a AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), b AS (SELECT vec_id, e, list_aggregate(list_transform(e, x -> abs(x)), 'max') AS amax FROM a WHERE list_aggregate(list_transform(e, x -> abs(x)), 'max') > 0), c AS (SELECT vec_id, e, amax / 127 AS scale FROM b), d AS (SELECT vec_id, e, scale, list_transform(e, x -> CAST(round(x / scale) AS INT)) AS q FROM c) SELECT vec_id, CAST(len(e) AS INT) AS n_dims, round(scale, 6) AS scale_r, CAST(list_aggregate(list_transform(q, x -> CAST(abs(x) AS BIGINT)), 'sum') AS BIGINT) AS q_l1, round(list_aggregate(list_transform(range(len(e)), i -> (e[i+1] - q[i+1] * scale) * (e[i+1] - q[i+1] * scale)), 'sum') / len(e), 6) AS recon_mse FROM d ORDER BY vec_id")),
     QueryDef("q_cosine_topk", qCosineTopk, Some(
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_embed_near_dup", qEmbedNearDup, Some(

@@ -78,6 +78,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Overlapping chunking for retrieval — the RAG chunk-table build:
+    * fixed 32-token windows at stride 24 (8-token overlap so no answer
+    * span is cut without a copy), with token offsets kept so chunks can
+    * be mapped back into their document. Pure per-row HOF work over the
+    * materialized token array (sequence → slice → array_join, all
+    * codegen'd): zero shuffles beyond the output sort — embarrassingly
+    * scalable, like the segment cut in Dedup.segmentDedup but with
+    * stride < width. */
+  val qChunkOverlap: (SparkSession, String) => DataFrame = (s, d) => {
+    val chunkLen = 32
+    val stride = 24
+    Tables.documents(s, d)
+      .select(col("doc_id"), wsTokens.as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("t")) - 1, lit(stride)),
+          st => struct(st.as("start_tok"),
+            least(size(col("t")) - st, lit(chunkLen)).as("n_tokens"),
+            array_join(slice(col("t"), st + 1, lit(chunkLen)), " ")
+              .as("chunk_text"))))
+          .as(Seq("chunk_idx", "ch")))
+      .select(col("doc_id"), col("chunk_idx"), col("ch.start_tok"),
+        col("ch.n_tokens"), col("ch.chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // --- q_token_count: whitespace + BPE-ish regex tokenization counts ---
   val qTokenCount: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.documents(s, d)
@@ -333,6 +359,8 @@ object TextAnalysis {
     QueryDef("q_lang_id", qLangId, Some(langIdOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(
       "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
+    QueryDef("q_chunk_overlap", qChunkOverlap, Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), ch AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start_tok FROM t) SELECT doc_id, CAST(start_tok // 24 AS INT) AS chunk_idx, CAST(start_tok AS INT) AS start_tok, CAST(LEAST(len(t) - start_tok, 32) AS INT) AS n_tokens, array_to_string(t[start_tok+1 : start_tok+32], ' ') AS chunk_text FROM ch ORDER BY doc_id, chunk_idx")),
     QueryDef("q_token_count", qTokenCount, Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens, len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens FROM documents ORDER BY doc_id")),
     QueryDef("q_doc_fingerprint", qDocFingerprint, Some(

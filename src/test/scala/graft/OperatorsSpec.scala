@@ -109,6 +109,40 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Double]("rel_err") < 0.05, r.toString))
   }
 
+  test("chunking covers every token: stride grid, full interiors, tails") {
+    val toks = split(trim(col("text")), "\\s+")
+    val counts = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(toks).as("n_tok"))
+    val chunks = operators.TextAnalysis.qChunkOverlap(spark, sf)
+      .join(counts, "doc_id")
+    // a chunk may be short ONLY in the tail region (start > n_tok - 32);
+    // with stride 24 < width 32 the tail can hold up to two such chunks
+    assert(chunks.filter(col("n_tokens") =!= 32 &&
+      col("start_tok") <= col("n_tok") - 32).isEmpty)
+    val byDoc = chunks
+      .groupBy("doc_id", "n_tok")
+      .agg(min("start_tok").as("first_start"),
+        max(col("start_tok") + col("n_tokens")).as("cover_end"),
+        sum(when(col("start_tok") % 24 =!= 0, 1).otherwise(0)).as("off_grid"))
+    assert(byDoc.filter(col("first_start") =!= 0 ||
+      col("cover_end") =!= col("n_tok") || col("off_grid") =!= 0).isEmpty)
+  }
+
+  test("int8 quantization: MSE bounded by (scale/2)^2, mass bounded") {
+    val rows = operators.Similarity.qEmbedQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale_r")
+      val mse = r.getAs[Double]("recon_mse")
+      val nDims = r.getAs[Int]("n_dims")
+      // per-element |err| <= scale/2 ⇒ mse <= (scale/2)^2; scale_r and
+      // mse are 6-decimal-rounded outputs, so allow that much slack
+      assert(mse <= scale * scale / 4 + 1e-6, r.toString)
+      assert(r.getAs[Long]("q_l1") <= 127L * nDims, r.toString)
+      assert(scale > 0, r.toString)
+    }
+  }
+
   test("count-min heavy hitters: estimates are one-sided and bounded") {
     val rows = operators.TextAnalysis.qApproxTopk(spark, sf).collect()
     assert(rows.length === 20)

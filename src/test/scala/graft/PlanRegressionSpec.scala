@@ -72,6 +72,37 @@ class PlanRegressionSpec extends SparkSpec {
       pe.contains("double_array_dot"), pe.take(900))
   }
 
+  test("segment dedup: two data shuffles (segment, doc_id), no broadcast") {
+    val p = plan("q_dedup_segments")
+    assert(!p.contains("Broadcast"), p.take(1500))
+    // hash exchanges: the survivor window keyed on seg, the reassembly
+    // group on doc_id; the final orderBy adds a range exchange — no
+    // other shuffle may appear (the corpus never broadcasts or
+    // re-partitions redundantly)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
+  test("sequence packing reuses the window's source partitioning for " +
+      "its groupBy (one data shuffle)") {
+    val p = plan("q_pack_sequences")
+    assert(!p.contains("Broadcast"), p.take(1500))
+    // hashpartitioning(source) feeds the window AND satisfies the
+    // (source, seq_id) grouping's clustering requirement — a second
+    // hash exchange would mean the reuse broke
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
+  test("chunking and quantization plans are shuffle-free map passes") {
+    val chunk = plan("q_chunk_overlap")
+    val quant = plan("q_embed_quantize")
+    for (p <- Seq(chunk, quant)) {
+      assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+      assert(!p.contains("Broadcast"), p.take(1500))
+    }
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
