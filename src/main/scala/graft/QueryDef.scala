@@ -24,6 +24,7 @@ object Registry {
       operators.Olap.defs ++
       operators.Subqueries.defs ++
       operators.Events.defs ++
+      operators.Temporal.defs ++
       operators.TextAnalysis.defs ++
       operators.Curation.defs ++
       operators.Dedup.defs ++

@@ -223,6 +223,40 @@ object Curation {
   val qPackSequences: (SparkSession, String) => DataFrame = (s, d) =>
     packSequences(Tables.documents(s, d), 512)
 
+  /** Robust outlier gate — Tukey's IQR fence per group, the standard
+    * numeric-cleaning step before a column feeds training: keep values
+    * in [q1 − 1.5·IQR, q3 + 1.5·IQR], report what survived. Quartiles
+    * here are EXACT interpolated percentiles (oracle-able; per-group
+    * sorted state) — at 100 TB the drop-in scale twin is
+    * approx_percentile's fixed-size sketch (declared separately as
+    * q_approx_percentile), with the fence logic unchanged. The stats
+    * side aggregates to one row per group (group-cardinality-sized, a
+    * true broadcast dim), so the join back is broadcast by construction
+    * and the only data shuffles are the two aggregations' own.
+    *
+    * Determinism: the fence expressions are written with the SAME
+    * operation order in both engines — where the quartile interpolates,
+    * engine ulp differences land the fence strictly between data
+    * values; where it doesn't, both engines hold the identical double —
+    * so the keep predicate cannot flip. */
+  val qOutlierIqr: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"), col("value"))
+    val stats = e.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"),
+      count(lit(1)).as("n_total"))
+    e.join(broadcast(stats), "event_type")
+      .filter(
+        col("value") >= col("q1") - (col("q3") - col("q1")) * 1.5 &&
+          col("value") <= col("q3") + (col("q3") - col("q1")) * 1.5)
+      .groupBy(col("event_type"), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("kept_sum"))
+      .select("event_type", "n_total", "n_kept", "kept_sum")
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pack_sequences", qPackSequences, Some(
       "WITH docs AS (SELECT source, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM documents), spans AS (SELECT source, doc_id, n_tok, cum_before, unnest(generate_series(CAST(cum_before // 512 AS BIGINT), CAST((cum_before + n_tok - 1) // 512 AS BIGINT))) AS seq_id FROM docs) SELECT source, seq_id, COUNT(*) AS n_docs, CAST(SUM(LEAST(cum_before + n_tok, (seq_id + 1) * 512) - GREATEST(cum_before, seq_id * 512)) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM spans GROUP BY 1, 2 ORDER BY 1, 2")),
@@ -236,6 +270,8 @@ object Curation {
       "SELECT doc_id, CASE WHEN len(bg) > 0 THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) ELSE 0.0 END AS rep_bigram, round(CAST(list_max(list_transform(list_distinct(t), u -> len(list_filter(t, x -> x = u)))) AS DOUBLE) / len(t), 6) AS top_tok_frac FROM (SELECT doc_id, t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)) ORDER BY doc_id")),
     QueryDef("q_scrub_ids", qScrubIds, Some(
       "SELECT event_id, regexp_replace(props, '\\d+', '#', 'g') AS masked, len(regexp_extract_all(props, '\\d+')) AS n_ids FROM events ORDER BY event_id")),
+    QueryDef("q_outlier_iqr", qOutlierIqr, Some(
+      "WITH s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3, COUNT(*) AS n_total FROM events GROUP BY event_type) SELECT e.event_type, s.n_total, COUNT(*) AS n_kept, CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS kept_sum FROM events e JOIN s ON e.event_type = s.event_type WHERE e.value >= s.q1 - (s.q3 - s.q1) * 1.5 AND e.value <= s.q3 + (s.q3 - s.q1) * 1.5 GROUP BY e.event_type, s.n_total ORDER BY e.event_type")),
     QueryDef("q_domain_mix", qDomainMix, Some(
       "SELECT doc_id, source, CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 1 THEN 1.0 ELSE round(256.0 / 102.0, 6) END AS weight FROM (SELECT doc_id, source, (instr('0123456789abcdef', substring(md5('graft_mix' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5('graft_mix' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk FROM documents) WHERE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 1 OR bk < 102 ORDER BY doc_id"))
   )

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Time-relational compositions: the band (interval) join and the
+  * SCD Type-2 dimension build. Both are shapes time-series / warehouse
+  * engines ship natively and Spark does not — re-expressed here with the
+  * scale-safe plan declared up front (bucketed prefilter for the band
+  * join, a single folded Window for the history build), completing the
+  * as-of family in Events.scala.
+  */
+object Temporal {
+
+  /** Band (interval) self-join — pairs of events from the SAME user whose
+    * timestamps lie within `bandSec` seconds of each other. Spark has no
+    * native range-join operator, so the scale-safe composition is
+    * bucketed prefilter + refine: quantize ts into band-width buckets,
+    * explode ONE side to its bucket and both neighbors (×3 rows — the
+    * bounded price of turning the inequality into an equi-join), join on
+    * (user_id, bucket) as a plain hash shuffle, then refine with the
+    * exact band predicate. Any pair within the band differs by at most
+    * one bucket, and each pair meets exactly once (the exploded values
+    * are distinct) — so no cartesian, no nested-loop, no AQE rescue
+    * needed. Orientation fixes on event_id order (not ts order), so
+    * equal timestamps are unambiguous.
+    *
+    * Seconds are compared truncated (unix_timestamp ≡ DuckDB
+    * date_diff('second')), which keeps both engines' predicates
+    * bit-identical on TIMESTAMP(NANOS) inputs.
+    */
+  def bandJoinPairs(events: DataFrame, bandSec: Long): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("ts"),
+      floor(unix_timestamp(col("ts")) / bandSec).as("bkt"))
+    val left = e.select(col("user_id"), col("event_id").as("e1"),
+      col("ts").as("ts1"), col("bkt"))
+    val right = e.select(col("user_id").as("u2"), col("event_id").as("e2"),
+      col("ts").as("ts2"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt2"))
+    left.join(right,
+        left("user_id") === right("u2") && col("bkt") === col("bkt2"))
+      .withColumn("delta_s",
+        unix_timestamp(col("ts2")) - unix_timestamp(col("ts1")))
+      .filter(col("e1") < col("e2") && abs(col("delta_s")) <= bandSec)
+      .select(col("user_id"), col("e1"), col("e2"), col("delta_s"))
+  }
+
+  val qJoinBand: (SparkSession, String) => DataFrame = (s, d) =>
+    bandJoinPairs(Tables.events(s, d), 300L)
+      .orderBy("user_id", "e1", "e2")
+
+  /** SCD Type-2 build — turn the per-customer order stream into a
+    * versioned dimension history (the warehouse-maintenance staple):
+    * version k = the k-th order, valid_from = its date, valid_to_excl =
+    * the next version's date (exclusive-end convention; '9999-12-31'
+    * sentinel marks the current row). row_number and lead share the same
+    * (partition, order) spec so Catalyst folds them into ONE Window
+    * node: the whole history build is one hash exchange + one sort at
+    * any scale, and appending a day's orders is the same plan over the
+    * union (only touched customers re-window under AQE). Ties on order
+    * date break by o_orderkey, so the version chain is total and both
+    * engines agree.
+    */
+  val qScd2: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"), col("o_orderkey"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_date"), "yyyy-MM-dd"),
+          lit("9999-12-31")).as("valid_to_excl"),
+        col("next_date").isNull.cast("int").as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_join_band", qJoinBand, Some(
+      "SELECT a.user_id, a.event_id AS e1, b.event_id AS e2, date_diff('second', a.ts, b.ts) AS delta_s FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id AND abs(date_diff('second', a.ts, b.ts)) <= 300 ORDER BY a.user_id, e1, e2")),
+    QueryDef("q_scd2", qScd2, Some(
+      "SELECT o_custkey, CAST(row_number() OVER w AS INT) AS version, o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS valid_from, COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to_excl, CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, version"))
+  )
+}

@@ -104,6 +104,39 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** BPE merge-candidate counting — the kernel of tokenizer training
+    * (the Sennrich byte-pair-encoding recipe): words become symbol
+    * sequences (their characters plus an end-of-word marker), and
+    * candidate merges are adjacent symbol pairs weighted by word
+    * frequency. The scale shape is the point: the corpus first
+    * aggregates to its VOCABULARY (one shuffle; vocab ≪ corpus — this
+    * is why BPE training stays cheap at 100 TB), the pair explosion
+    * runs over the vocab table only, and the weighted counts take a
+    * second, vocab-sized shuffle. Top-30 lands as TakeOrdered with a
+    * lexicographic tie-break, never a global sort. (The merge loop
+    * itself is a driver-side iteration over exactly this query — each
+    * round's argmax is row 1.) Characters are extracted with the same
+    * regex ('.', one code point) in both engines.
+    */
+  val qBpePairs: (SparkSession, String) => DataFrame = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(wsTokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val syms = words.select(col("freq"),
+      concat(regexp_extract_all(col("word"), lit("."), lit(0)),
+        array(lit("</w>"))).as("sym"))
+    syms
+      .select(col("freq"),
+        explode(when(size(col("sym")) >= 2,
+          transform(sequence(lit(1), size(col("sym")) - 1),
+            i => concat_ws(" ", element_at(col("sym"), i),
+              element_at(col("sym"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("weighted_cnt"))
+      .orderBy(col("weighted_cnt").desc, col("pair").asc)
+      .limit(30)
+  }
+
   // --- q_token_count: whitespace + BPE-ish regex tokenization counts ---
   val qTokenCount: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.documents(s, d)
@@ -361,6 +394,8 @@ object TextAnalysis {
       "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(
       "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), ch AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start_tok FROM t) SELECT doc_id, CAST(start_tok // 24 AS INT) AS chunk_idx, CAST(start_tok AS INT) AS start_tok, CAST(LEAST(len(t) - start_tok, 32) AS INT) AS n_tokens, array_to_string(t[start_tok+1 : start_tok+32], ' ') AS chunk_text FROM ch ORDER BY doc_id, chunk_idx")),
+    QueryDef("q_bpe_pairs", qBpePairs, Some(
+      "WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents), wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word), sy AS (SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS sym FROM wf), pr AS (SELECT freq, unnest(list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])) AS pair FROM sy WHERE len(sym) >= 2) SELECT pair, CAST(SUM(freq) AS BIGINT) AS weighted_cnt FROM pr GROUP BY pair ORDER BY weighted_cnt DESC, pair ASC LIMIT 30")),
     QueryDef("q_token_count", qTokenCount, Some(
       "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens, len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens FROM documents ORDER BY doc_id")),
     QueryDef("q_doc_fingerprint", qDocFingerprint, Some(

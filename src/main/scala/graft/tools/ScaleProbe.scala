@@ -122,6 +122,36 @@ object ScaleProbe {
       Tables.supplier(spark, d).createOrReplaceTempView("g_supplier")
       spark.sql(graft.operators.Subqueries.notExistsSql).count()
     }
+    // Round-6 part-3 probes: temporal relations + the tokenizer kernel.
+    // (a) band join: replicas share user_id AND ts, so every original
+    // within-band pair fans out ~n² — the adversarial densification for
+    // the bucketed prefilter (buckets get n× hotter, the equi-join must
+    // absorb it without a nested loop).
+    time(s"band join (300 s) over ${n}x events")(
+      graft.operators.Temporal.bandJoinPairs(events, 300L).count())
+    // (b) SCD2: ×n orders per customer → n× longer version chains
+    // through the same single-exchange window plan.
+    time(s"SCD2 history build over ${n}x orders")(
+      orders.withColumn("version", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+        .count())
+    // (c) BPE pair counting: the corpus is ×n but its VOCABULARY is
+    // unchanged — the pair-explosion stage's cost must stay flat (only
+    // the word-count shuffle sees the replication).
+    time(s"BPE pair counting over ${n}x docs") {
+      val words = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      words.select(col("freq"),
+          concat(regexp_extract_all(col("word"), lit("."), lit(0)),
+            array(lit("</w>"))).as("sym"))
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => concat_ws(" ", element_at(col("sym"), i),
+            element_at(col("sym"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt")).count()
+    }
     spark.stop()
   }
 }

@@ -143,6 +143,78 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("band join: bucketed prefilter+refine ≡ direct inequality join") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // oracle-grade direct form: equi on user, refine both inequalities
+    val a = e.select(col("user_id"), col("event_id").as("e1"),
+      col("ts").as("ts1"))
+    val b = e.select(col("user_id").as("u2"), col("event_id").as("e2"),
+      col("ts").as("ts2"))
+    val direct = a.join(b, col("user_id") === col("u2"))
+      .withColumn("delta_s",
+        unix_timestamp(col("ts2")) - unix_timestamp(col("ts1")))
+      .filter(col("e1") < col("e2") && abs(col("delta_s")) <= 300)
+      .select("user_id", "e1", "e2", "delta_s")
+    val banded = operators.Temporal.bandJoinPairs(
+      Tables.events(spark, sf), 300L)
+    assert(banded.count() > 0)
+    assert(banded.exceptAll(direct).isEmpty && direct.exceptAll(banded).isEmpty)
+  }
+
+  test("scd2: versions contiguous, intervals chain, one current per key") {
+    val h = operators.Temporal.qScd2(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("version")
+    val chained = h
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("next_ver", lead(col("version"), 1).over(w))
+    // every non-final version: next version is +1 and starts exactly
+    // where this one's exclusive end sits
+    assert(chained.filter(col("next_ver").isNotNull &&
+      (col("next_ver") =!= col("version") + 1 ||
+        col("next_from") =!= col("valid_to_excl"))).isEmpty)
+    val perKey = h.groupBy("o_custkey")
+      .agg(min("version").as("v0"), max("version").as("vn"),
+        count(lit(1)).as("n"), sum("is_current").as("n_cur"))
+    assert(perKey.filter(col("v0") =!= 1 || col("vn") =!= col("n") ||
+      col("n_cur") =!= 1).isEmpty)
+  }
+
+  test("bpe pairs: vocab-aggregated counts ≡ direct corpus pair counts") {
+    val toks = split(trim(col("text")), "\\s+")
+    // direct path: explode every token INSTANCE (no vocab pre-agg),
+    // then count pairs — must equal the freq-weighted vocab path
+    val direct = Tables.documents(spark, sf)
+      .select(explode(toks).as("word"))
+      .select(concat(regexp_extract_all(col("word"), lit("."), lit(0)),
+        array(lit("</w>"))).as("sym"))
+      .select(explode(when(size(col("sym")) >= 2,
+        transform(sequence(lit(1), size(col("sym")) - 1),
+          i => concat_ws(" ", element_at(col("sym"), i),
+            element_at(col("sym"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("direct_cnt"))
+    val top = operators.TextAnalysis.qBpePairs(spark, sf)
+    assert(top.count() === 30)
+    assert(top.join(direct, "pair")
+      .filter(col("weighted_cnt") =!= col("direct_cnt")).isEmpty)
+    // every pair ends a word or chains two in-word symbols; the marker
+    // never starts a pair
+    assert(top.filter(col("pair").startsWith("</w>")).isEmpty)
+  }
+
+  test("iqr outlier gate: fences keep a sane majority, never invent rows") {
+    val rows = operators.Curation.qOutlierIqr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val kept = r.getAs[Long]("n_kept")
+      // Tukey fences at 1.5×IQR always retain the interquartile half
+      assert(kept <= total && kept >= total / 2, r.toString)
+    }
+  }
+
   test("count-min heavy hitters: estimates are one-sided and bounded") {
     val rows = operators.TextAnalysis.qApproxTopk(spark, sf).collect()
     assert(rows.length === 20)

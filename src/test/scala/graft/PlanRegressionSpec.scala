@@ -103,6 +103,40 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("band join stays an equi-join: no cartesian, no nested loop") {
+    val p = plan("q_join_band")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(1500))
+    // the ×3 bucket explode is the declared prefilter mechanism
+    assert(p.contains("Generate explode"), p.take(1500))
+  }
+
+  test("scd2 history build is one exchange + one folded Window") {
+    val p = plan("q_scd2")
+    assert(!p.contains("Broadcast"), p.take(1500))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
+    // row_number and lead share the window spec → a single Window node
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"window nodes = $windows\n" + p.take(2000))
+  }
+
+  test("bpe pair counting: two vocab-sized shuffles, top-k as TakeOrdered") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
+  test("iqr gate broadcasts only the group-stats row set") {
+    val p = plan("q_outlier_iqr")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the corpus side itself must not hash-exchange more than its two
+    // aggregations (stats agg + final agg)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
