@@ -257,7 +257,34 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** Equi-depth (quantile) binning — the feature-engineering
+    * discretization step: decile cutpoints from ONE exact-percentile
+    * aggregation (9 doubles — a 1-row broadcast), bin assignment as a
+    * codegen'd count-of-cuts-below fold over that array, per-bin
+    * count + value range out. Two tiny shuffles total (the percentile
+    * agg and the 10-group final); the corpus-side work is map-only.
+    * Both engines compute cutpoints with the same lerp interpolation
+    * over the same doubles, so bin membership cannot diverge: where a
+    * cut interpolates it lands strictly between adjacent data values,
+    * and where it doesn't both engines hold the identical double. At
+    * 100 TB the drop-in twin is approx_percentile cutpoints — the
+    * assignment fold is unchanged. */
+  val qEquidepthBins: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+    val cuts = e.agg(expr(
+      "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("cuts"))
+    e.crossJoin(broadcast(cuts))
+      .select(col("v"), aggregate(col("cuts"), lit(0),
+        (acc, c) => acc + when(col("v") >= c, 1).otherwise(0)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bin")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_equidepth_bins", qEquidepthBins, Some(
+      "WITH c AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM orders) SELECT CAST(len(list_filter(c.cuts, x -> o.o_totalprice >= x)) AS INT) AS bin, COUNT(*) AS cnt, MIN(o.o_totalprice) AS lo, MAX(o.o_totalprice) AS hi FROM orders o CROSS JOIN c GROUP BY 1 ORDER BY 1")),
     QueryDef("q_pack_sequences", qPackSequences, Some(
       "WITH docs AS (SELECT source, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM documents), spans AS (SELECT source, doc_id, n_tok, cum_before, unnest(generate_series(CAST(cum_before // 512 AS BIGINT), CAST((cum_before + n_tok - 1) // 512 AS BIGINT))) AS seq_id FROM docs) SELECT source, seq_id, COUNT(*) AS n_docs, CAST(SUM(LEAST(cum_before + n_tok, (seq_id + 1) * 512) - GREATEST(cum_before, seq_id * 512)) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM spans GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("q_decontaminate", qDecontaminate, Some(

@@ -137,6 +137,65 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** Word co-occurrence with PMI — the statistics pass embedding-training
+    * pipelines run before (or instead of) training: skip-gram pairs at
+    * distance 1 and 2, unordered (lexicographic orientation), scored by
+    * pointwise mutual information against the unigram model. Pair and
+    * unigram counts are the only data shuffles (both vocabulary-sized
+    * after their map-side partial aggs); the two scalar totals broadcast
+    * as 1-row relations, and the final top-50 is TakeOrdered on the
+    * ROUNDED score so engine ulp differences in ln() cannot flip ranks.
+    * The frequency floor (c_ab ≥ 5) is the standard PMI noise gate —
+    * rare pairs otherwise dominate with inflated scores. */
+  val qCoocPmi: (SparkSession, String) => DataFrame = (s, d) => {
+    val toksDf = Tables.documents(s, d).select(col("doc_id"), wsTokens.as("t"))
+    def dPairs(dist: Int) = when(size(col("t")) > dist,
+      transform(sequence(lit(1), size(col("t")) - dist),
+        i => concat_ws(" ",
+          least(element_at(col("t"), i), element_at(col("t"), i + dist)),
+          greatest(element_at(col("t"), i), element_at(col("t"), i + dist)))))
+      .otherwise(array().cast("array<string>"))
+    val pairs = toksDf
+      .select(explode(concat(dPairs(1), dPairs(2))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+    val uni = toksDf.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nPairs = pairs.agg(sum("c_ab").as("n_pairs"))
+    val nWords = uni.agg(sum("c_w").as("n_words"))
+    pairs
+      .join(uni.withColumnRenamed("w", "wa").withColumnRenamed("c_w", "c_a"),
+        split(col("pair"), " ").getItem(0) === col("wa"))
+      .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("c_w", "c_b"),
+        split(col("pair"), " ").getItem(1) === col("wb"))
+      .crossJoin(nPairs).crossJoin(nWords)
+      .filter(col("c_ab") >= 5)
+      .select(col("pair"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") / col("n_pairs")) /
+            ((col("c_a").cast("double") / col("n_words")) *
+              (col("c_b").cast("double") / col("n_words")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc)
+      .limit(50)
+  }
+
+  /** Inverted-index build — the retrieval-side artifact: per term, its
+    * document frequency and the first 20 postings in doc_id order. One
+    * shuffle on the term (the per-doc distinct runs inside the scan
+    * stage); collect_list is made deterministic by sort_array, postings
+    * stringify for the cross-engine hash. The df floor keeps the
+    * declared output at head terms — the full index is the same plan
+    * without the filter, written bucketed by term. */
+  val qInvertedIndex: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(wsTokens)).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 20))
+          .as("postings"))
+      .filter(col("df") >= 20)
+      .orderBy("term")
+
   // --- q_token_count: whitespace + BPE-ish regex tokenization counts ---
   val qTokenCount: (SparkSession, String) => DataFrame = (s, d) =>
     Tables.documents(s, d)
@@ -394,6 +453,10 @@ object TextAnalysis {
       "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(
       "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), ch AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start_tok FROM t) SELECT doc_id, CAST(start_tok // 24 AS INT) AS chunk_idx, CAST(start_tok AS INT) AS start_tok, CAST(LEAST(len(t) - start_tok, 32) AS INT) AS n_tokens, array_to_string(t[start_tok+1 : start_tok+32], ' ') AS chunk_text FROM ch ORDER BY doc_id, chunk_idx")),
+    QueryDef("q_cooc_pmi", qCoocPmi, Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), p1 AS (SELECT unnest(list_transform(range(1, len(t)), i -> CASE WHEN t[i] <= t[i+1] THEN t[i] || ' ' || t[i+1] ELSE t[i+1] || ' ' || t[i] END)) AS pair FROM t WHERE len(t) >= 2), p2 AS (SELECT unnest(list_transform(range(1, len(t) - 1), i -> CASE WHEN t[i] <= t[i+2] THEN t[i] || ' ' || t[i+2] ELSE t[i+2] || ' ' || t[i] END)) AS pair FROM t WHERE len(t) >= 3), pc AS (SELECT pair, COUNT(*) AS c_ab FROM (SELECT pair FROM p1 UNION ALL SELECT pair FROM p2) GROUP BY pair), uc AS (SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(t) AS w FROM t) GROUP BY w), np AS (SELECT SUM(c_ab) AS n_pairs FROM pc), nw AS (SELECT SUM(c_w) AS n_words FROM uc) SELECT pair, c_ab, round(ln((CAST(c_ab AS DOUBLE) / n_pairs) / ((CAST(a.c_w AS DOUBLE) / n_words) * (CAST(b.c_w AS DOUBLE) / n_words))), 6) AS pmi FROM pc JOIN uc a ON string_split(pair, ' ')[1] = a.w JOIN uc b ON string_split(pair, ' ')[2] = b.w CROSS JOIN np CROSS JOIN nw WHERE c_ab >= 5 ORDER BY pmi DESC, pair ASC LIMIT 50")),
+    QueryDef("q_inverted_index", qInvertedIndex, Some(
+      "SELECT term, COUNT(*) AS df, array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings FROM (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents) GROUP BY term HAVING COUNT(*) >= 20 ORDER BY term")),
     QueryDef("q_bpe_pairs", qBpePairs, Some(
       "WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents), wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word), sy AS (SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS sym FROM wf), pr AS (SELECT freq, unnest(list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])) AS pair FROM sy WHERE len(sym) >= 2) SELECT pair, CAST(SUM(freq) AS BIGINT) AS weighted_cnt FROM pr GROUP BY pair ORDER BY weighted_cnt DESC, pair ASC LIMIT 30")),
     QueryDef("q_token_count", qTokenCount, Some(

@@ -215,6 +215,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cooc-pmi: pairs oriented, floored, scores finite") {
+    val rows = operators.TextAnalysis.qCoocPmi(spark, sf).collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val Array(a, b) = r.getAs[String]("pair").split(" ", 2)
+      assert(a <= b, r.toString)
+      assert(r.getAs[Long]("c_ab") >= 5, r.toString)
+      assert(!r.getAs[Double]("pmi").isNaN &&
+        !r.getAs[Double]("pmi").isInfinite, r.toString)
+    }
+  }
+
+  test("inverted index: postings sorted, truncated at 20, df floor holds") {
+    val rows = operators.TextAnalysis.qInvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val posts = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(df >= 20, r.toString)
+      assert(posts.length === math.min(df, 20L).toInt, r.toString)
+      assert(posts.sameElements(posts.sorted), r.toString)
+    }
+  }
+
+  test("equi-depth bins: all deciles present, depths balanced, ranges " +
+      "ordered") {
+    val rows = operators.Curation.qEquidepthBins(spark, sf)
+      .collect().sortBy(_.getAs[Int]("bin"))
+    assert(rows.map(_.getAs[Int]("bin")).sameElements(0 to 9))
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      // equi-depth: every decile within ±3% of the ideal tenth
+      assert(math.abs(cnt - total / 10.0) <= total * 0.03, r.toString)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"), s"$a | $b")
+    }
+  }
+
   test("count-min heavy hitters: estimates are one-sided and bounded") {
     val rows = operators.TextAnalysis.qApproxTopk(spark, sf).collect()
     assert(rows.length === 20)

@@ -137,6 +137,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert(hashEx == 2, s"hash exchanges = $hashEx\n" + p.take(2000))
   }
 
+  test("cooc-pmi: vocab joins shuffle, only 1-row totals nested-loop") {
+    val p = plan("q_cooc_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the two scalar totals (n_pairs, n_words) are the only permitted
+    // nested-loop joins — both broadcast 1-row aggregates
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"nested-loop joins = $bnlj\n" + p.take(2000))
+  }
+
+  test("inverted index builds on one term shuffle, no broadcast") {
+    val p = plan("q_inverted_index")
+    assert(!p.contains("Broadcast"), p.take(1500))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
+  test("equi-depth binning: corpus side is map-only plus one group agg") {
+    val p = plan("q_equidepth_bins")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // one hash exchange (the 10-group final agg); the cutpoint side
+    // reduces through a SinglePartition exchange and broadcasts 1 row
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
