@@ -210,7 +210,59 @@ object Events {
         count(col("pt")).as("n_view_click_purchase"))
   }
 
+  /** Trailing-7-day distinct actives per day (the DAU/WAU reporting
+    * staple). The naive form is a per-day inequality join over the raw
+    * stream; the scale-safe composition dedups to (user, day) FIRST
+    * (one shuffle that collapses the corpus to active-pairs), then
+    * fans each pair out to the ≤7 report days it can serve (a Generate
+    * inside the stage — never crosses the network), joins the tiny
+    * observed-days dim (broadcast by size), and two-phase
+    * count-distincts per report day. At 100 TB the fan-out multiplies
+    * the DEDUPED pair set, not the event stream — the reason this
+    * shape survives where the inequality join does not. */
+  val qRollingDau: (SparkSession, String) => DataFrame = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day").as("rday")).distinct()
+    ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("rday"))
+      .join(days, "rday")
+      .groupBy("rday")
+      .agg(countDistinct("user_id").as("dau7"))
+      .select(date_format(col("rday"), "yyyy-MM-dd").as("day"), col("dau7"))
+      .orderBy("day")
+  }
+
+  /** First-order Markov transition model over per-user event sequences —
+    * the sequence-statistics pass session-model and next-event-
+    * prediction pipelines run. One user-keyed window (lead) pairs each
+    * event with its successor (ties on ts break by event_id, so the
+    * chain is total); the transition matrix is then |types|² rows, and
+    * the row-normalizing probability window runs over that tiny grouped
+    * set, not the corpus. Counts stay exact longs; the probability
+    * divides as double in both engines and rounds to 6. */
+  val qEventTransitions: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", round(col("cnt").cast("double") /
+        sum("cnt").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rolling_dau", qRollingDau, Some(
+      "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), days AS (SELECT DISTINCT day FROM ud) SELECT strftime(d.day, '%Y-%m-%d') AS day, COUNT(DISTINCT u.user_id) AS dau7 FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1 ORDER BY 1")),
+    QueryDef("q_event_transitions", qEventTransitions, Some(
+      "WITH s AS (SELECT user_id, event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2) SELECT from_type, to_type, cnt, round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY from_type), 6) AS prob FROM c ORDER BY from_type, to_type")),
     QueryDef("q_cohort_retention", qCohortRetention, Some(
       "SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week, CAST(floor(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_offset, COUNT(DISTINCT user_id) AS n_users FROM (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events) GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset")),
     QueryDef("q_funnel", qFunnel, Some(

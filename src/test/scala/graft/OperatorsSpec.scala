@@ -255,6 +255,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rolling DAU: fan-out form ≡ direct trailing-window join, and " +
+      "bounded by plain DAU") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val direct = ud.select(col("day").as("rday")).distinct()
+      .join(ud, col("day").between(col("rday") - 6, col("rday")))
+      .groupBy("rday").agg(countDistinct("user_id").as("dau7_direct"))
+      .select(date_format(col("rday"), "yyyy-MM-dd").as("day"),
+        col("dau7_direct"))
+    val plain = ud.groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("dau1"))
+    val rolled = operators.Events.qRollingDau(spark, sf)
+    assert(rolled.join(direct, "day")
+      .filter(col("dau7") =!= col("dau7_direct")).isEmpty)
+    assert(rolled.join(plain, "day")
+      .filter(col("dau7") < col("dau1")).isEmpty)
+  }
+
+  test("event transitions: rows sum to their from-state mass, chain " +
+      "count conserved") {
+    val t = operators.Events.qEventTransitions(spark, sf)
+    val byFrom = t.groupBy("from_type")
+      .agg(sum("prob").as("p"), sum("cnt").as("n"))
+    // rounding to 6 decimals leaves the row-sum within 1e-4 of 1
+    assert(byFrom.filter(abs(col("p") - 1.0) > 1e-4).isEmpty)
+    val totalTransitions = t.agg(sum("cnt")).head.getLong(0)
+    val expected = Tables.events(spark, sf).groupBy("user_id")
+      .agg((count(lit(1)) - 1).as("m"))
+      .agg(sum("m")).head.getLong(0)
+    assert(totalTransitions === expected)
+  }
+
   test("count-min heavy hitters: estimates are one-sided and bounded") {
     val rows = operators.TextAnalysis.qApproxTopk(spark, sf).collect()
     assert(rows.length === 20)

@@ -163,6 +163,24 @@ class PlanRegressionSpec extends SparkSpec {
     assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
   }
 
+  test("rolling DAU: dedup-then-fan-out, never an inequality join") {
+    val p = plan("q_rolling_dau")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(1500))
+    // the ×7 day fan-out is a Generate inside the stage
+    assert(p.contains("Generate explode"), p.take(1500))
+    // count-distinct runs two-phase (partial on (day, user) first)
+    assert(p.contains("partial_count(distinct"), p.take(2000))
+  }
+
+  test("event transitions: lead window on the corpus, prob window on " +
+      "the matrix") {
+    val p = plan("q_event_transitions")
+    assert(!p.contains("Broadcast"), p.take(1500))
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 2, s"window nodes = $windows\n" + p.take(2000))
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
