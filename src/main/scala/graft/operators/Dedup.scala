@@ -822,6 +822,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup-quality report — the cluster-size histogram every dedup run
+    * prints before anyone trusts its output: per near-dup-cluster size,
+    * how many clusters, how many documents they hold, and how many are
+    * removable (size − 1 each); singletons land as the csize=1 row
+    * computed from two 1-row aggregates (total − clustered), never a
+    * corpus anti-join. Pure composition over the clustering result: the
+    * histogram aggregates the GROUPED cluster table (cluster-count-
+    * sized, not corpus-sized), so at 100 TB the report costs one extra
+    * tiny shuffle on top of the clustering it audits. */
+  val qDedupReport: (SparkSession, String) => DataFrame = (s, d) => {
+    val canon = connectedComponents(cachedNgramPairs(s, d))
+    val hist = canon.groupBy("canonical").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - 1) * col("n_clusters")).as("n_removable"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val clustered = canon.agg(count(lit(1)).as("c"))
+    val singles = tot.crossJoin(clustered)
+      .select(lit(1L).as("csize"), (col("n") - col("c")).as("n_clusters"),
+        (col("n") - col("c")).as("n_docs"), lit(0L).as("n_removable"))
+    hist.unionByName(singles).orderBy("csize")
+  }
+
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */
   private val ngramPairsCte =
@@ -840,6 +864,8 @@ object Dedup {
     QueryDef("q_dedup_clusters", qDedupClusters, Some(
       s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY doc_id")),
     QueryDef("q_dedup_clusters_lsh", qDedupClustersLsh, None),
+    QueryDef("q_dedup_report", qDedupReport, Some(
+      s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), canon AS (SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src), sizes AS (SELECT canonical, COUNT(*) AS csize FROM canon GROUP BY canonical), hist AS (SELECT csize, COUNT(*) AS n_clusters, csize * COUNT(*) AS n_docs, (csize - 1) * COUNT(*) AS n_removable FROM sizes GROUP BY csize), tot AS (SELECT COUNT(*) AS n FROM documents), cl AS (SELECT COUNT(*) AS c FROM canon) SELECT csize, n_clusters, n_docs, n_removable FROM hist UNION ALL SELECT CAST(1 AS BIGINT), n - c, n - c, CAST(0 AS BIGINT) FROM tot CROSS JOIN cl ORDER BY csize")),
     QueryDef("q_split_leakage_free", qSplitLeakageFree, Some(
       s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), canon AS (SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src) SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical, CASE WHEN ascii(substr(md5('split' || CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)), 1, 1)) % 10 < 8 THEN 'train' WHEN ascii(substr(md5('split' || CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)), 1, 1)) % 10 = 8 THEN 'valid' ELSE 'test' END AS split FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id ORDER BY d.doc_id")),
     QueryDef("q_dedup_minhash", qDedupMinhash, None),

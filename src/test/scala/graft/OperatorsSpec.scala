@@ -287,6 +287,19 @@ class OperatorsSpec extends SparkSpec {
     assert(totalTransitions === expected)
   }
 
+  test("dedup report: doc mass conserved, removable = docs - clusters") {
+    val rows = operators.Dedup.qDedupReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("csize") * r.getAs[Long]("n_clusters"), r.toString)
+      assert(r.getAs[Long]("n_removable") ===
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"), r.toString)
+    }
+  }
+
   test("count-min heavy hitters: estimates are one-sided and bounded") {
     val rows = operators.TextAnalysis.qApproxTopk(spark, sf).collect()
     assert(rows.length === 20)
