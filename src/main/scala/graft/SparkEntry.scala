@@ -20,8 +20,9 @@ object SparkEntry {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS) which Spark has no native
-      // type for; read as Long nanos and convert in Tables.events.
+      // earlier fixture drops stored events.ts as TIMESTAMP(NANOS), which
+      // Spark has no native type for; read those as Long nanos and convert
+      // in Tables.events (no-op on the current TIMESTAMP(MICROS) fixtures).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")

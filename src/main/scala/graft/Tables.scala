@@ -19,15 +19,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `ts` is parquet TIMESTAMP(NANOS) — Spark has no nanosecond timestamp
-    * type, so (with spark.sql.legacy.parquet.nanosAsLong) it arrives as a
-    * Long of epoch-nanos and is converted to a microsecond timestamp here.
-    * The sub-microsecond truncation is irrelevant to the windowed queries
-    * (coarsest unit they keep is whole seconds). */
+  /** `ts` normalization, adaptive to the fixture generation in use:
+    * earlier drops stored parquet TIMESTAMP(NANOS) — Spark has no
+    * nanosecond timestamp type, so (with
+    * spark.sql.legacy.parquet.nanosAsLong) it arrives as a Long of
+    * epoch-nanos and is converted to a microsecond timestamp; current
+    * drops store TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ), cast to
+    * the session-zone timestamp (session is pinned UTC, so the instant is
+    * unchanged). Sub-microsecond truncation on the nanos path is
+    * irrelevant to the windowed queries (coarsest unit kept is whole
+    * seconds). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

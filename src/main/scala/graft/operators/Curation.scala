@@ -223,6 +223,64 @@ object Curation {
   val qPackSequences: (SparkSession, String) => DataFrame = (s, d) =>
     packSequences(Tables.documents(s, d), 512)
 
+  /** Deterministic global corpus shuffle — the batch-prep step after
+    * [[packSequences]]: place every document at a salted-hash position in
+    * a reproducible total order and split that order into training
+    * shards. The ORDER is the point: pretraining wants documents
+    * decorrelated from ingest order (source-grouped batches destabilize
+    * training) and IDENTICAL on every rerun (resumable jobs,
+    * reproducible ablations) — so position is md5(salt ‖ doc_id), never
+    * rand(). Shard = leading hash byte mod nShards (the same
+    * hex-digit-pair decode both engines share, qDomainMix's move).
+    *
+    * Scale shape: assignment is map-only; the per-shard sequence is a
+    * window partitioned BY SHARD ordered by (hash, doc_id) —
+    * corpus/nShards-sized partitions, never a single global sort. At
+    * 100 TB nShards is sized so a shard fits a writer task (thousands of
+    * shards), keeping the window partitions bounded. */
+  private[graft] def shardAssign(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .withColumn("__h", md5(to_binary(concat(lit("graft_shuffle"),
+        col("doc_id").cast("string")), lit("utf-8"))))
+      .withColumn("shard", pmod(
+        (expr("instr('0123456789abcdef', substring(__h, 1, 1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substring(__h, 2, 1))") - 1),
+        lit(nShards)).cast("int"))
+
+  /** Declared shard-assignment query: per shard, the document count and
+    * an ORDER-SENSITIVE digest (Σ position·f(doc_id) mod a prime product
+    * bound — exact integer arithmetic in both engines), so the oracle
+    * pins not just which shard every document lands in but WHERE in the
+    * shard's order it sits. */
+  val qShuffleShards: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    shardAssign(Tables.documents(s, d), 8)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(pmod(col("rn") * (pmod(col("doc_id"), lit(1000003L)) + 7),
+          lit(2147483647L))).cast("long").as("digest"))
+      .orderBy("shard")
+  }
+
+  /** Shard writer: lands the shuffled corpus as one directory per shard
+    * (hive layout `shard=K/`), rows inside each shard in their assigned
+    * order, files cut at maxRecordsPerFile. Repartitioning ON THE SHARD
+    * ID gives each writer task whole shards, so with the in-task sort
+    * the (row → file, row → position) mapping is fully deterministic —
+    * rerunning the writer reproduces the identical shard layout
+    * (ShardWriterSpec asserts it). File size stays bounded by
+    * maxRecordsPerFile no matter how the corpus grows. */
+  def writeShards(docs: DataFrame, dir: String, nShards: Int,
+      maxRecordsPerFile: Int): Unit =
+    shardAssign(docs, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "__h", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("shard")
+      .parquet(dir)
+
   /** Robust outlier gate — Tukey's IQR fence per group, the standard
     * numeric-cleaning step before a column feeds training: keep values
     * in [q1 − 1.5·IQR, q3 + 1.5·IQR], report what survived. Quartiles
@@ -287,6 +345,8 @@ object Curation {
       "WITH c AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM orders) SELECT CAST(len(list_filter(c.cuts, x -> o.o_totalprice >= x)) AS INT) AS bin, COUNT(*) AS cnt, MIN(o.o_totalprice) AS lo, MAX(o.o_totalprice) AS hi FROM orders o CROSS JOIN c GROUP BY 1 ORDER BY 1")),
     QueryDef("q_pack_sequences", qPackSequences, Some(
       "WITH docs AS (SELECT source, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM documents), spans AS (SELECT source, doc_id, n_tok, cum_before, unnest(generate_series(CAST(cum_before // 512 AS BIGINT), CAST((cum_before + n_tok - 1) // 512 AS BIGINT))) AS seq_id FROM docs) SELECT source, seq_id, COUNT(*) AS n_docs, CAST(SUM(LEAST(cum_before + n_tok, (seq_id + 1) * 512) - GREATEST(cum_before, seq_id * 512)) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM spans GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("q_shuffle_shards", qShuffleShards, Some(
+      "WITH a AS (SELECT doc_id, md5('graft_shuffle' || CAST(doc_id AS VARCHAR)) AS h FROM documents), b AS (SELECT doc_id, h, CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 8 AS INT) AS shard FROM a), r AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn FROM b) SELECT shard, COUNT(*) AS n_docs, CAST(SUM((rn * (doc_id % 1000003 + 7)) % 2147483647) AS BIGINT) AS digest FROM r GROUP BY shard ORDER BY shard")),
     QueryDef("q_decontaminate", qDecontaminate, Some(
       s"WITH $gramsCte, bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0) SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id")),
     // bit-identical to q_decontaminate by construction (bloom gate is a

@@ -86,6 +86,66 @@ object Dedup {
   val qDedupSegments: (SparkSession, String) => DataFrame = (s, d) =>
     segmentDedup(Tables.documents(s, d), 16)
 
+  /** Exact-substring dedup — the training-data literature's standard
+    * (remove every >=50-token substring that occurs more than once in
+    * the corpus), which [[segmentDedup]] only approximates at fixed
+    * aligned 16-token granularity. Stride-1 form: every w-token sliding
+    * window (suffix window) of every document; the first corpus-wide
+    * occurrence of a window survives (lowest (doc_id, pos) — the
+    * deterministic-survivor discipline) and every later occurrence marks
+    * its w-token span as duplicated. Emits one row per affected
+    * document: token count, duplicated-token count (the UNION of
+    * overlapping duplicate spans — an interval sweep via a running-max
+    * window, not a naive per-span sum), and the fraction a removal pass
+    * would cut.
+    *
+    * Scale shape: stride-1 windows inflate gram TEXT ~50x, so grams are
+    * hashed to 8-byte longs inside the projection (same xxhash64 move as
+    * [[hashedShingles]]) — the corpus-sized shuffle carries
+    * (doc_id, pos, hash) triples, ~20 bytes per token, keyed on the gram
+    * hash; the interval union shuffles once more on doc_id. Both are
+    * plain hash partitions, linear in corpus size: the single-node
+    * suffix-array construction the literature uses is replaced by
+    * gram-hash partitioning, which is the shape that distributes.
+    * (Hash collisions: 2^-64 per gram pair; a collision can only mark a
+    * span duplicated spuriously, never corrupt surviving text.) */
+  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .repartition(parts)
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        explode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
+          i => struct(i.cast("long").as("pos"),
+            xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))).as("gh"))))
+          .as("g"))
+      .select(col("doc_id"), col("n_tok"),
+        col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val wFirst = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    // interval sweep: a span's new coverage is what extends past the
+    // running max end of all earlier spans in the doc
+    val wSweep = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = greatest(lit(0L), col("pos") + w -
+      greatest(col("pos"), col("prev_end")))
+    grams
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .withColumn("prev_end",
+        coalesce(max(col("pos") + w).over(wSweep), col("pos")))
+      .groupBy("doc_id", "n_tok")
+      .agg(sum(covered).cast("long").as("dup_tokens"))
+      .select(col("doc_id"), col("n_tok"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tok"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupSubstring: (SparkSession, String) => DataFrame = (s, d) =>
+    substringDedup(Tables.documents(s, d), 50)
+
   /** Word-bigram shingles hashed to a sorted distinct Long array. The
     * sort+distinct make the merge-scan intersection valid; hashing makes
     * it allocation-free. Collision probability over ~10² shingles/doc is
@@ -855,6 +915,8 @@ object Dedup {
     QueryDef("q_minhash_source_sketch", qMinhashSourceSketch, None),
     QueryDef("q_dedup_segments", qDedupSegments, Some(
       "WITH segs AS (SELECT doc_id, unnest(range(len(s))) AS seg_idx, unnest(s) AS seg FROM (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/16.0) AS BIGINT)), i -> array_to_string(t[i*16+1:i*16+16], ' ')) AS s FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents))), keep AS (SELECT doc_id, seg_idx, seg, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) SELECT doc_id, COUNT(*) AS kept_segments, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id")),
+    QueryDef("q_dedup_substring", qDedupSubstring, Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+49], ' ') AS gram FROM t, unnest(range(1, len(t) - 48)) AS u(i) WHERE len(t) >= 50), r AS (SELECT doc_id, n_tok, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), d AS (SELECT doc_id, n_tok, pos, COALESCE(MAX(pos + 50) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos) AS prev_end FROM r WHERE rn > 1) SELECT doc_id, n_tok, CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS BIGINT) AS dup_tokens, round(CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS DOUBLE) / n_tok, 6) AS dup_frac FROM d GROUP BY doc_id, n_tok ORDER BY doc_id")),
     QueryDef("q_dedup_exact", qDedupExact, Some(
       "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
     QueryDef("q_dedup_containment", qDedupContainment, Some(

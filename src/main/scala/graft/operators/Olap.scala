@@ -463,7 +463,52 @@ object Olap {
         col("cnt"))
       .orderBy("key")
 
+  /** The join stage of [[qJoinSkewed]], exposed so SkewJoinSpec can
+    * assert AQE's OptimizeSkewedJoin on the join itself (the skew split
+    * relaxes the join's output partitioning, so it is asserted pre-
+    * aggregation). ~90% of fact rows collapse onto key 0 — the
+    * manufactured hot key. The dim side is a pure projection,
+    * DELIBERATELY un-aggregated: OptimizeSkewedJoin pattern-matches a
+    * sort-merge join whose sorts sit directly on shuffle stages, and an
+    * aggregate between them takes the join out of the rule's reach — the
+    * same modeling rule a production pipeline follows when it wants a
+    * skewed fact⋈dim eligible for adaptive splitting. */
+  def skewedFactJoin(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val fact = lineitem.select(
+      when(pmod(col("l_orderkey"), lit(10L)) < 9, lit(0L))
+        .otherwise(pmod(col("l_suppkey"), lit(100L))).as("k"),
+      col("l_quantity"))
+    val dim = supplier.select(pmod(col("s_suppkey"), lit(100L)).as("k"),
+      col("s_nationkey"))
+    fact.join(dim, "k")
+  }
+
+  /** Skew-join surface for AQE — the ADAPTIVE complement of the manual
+    * salting q_agg_salted declares: a fact table keyed by a manufactured
+    * hot key (90% of lineitem rows share key 0) joined to a
+    * supplier-derived dim on that key. At fact scale both sides shuffle
+    * and the hot key's partition dwarfs the rest; Spark's
+    * OptimizeSkewedJoin then splits it into parallel sub-reads instead
+    * of melting one task — SkewJoinSpec asserts exactly that (skew=true
+    * in the executed plan) under simulated fact-scale conditions
+    * (auto-broadcast off, skew thresholds sized to the fixture), and
+    * asserts the re-planned result is bit-identical. At test SF the dim
+    * rightly broadcasts and no skew handling is needed. The declared
+    * result is the per-key aggregate over the join — identical whichever
+    * physical strategy runs, which is the point: skew splitting is a
+    * pure execution-layer re-plan. */
+  val qJoinSkewed: (SparkSession, String) => DataFrame = (s, d) =>
+    skewedFactJoin(Tables.lineitem(s, d), Tables.supplier(s, d))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select("k", "n_pairs", "sum_qty")
+      .orderBy("k")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_join_skewed", qJoinSkewed, Some(
+      "WITH fact AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_suppkey % 100 END AS k, l_quantity FROM lineitem), dim AS (SELECT s_suppkey % 100 AS k FROM supplier) SELECT k, COUNT(*) AS n_pairs, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM fact JOIN dim USING (k) GROUP BY k ORDER BY k")),
     QueryDef("q_tpch_q1", qTpchQ1, Some(
       s"SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, CAST(SUM($sqlDisc) AS DOUBLE) AS sum_disc_price, CAST(SUM($sqlCharge) AS DOUBLE) AS sum_charge, COUNT(*) AS count_order, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price, CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
     QueryDef("q_tpch_q3", qTpchQ3, Some(

@@ -26,12 +26,17 @@ object ScaleProbe {
         df.withColumn(idCol, col(idCol) + lit(i.toLong * 10_000_000L)))
         .reduce(_ unionByName _)
 
-    def time(label: String)(f: => Long): Unit = {
-      System.gc()
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $label ($rows rows)")
-    }
+    // local-iteration escape hatch: run only probes whose label contains
+    // the filter substring (unset → all probes, unchanged contract)
+    val probeFilter = sys.env.get("SPARK_GRAFT_PROBE_FILTER")
+    def time(label: String)(f: => Long): Unit =
+      if (probeFilter.forall(label.contains)) {
+        System.gc()
+        val t0 = System.nanoTime()
+        val rows = f
+        println(
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $label ($rows rows)")
+      }
 
     val docs = replicate(Tables.documents(spark, d), "doc_id")
     val orders = replicate(Tables.orders(spark, d), "o_orderkey")
@@ -152,6 +157,14 @@ object ScaleProbe {
             element_at(col("sym"), i + 1)))).as("pair"))
         .groupBy("pair").agg(sum("freq").as("cnt")).count()
     }
+    // Round-7 probe: exact-substring dedup. Replication makes EVERY
+    // 50-token window an n-way duplicate — the worst case for the
+    // gram-hash shuffle (corpus-sized, ~20 bytes/token) and the per-doc
+    // interval sweep (every doc emits its full window list as dup
+    // occurrences). Cost must stay corpus-linear: both stages are plain
+    // hash partitions, nothing quadratic in duplicate multiplicity.
+    time(s"substring dedup (w=50) over ${n}x docs")(
+      Dedup.substringDedup(docs, 50).count())
     spark.stop()
   }
 }

@@ -43,6 +43,38 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, s"$a $b"), (2L, 1L, c)))
   }
 
+  test("substring dedup: interval union over overlapping duplicate windows") {
+    import spark.implicits._
+    // doc 1 owns a 60-token run C; doc 2 embeds C between unique pad
+    // tokens — its 11 duplicated 50-windows overlap into ONE 60-token
+    // span (a naive per-span sum would report 550); doc 3 repeats a
+    // 50-token run back-to-back — exactly one window (the second
+    // occurrence's start) duplicates, covering 50 tokens.
+    val c = (1 to 60).map(i => s"c$i").mkString(" ")
+    val r = (1 to 50).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, c),
+      (2L, s"p1 p2 p3 p4 p5 $c s1 s2 s3 s4 s5"),
+      (3L, s"$r $r"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.substringDedup(docs, 50)
+      .select("doc_id", "n_tok", "dup_tokens").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(out.toSeq === Seq((2L, 70L, 60L), (3L, 100L, 50L)))
+  }
+
+  test("substring dedup on testdata: spans are unioned, fractions bounded") {
+    val out = operators.Dedup.substringDedup(
+      Tables.documents(spark, sf), 50).cache()
+    try {
+      assert(out.count() > 0) // fixture has >=50-token duplicated runs
+      // union length of w-token spans is >= w and <= the doc's tokens
+      assert(out.filter(col("dup_tokens") < 50 ||
+        col("dup_tokens") > col("n_tok")).isEmpty)
+      assert(out.filter(col("dup_frac") > 1.0).isEmpty)
+    } finally { out.unpersist(); () }
+  }
+
   test("segment dedup on testdata: unique docs pass through intact") {
     // sf0.001 has no duplicate texts, but segments CAN repeat across
     // docs; invariants rather than exact content: survivors keep >= 1

@@ -45,4 +45,53 @@ class SkewJoinSpec extends SparkSpec {
       restore.foreach { case (k, v) => spark.conf.set(k, v) }
     }
   }
+
+  test("q_join_skewed's join gets an AQE skew split at fact-scale " +
+      "conditions, with results identical to the default plan") {
+    val sf = "/root/testdata/sf0.01"
+    // default-conf run: the dim broadcasts, no skew handling needed
+    val expected = operators.Olap.qJoinSkewed(spark, sf)
+      .collect().map(_.toSeq)
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val restore = keys.map(k => k -> spark.conf.get(k)).toMap
+    try {
+      // fact-scale simulation: both sides must shuffle and the hot
+      // partition must cross the (fixture-sized) skew thresholds
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // the fact side is pre-repartitioned to 8 map tasks: AQE splits a
+      // skewed reduce partition BY MAPPER RANGES, so the single-mapper
+      // shuffle a one-row-group 2 MB fixture file produces is
+      // unsplittable no matter how skewed — at 100 TB the fact scan is
+      // thousands of mappers and this is the shape under test
+      val joined = operators.Olap.skewedFactJoin(
+        Tables.lineitem(spark, sf).repartition(8),
+        Tables.supplier(spark, sf))
+      // execute THIS dataset (not a derived count plan) so its adaptive
+      // plan is finalized before inspection
+      val n = joined.collect().length
+      assert(n.toLong >= Tables.lineitem(spark, sf).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected OptimizeSkewedJoin split in:\n${plan.take(1200)}")
+      // the full declared query under the skew-split regime must return
+      // the identical rows (AQE skew handling is execution-layer only)
+      val skewRun = operators.Olap.qJoinSkewed(spark, sf)
+        .collect().map(_.toSeq)
+      assert(skewRun.toSeq === expected.toSeq)
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
 }
