@@ -39,26 +39,50 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    // The warmup (even at a smaller SF when warmDir == sfDir) populates the
-    // session-level pair-table artifact caches, so without this no TIMED
-    // query would ever pay the shingle→band→verify cost (ADVICE r4).
-    // Clearing here makes the first timed consumer rebuild the artifact —
-    // the pair-table construction lands in the timed window exactly once,
-    // matching a real pipeline run that computes it once and reuses it.
-    graft.operators.Dedup.clearPairCaches()
-    // name -> (elapsed_sec, ok): a crashing query must surface as a
-    // sentinel, never as a plausible-looking timing.
-    val results: Map[String, (Double, Boolean)] =
-      queries.map { case (name, fn) =>
-        // GC between queries: lets Spark's ContextCleaner release the
-        // previous query's broadcasts so their collection doesn't land
-        // inside the next query's timed window.
-        System.gc()
-        val t0 = System.nanoTime()
-        val ok = try { force(fn(spark, sfDir)); true }
-          catch { case _: Throwable => false }
-        name -> (((System.nanoTime() - t0) / 1e9, ok))
+    // >=2 timed passes (VERDICT r6 item 7): single-shot timings on this
+    // shared box swing with ambient load, so the committed artifact
+    // carries each query's MEDIAN and MIN across the in-session passes —
+    // round-to-round regressions become decidable without quiet-box
+    // forensics, and one-time init costs (first stateful streaming query)
+    // show up as the median/min gap instead of silently inflating a row.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // name -> per-pass (elapsed_sec, ok): a crashing query must surface
+    // as a sentinel, never as a plausible-looking timing.
+    val perPass: Seq[Map[String, (Double, Boolean)]] =
+      (1 to passes).map { _ =>
+        // The warmup (even at a smaller SF when warmDir == sfDir)
+        // populates the session-level pair-table artifact caches, so
+        // without this no TIMED query would ever pay the
+        // shingle→band→verify cost (ADVICE r4). Clearing before EACH
+        // pass makes that pass's first consumer rebuild the artifact —
+        // the pair-table construction lands in every pass exactly once,
+        // keeping passes comparable (a real pipeline run computes it
+        // once and reuses it).
+        graft.operators.Dedup.clearPairCaches()
+        queries.map { case (name, fn) =>
+          // GC between queries: lets Spark's ContextCleaner release the
+          // previous query's broadcasts so their collection doesn't land
+          // inside the next query's timed window.
+          System.gc()
+          val t0 = System.nanoTime()
+          val ok = try { force(fn(spark, sfDir)); true }
+            catch { case _: Throwable => false }
+          name -> (((System.nanoTime() - t0) / 1e9, ok))
+        }
       }
+    // per-query median (even count: mean of middle two) and min over the
+    // passes; a query failing ANY pass is reported failed
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      (s((n - 1) / 2) + s(n / 2)) / 2.0
+    }
+    val results: Map[String, (Double, Boolean)] =
+      queries.keys.map { name =>
+        val runs = perPass.map(_(name))
+        name -> ((median(runs.map(_._1)), runs.forall(_._2)))
+      }.toMap
+    val mins: Map[String, Double] =
+      queries.keys.map(name => name -> perPass.map(_(name)._1).min).toMap
     // The driver captures only the last ~2000 chars of output, and the full
     // per-query map (~100 entries at double precision) overflows that
     // window — rounds 2 and 3 both arrived truncated and unparseable
@@ -76,16 +100,13 @@ object Bench {
       .mkString("[", ",", "]")
     val okTimes = results.collect { case (_, (v, true)) => v }.toIndexedSeq.sorted
     val total = okTimes.sum
-    val median =
-      if (okTimes.isEmpty) 0.0
-      else {
-        val n = okTimes.size // even count: average the two middle values
-        (okTimes((n - 1) / 2) + okTimes(n / 2)) / 2.0
-      }
+    val medianAll = if (okTimes.isEmpty) 0.0 else median(okTimes)
     val worst = if (okTimes.isEmpty) 0.0 else okTimes.last
     val slowest = results.toIndexedSeq.sortBy { case (_, (v, _)) => -v }.take(10)
+    val minJson = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$passes,"queries":${qjson(results)},"min":$minJson,"errors":$errors,"sf":"$sfDir"}"""
     // Resolve against the repo root, not the process CWD (sbt forks the
     // run; an overridden fork directory must not scatter the artifact).
     val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
@@ -94,7 +115,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(repoRoot).resolve("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"median":${fmt(median)},"worst":${fmt(worst)},"queries":${qjson(slowest)},"errors":$errors,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"runs":$passes,"median":${fmt(medianAll)},"worst":${fmt(worst)},"queries":${qjson(slowest)},"errors":$errors,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
