@@ -31,5 +31,6 @@ object Registry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.Pipeline.defs ++
+      operators.SqlTwins.defs ++
       streaming.EventsStreaming.defs
 }

@@ -292,11 +292,14 @@ object Curation {
     * true broadcast dim), so the join back is broadcast by construction
     * and the only data shuffles are the two aggregations' own.
     *
-    * Determinism: the fence expressions are written with the SAME
-    * operation order in both engines — where the quartile interpolates,
-    * engine ulp differences land the fence strictly between data
-    * values; where it doesn't, both engines hold the identical double —
-    * so the keep predicate cannot flip. */
+    * Determinism: the fence expressions are written with the same
+    * operation order in both engines, but the quartile INTERPOLATION
+    * internals (Spark percentile vs DuckDB quantile_cont) are not under
+    * this code's control — the result is empirically bit-identical on
+    * this data at every test SF, and a cutpoint landing within an ulp of
+    * a data value could in principle flip fence membership on other
+    * data. CurationSpec pins the safety margin loudly: no event value
+    * lies within 1e-6 of any fence. */
   val qOutlierIqr: (SparkSession, String) => DataFrame = (s, d) => {
     val e = Tables.events(s, d).select(col("event_type"), col("value"))
     val stats = e.groupBy("event_type").agg(
@@ -321,12 +324,13 @@ object Curation {
     * codegen'd count-of-cuts-below fold over that array, per-bin
     * count + value range out. Two tiny shuffles total (the percentile
     * agg and the 10-group final); the corpus-side work is map-only.
-    * Both engines compute cutpoints with the same lerp interpolation
-    * over the same doubles, so bin membership cannot diverge: where a
-    * cut interpolates it lands strictly between adjacent data values,
-    * and where it doesn't both engines hold the identical double. At
-    * 100 TB the drop-in twin is approx_percentile cutpoints — the
-    * assignment fold is unchanged. */
+    * Both engines document the same lerp interpolation and the results
+    * are empirically bit-identical on this data at every test SF — but
+    * the interpolation internals are not under this code's control, so
+    * CurationSpec asserts the margin that keeps bin membership stable
+    * (no value within 1e-6 of a cutpoint). At 100 TB the drop-in twin
+    * is approx_percentile cutpoints — the assignment fold is
+    * unchanged. */
   val qEquidepthBins: (SparkSession, String) => DataFrame = (s, d) => {
     val e = Tables.orders(s, d).select(col("o_totalprice").as("v"))
     val cuts = e.agg(expr(

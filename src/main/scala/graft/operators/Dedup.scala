@@ -887,7 +887,8 @@ object Dedup {
     * how many clusters, how many documents they hold, and how many are
     * removable (size − 1 each); singletons land as the csize=1 row
     * computed from two 1-row aggregates (total − clustered), never a
-    * corpus anti-join. Pure composition over the clustering result: the
+    * corpus anti-join, and the row is omitted when every document is
+    * clustered. Pure composition over the clustering result: the
     * histogram aggregates the GROUPED cluster table (cluster-count-
     * sized, not corpus-sized), so at 100 TB the report costs one extra
     * tiny shuffle on top of the clustering it audits. */
@@ -900,7 +901,9 @@ object Dedup {
         ((col("csize") - 1) * col("n_clusters")).as("n_removable"))
     val tot = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val clustered = canon.agg(count(lit(1)).as("c"))
+    // fully-clustered corpus → no zero-count singles row (ADVICE r6)
     val singles = tot.crossJoin(clustered)
+      .filter(col("n") > col("c"))
       .select(lit(1L).as("csize"), (col("n") - col("c")).as("n_clusters"),
         (col("n") - col("c")).as("n_docs"), lit(0L).as("n_removable"))
     hist.unionByName(singles).orderBy("csize")
@@ -927,7 +930,7 @@ object Dedup {
       s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY doc_id")),
     QueryDef("q_dedup_clusters_lsh", qDedupClustersLsh, None),
     QueryDef("q_dedup_report", qDedupReport, Some(
-      s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), canon AS (SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src), sizes AS (SELECT canonical, COUNT(*) AS csize FROM canon GROUP BY canonical), hist AS (SELECT csize, COUNT(*) AS n_clusters, csize * COUNT(*) AS n_docs, (csize - 1) * COUNT(*) AS n_removable FROM sizes GROUP BY csize), tot AS (SELECT COUNT(*) AS n FROM documents), cl AS (SELECT COUNT(*) AS c FROM canon) SELECT csize, n_clusters, n_docs, n_removable FROM hist UNION ALL SELECT CAST(1 AS BIGINT), n - c, n - c, CAST(0 AS BIGINT) FROM tot CROSS JOIN cl ORDER BY csize")),
+      s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), canon AS (SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src), sizes AS (SELECT canonical, COUNT(*) AS csize FROM canon GROUP BY canonical), hist AS (SELECT csize, COUNT(*) AS n_clusters, csize * COUNT(*) AS n_docs, (csize - 1) * COUNT(*) AS n_removable FROM sizes GROUP BY csize), tot AS (SELECT COUNT(*) AS n FROM documents), cl AS (SELECT COUNT(*) AS c FROM canon) SELECT csize, n_clusters, n_docs, n_removable FROM hist UNION ALL SELECT CAST(1 AS BIGINT), n - c, n - c, CAST(0 AS BIGINT) FROM tot CROSS JOIN cl WHERE n > c ORDER BY csize")),
     QueryDef("q_split_leakage_free", qSplitLeakageFree, Some(
       s"WITH RECURSIVE $ngramPairsCte, edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), canon AS (SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src) SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical, CASE WHEN ascii(substr(md5('split' || CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)), 1, 1)) % 10 < 8 THEN 'train' WHEN ascii(substr(md5('split' || CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)), 1, 1)) % 10 = 8 THEN 'valid' ELSE 'test' END AS split FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id ORDER BY d.doc_id")),
     QueryDef("q_dedup_minhash", qDedupMinhash, None),

@@ -223,16 +223,23 @@ object Relational2 {
   // deterministic double expression — the same discipline as
   // qAggVariance. All moments come from ONE partial-agg'd pass.
   val qAggCorr: (SparkSession, String) => DataFrame = (s, d) => {
-    val x = col("l_quantity").cast("decimal(18,2)")
-    val y = col("l_extendedprice").cast("decimal(18,2)")
+    // The casts are PRE-PROJECTED so each double→decimal conversion runs
+    // once per row, not once per moment referencing it; the product
+    // moments themselves must stay decimal — the integer-cents twin
+    // (products as plain longs) was measured at 80% of int64 max for
+    // Σy² at sf0.1, i.e. silent-overflow territory one SF step up, so
+    // the decimal(37,4) accumulation is the exactness floor here.
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"),
-        sum(y).cast("double").as("sy"),
-        sum(x * y).cast("double").as("sxy"),
-        sum(x * x).cast("double").as("sxx"),
-        sum(y * y).cast("double").as("syy"))
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
       .withColumn("corr_qp", round(
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryDef, Tables}
+
+/** SQL-text twins of flagship DataFrame queries — the same logical plans
+  * declared through the `spark.sql` front door (temp views + SQL text),
+  * SHARING the DataFrame queries' DuckDB oracles by reference, so the
+  * SQL entry path is itself CORRECTNESS-gated rather than only
+  * spec-asserted (SqlInterfaceSpec checks plan equality; these rows make
+  * the driver hash-verify SQL-path results end to end). No new plan
+  * shapes: Catalyst analyzes both entries to the same optimized plan.
+  *
+  * Views are registered per invocation under a `g7_` prefix (no
+  * collision with other declared queries' staging views); `spark.sql`
+  * analyzes eagerly, so the returned frame is bound to the directory
+  * current at build time even if the views are later re-registered. */
+object SqlTwins {
+
+  private def sql(tables: Seq[String], text: String)
+      : (SparkSession, String) => DataFrame = (s, d) => {
+    tables.foreach(t =>
+      Tables.table(s, d, t).createOrReplaceTempView(s"g7_$t"))
+    s.sql(text)
+  }
+
+  private def oracleOf(defs: Seq[QueryDef], name: String): Option[String] =
+    defs.find(_.name == name).flatMap(_.oracle)
+
+  private val disc = "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tpch_q1_sql",
+      sql(Seq("lineitem"),
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(SUM($disc) AS DOUBLE) AS sum_disc_price,
+           |  CAST(SUM($disc * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           |  COUNT(*) AS count_order,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+           |FROM g7_lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      oracleOf(Olap.defs, "q_tpch_q1")),
+    QueryDef("q_tpch_q5_sql",
+      sql(Seq("customer", "orders", "lineitem", "supplier", "nation",
+          "region"),
+        s"""SELECT n_name, CAST(SUM($disc) AS DOUBLE) AS revenue
+           |FROM g7_customer
+           |JOIN g7_orders ON c_custkey = o_custkey
+           |JOIN g7_lineitem ON l_orderkey = o_orderkey
+           |JOIN g7_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN g7_nation ON s_nationkey = n_nationkey
+           |JOIN g7_region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name ASC""".stripMargin),
+      oracleOf(Olap.defs, "q_tpch_q5")),
+    QueryDef("q_argmax_per_group_sql",
+      sql(Seq("orders"),
+        """SELECT o_custkey, o_orderkey,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate_s,
+          |  o_totalprice
+          |FROM (SELECT *, row_number() OVER
+          |        (PARTITION BY o_custkey
+          |         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |      FROM g7_orders)
+          |WHERE rn = 1
+          |ORDER BY o_custkey""".stripMargin),
+      oracleOf(Relational.defs, "q_argmax_per_group")),
+    QueryDef("q_window_running_sum_sql",
+      sql(Seq("orders"),
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          |    (PARTITION BY o_custkey
+          |     ORDER BY o_orderdate ASC, o_orderkey ASC
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS DOUBLE) AS running
+          |FROM g7_orders
+          |ORDER BY o_orderkey""".stripMargin),
+      oracleOf(Relational.defs, "q_window_running_sum")),
+    QueryDef("q_dedup_exact_sql",
+      sql(Seq("documents"),
+        """SELECT doc_id, n_chars
+          |FROM (SELECT doc_id, n_chars, row_number() OVER
+          |        (PARTITION BY md5(to_binary(
+          |           lower(regexp_replace(text, '\\s+', ' ')), 'utf-8'))
+          |         ORDER BY doc_id) AS rn
+          |      FROM g7_documents)
+          |WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin),
+      oracleOf(Dedup.defs, "q_dedup_exact"))
+  )
+}

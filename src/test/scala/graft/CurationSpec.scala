@@ -89,6 +89,38 @@ class CurationSpec extends SparkSpec {
     assert(repVaried === 0.0 && topVaried === 0.1, scored.mkString(","))
   }
 
+  test("IQR fences and decile cutpoints keep an ulp-safe margin from " +
+      "every data value (cross-engine bit-identity precondition)") {
+    // qOutlierIqr / qEquidepthBins hash-match DuckDB only while no data
+    // value sits within engine-interpolation ulp distance of a fence or
+    // cutpoint — this pins that precondition loudly so a future fixture
+    // change that breaks it fails HERE, not as an opaque hash drift.
+    val sf = "/root/testdata/sf0.01"
+    val eps = 1e-6
+    val e = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    val fences = e.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    val nearFence = e.join(fences, "event_type")
+      .filter((abs(col("value") - col("lo")) < eps &&
+          col("value") =!= col("lo")) ||
+        (abs(col("value") - col("hi")) < eps && col("value") =!= col("hi")))
+      .count()
+    assert(nearFence === 0L, s"$nearFence values within $eps of a fence")
+    val o = Tables.orders(spark, sf).select(col("o_totalprice").as("v"))
+    val cuts = o.agg(expr(
+      "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("cuts"))
+    val nearCut = o.crossJoin(broadcast(cuts))
+      .filter(exists(col("cuts"),
+        c => abs(col("v") - c) < eps && col("v") =!= c))
+      .count()
+    assert(nearCut === 0L, s"$nearCut values within $eps of a cutpoint")
+  }
+
   test("domain mix keeps odd sources whole and downsamples even ones") {
     val sf = "/root/testdata/sf0.001"
     val out = Curation.qDomainMix(spark, sf)
