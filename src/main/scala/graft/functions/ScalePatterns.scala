@@ -76,6 +76,40 @@ object ScalePatterns {
   def compactTo(src: DataFrame, dstDir: String, targetFiles: Int): Unit =
     src.coalesce(targetFiles).write.mode("overwrite").parquet(dstDir)
 
+  /** 16-bit Morton (Z-order) interleave of two dimension columns — the
+    * multi-dimensional clustering key behind lakehouse Z-ORDER layout
+    * jobs: rows sorted by z keep BOTH dimensions locally bounded inside
+    * any contiguous range, so per-file min/max zone maps prune reads
+    * filtered on EITHER dimension (a single-column sort layout prunes
+    * only its own column). Pure codegen'd bit arithmetic via the classic
+    * magic-number spread — no UDF, identical operator set exists in
+    * DuckDB for the oracle. Inputs are masked to 16 bits; callers map
+    * their dimensions into that range (bucket coarse dimensions first). */
+  def zValue(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      val v0 = x.bitwiseAND(lit(0xFFFFL))
+      val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+      v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-order layout writer: range-partition on the z key (equal-count
+    * boundaries from a sample, Spark's RangePartitioner) and sort within
+    * each file, so every file covers one contiguous z range — the layout
+    * a daily clustering job produces. At 100 TB this replaces the
+    * single-dimension sort layout wholesale; the write is one extra
+    * shuffle paid at landing time. */
+  def writeZOrdered(df: DataFrame, dir: String, zCol: Column,
+      nFiles: Int): Unit =
+    df.withColumn("__z", zCol)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+
   /** Write both sides bucketed+sorted by the join key so subsequent joins
     * are exchange-free (co-located sort-merge). Returns the table names.
     * The write cost is paid once; every later join on `key` skips its

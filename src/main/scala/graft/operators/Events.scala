@@ -258,7 +258,40 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Z-order layout audit — the Morton interleave of (user, hour)
+    * aggregated per coarse z-bucket: the declared, oracled proof that
+    * any contiguous z range keeps BOTH dimensions bounded (a top-10-bit
+    * bucket fixes the top 5 bits of each 16-bit dimension, so each
+    * bucket spans ≤2^11 of each), which is exactly what makes per-file
+    * min/max zone maps prune scans filtered on EITHER dimension once
+    * the table is written in z order. The interleave
+    * (ScalePatterns.zValue) is pure codegen'd bit arithmetic; the
+    * layout writer and its measured locality assertion live in
+    * ScalePatterns.writeZOrdered / ScalePatternsSpec. */
+  val qZorderLayout: (SparkSession, String) => DataFrame = (s, d) => {
+    val hr = expr("unix_micros(ts) div 3600000000")
+    val ev = Tables.events(s, d).select(col("user_id"), hr.as("hr"))
+    // normalize each dimension to its observed [min, max] range mapped
+    // onto the full 16-bit window (integer floor arithmetic, exact in
+    // both engines) — raw values vary only in their LOW bits here, which
+    // would leave every row in one coarse bucket; a real clustering job
+    // samples ranges the same way before interleaving
+    val r = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
+      min("hr").as("hmin"), max("hr").as("hmax"))
+    ev.crossJoin(broadcast(r))
+      .withColumn("z", graft.functions.ScalePatterns.zValue(
+        expr("(user_id - umin) * 65536 div (umax - umin + 1)"),
+        expr("(hr - hmin) * 65536 div (hmax - hmin + 1)")))
+      .groupBy(shiftright(col("z"), 22).as("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("user_id").as("u_lo"), max("user_id").as("u_hi"),
+        min("hr").as("h_lo"), max("hr").as("h_hi"))
+      .orderBy("zbucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_zorder_layout", qZorderLayout, Some(
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events), r AS (SELECT MIN(user_id) AS umin, MAX(user_id) AS umax, MIN(hr) AS hmin, MAX(hr) AS hmax FROM e), t1 AS (SELECT user_id, hr, ((user_id - umin) * 65536 // (umax - umin + 1)) & 65535 AS ua, ((hr - hmin) * 65536 // (hmax - hmin + 1)) & 65535 AS hb FROM e CROSS JOIN r), t2 AS (SELECT user_id, hr, ((ua | (ua << 8)) & 16711935) AS ua, ((hb | (hb << 8)) & 16711935) AS hb FROM t1), t3 AS (SELECT user_id, hr, ((ua | (ua << 4)) & 252645135) AS ua, ((hb | (hb << 4)) & 252645135) AS hb FROM t2), t4 AS (SELECT user_id, hr, ((ua | (ua << 2)) & 858993459) AS ua, ((hb | (hb << 2)) & 858993459) AS hb FROM t3), t5 AS (SELECT user_id, hr, ((ua | (ua << 1)) & 1431655765) AS ua, ((hb | (hb << 1)) & 1431655765) AS hb FROM t4) SELECT (ua | (hb << 1)) >> 22 AS zbucket, COUNT(*) AS cnt, MIN(user_id) AS u_lo, MAX(user_id) AS u_hi, MIN(hr) AS h_lo, MAX(hr) AS h_hi FROM t5 GROUP BY 1 ORDER BY 1")),
     QueryDef("q_rolling_dau", qRollingDau, Some(
       "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), days AS (SELECT DISTINCT day FROM ud) SELECT strftime(d.day, '%Y-%m-%d') AS day, COUNT(DISTINCT u.user_id) AS dau7 FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1 ORDER BY 1")),
     QueryDef("q_event_transitions", qEventTransitions, Some(

@@ -97,4 +97,70 @@ class ScalePatternsSpec extends SparkSpec {
     assert(merged.filter(col("o_orderstatus") === "P" &&
       col("o_orderpriority") =!= "0-REPRICED").count() === 0L)
   }
+
+  test("zValue matches a reference Morton interleave") {
+    import spark.implicits._
+    def ref(a: Long, b: Long): Long = {
+      def spread(x0: Long): Long = {
+        var x = x0 & 0xFFFFL
+        x = (x | (x << 8)) & 0x00FF00FFL
+        x = (x | (x << 4)) & 0x0F0F0F0FL
+        x = (x | (x << 2)) & 0x33333333L
+        x = (x | (x << 1)) & 0x55555555L
+        x
+      }
+      spread(a) | (spread(b) << 1)
+    }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L), (255L, 256L))
+    val fromExpr = pairs.toDF("a", "b")
+      .select(ScalePatterns.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromExpr === pairs.map { case (a, b) => ref(a, b) })
+  }
+
+  test("z-ordered layout bounds BOTH dimensions per file; a time-sorted " +
+      "layout does not") {
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    val hr = expr("unix_micros(ts) div 3600000000")
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"), hr.as("hr"))
+    // same range normalization as q_zorder_layout: the fixture's
+    // variation lives in the LOW bits, so dimensions are mapped onto
+    // the full 16-bit window before interleaving
+    val r = ev.agg(min("user_id"), max("user_id"), min("hr"), max("hr"))
+      .head()
+    val (umin, umax, hmin, hmax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val z = ScalePatterns.zValue(
+      expr(s"(user_id - $umin) * 65536 div ${umax - umin + 1}"),
+      expr(s"(hr - $hmin) * 65536 div ${hmax - hmin + 1}"))
+    ScalePatterns.writeZOrdered(ev, s"$dir0/z", z, nFiles = 16)
+    // contrast layout: single-dimension (time) range sort, same file count
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dir0/bytime")
+    def spans(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("user_id") - min("user_id")).as("uspan"),
+          (max("hr") - min("hr")).as("hspan"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    def medianL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val global = ev.agg(
+      (max("user_id") - min("user_id")).as("u"),
+      (max("hr") - min("hr")).as("h")).head()
+    val (gU, gH) = (global.getLong(0), global.getLong(1))
+    val zs = spans(s"$dir0/z")
+    val ts = spans(s"$dir0/bytime")
+    // z layout: every file's zone map is tight in BOTH dims
+    assert(medianL(zs.map(_._1)) <= gU / 2,
+      s"z-layout median user span ${medianL(zs.map(_._1))} vs global $gU")
+    assert(medianL(zs.map(_._2)) <= gH / 2,
+      s"z-layout median hour span ${medianL(zs.map(_._2))} vs global $gH")
+    // time layout: hour is tight but user zone maps are useless (full
+    // span), which is why a user_id predicate prunes nothing there
+    assert(medianL(ts.map(_._1)) > gU * 9 / 10,
+      s"time-layout median user span ${medianL(ts.map(_._1))} vs $gU")
+  }
 }
