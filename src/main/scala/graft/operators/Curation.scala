@@ -281,6 +281,51 @@ object Curation {
       .partitionBy("shard")
       .parquet(dir)
 
+  /** Span-corruption mask generation — the denoising-objective prep step
+    * (T5-style): every token position draws a deterministic salted-hash
+    * trial; ~5% of positions start a masked span of 2–4 tokens (length
+    * from the same hash), overlapping spans merge, and the report per
+    * document is span count, masked-token count (the INTERVAL UNION via
+    * the same running-max sweep as q_dedup_substring), and the masked
+    * fraction. Everything derives from md5(salt ‖ doc_id ‖ pos) — never
+    * rand() — so the mask is reproducible across runs, engines, and
+    * partition layouts, which is what makes a masking pass auditable.
+    *
+    * Scale shape: position explode → one doc_id-keyed window shuffle for
+    * the sweep; the hash trials are map-side codegen'd expressions. At
+    * 100 TB the explode multiplies rows by tokens-per-doc, but each row
+    * is 24 bytes and the only shuffle key is doc_id — corpus-linear. */
+  val qSpanMask: (SparkSession, String) => DataFrame = (s, d) => {
+    val hx = "0123456789abcdef"
+    val h = md5(to_binary(concat(lit("graft_mask"),
+      col("doc_id").cast("string"), lit(":"), col("pos").cast("string")),
+      lit("utf-8")))
+    val d1 = expr(s"instr('$hx', substring(__h, 1, 1))") - 1
+    val d2 = expr(s"instr('$hx', substring(__h, 2, 1))") - 1
+    val d3 = expr(s"instr('$hx', substring(__h, 3, 1))") - 1
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = tokenized(Tables.documents(s, d))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        explode(sequence(lit(1L), size(col("t")).cast("long"))).as("pos"))
+      .withColumn("__h", h)
+      .filter(d1 * 16 + d2 < 13) // ≈5.1% of positions start a span
+      .withColumn("end",
+        least(col("pos") + 2 + pmod(d3, lit(3)), col("n_tok") + 1))
+    starts
+      .withColumn("prev_end",
+        coalesce(max(col("end")).over(w), col("pos")))
+      .groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(greatest(lit(0L), col("end") -
+          greatest(col("pos"), col("prev_end")))).cast("long")
+          .as("n_masked"))
+      .select(col("doc_id"), col("n_tok"), col("n_spans"), col("n_masked"),
+        round(col("n_masked").cast("double") / col("n_tok"), 6)
+          .as("mask_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Robust outlier gate — Tukey's IQR fence per group, the standard
     * numeric-cleaning step before a column feeds training: keep values
     * in [q1 − 1.5·IQR, q3 + 1.5·IQR], report what survived. Quartiles
@@ -349,6 +394,8 @@ object Curation {
       "WITH c AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM orders) SELECT CAST(len(list_filter(c.cuts, x -> o.o_totalprice >= x)) AS INT) AS bin, COUNT(*) AS cnt, MIN(o.o_totalprice) AS lo, MAX(o.o_totalprice) AS hi FROM orders o CROSS JOIN c GROUP BY 1 ORDER BY 1")),
     QueryDef("q_pack_sequences", qPackSequences, Some(
       "WITH docs AS (SELECT source, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM documents), spans AS (SELECT source, doc_id, n_tok, cum_before, unnest(generate_series(CAST(cum_before // 512 AS BIGINT), CAST((cum_before + n_tok - 1) // 512 AS BIGINT))) AS seq_id FROM docs) SELECT source, seq_id, COUNT(*) AS n_docs, CAST(SUM(LEAST(cum_before + n_tok, (seq_id + 1) * 512) - GREATEST(cum_before, seq_id * 512)) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM spans GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("q_span_mask", qSpanMask, Some(
+      "WITH p AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), unnest(range(1, len(t) + 1)) AS u(i)), hsh AS (SELECT doc_id, n_tok, pos, md5('graft_mask' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)) AS h FROM p), st AS (SELECT doc_id, n_tok, pos, LEAST(pos + 2 + ((instr('0123456789abcdef', substring(h, 3, 1)) - 1) % 3), n_tok + 1) AS spanend FROM hsh WHERE (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) < 13), sw AS (SELECT doc_id, n_tok, pos, spanend, COALESCE(MAX(spanend) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos) AS prev_end FROM st) SELECT doc_id, n_tok, COUNT(*) AS n_spans, CAST(SUM(GREATEST(0, spanend - GREATEST(pos, prev_end))) AS BIGINT) AS n_masked, round(CAST(SUM(GREATEST(0, spanend - GREATEST(pos, prev_end))) AS DOUBLE) / n_tok, 6) AS mask_frac FROM sw GROUP BY doc_id, n_tok ORDER BY doc_id")),
     QueryDef("q_shuffle_shards", qShuffleShards, Some(
       "WITH a AS (SELECT doc_id, md5('graft_shuffle' || CAST(doc_id AS VARCHAR)) AS h FROM documents), b AS (SELECT doc_id, h, CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 8 AS INT) AS shard FROM a), r AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn FROM b) SELECT shard, COUNT(*) AS n_docs, CAST(SUM((rn * (doc_id % 1000003 + 7)) % 2147483647) AS BIGINT) AS digest FROM r GROUP BY shard ORDER BY shard")),
     QueryDef("q_decontaminate", qDecontaminate, Some(
