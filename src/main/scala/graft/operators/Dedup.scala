@@ -107,6 +107,13 @@ object Dedup {
     * plain hash partitions, linear in corpus size: the single-node
     * suffix-array construction the literature uses is replaced by
     * gram-hash partitioning, which is the shape that distributes.
+    * First-occurrence selection is a min(struct(doc_id,pos)) AGGREGATE
+    * joined back, NOT a per-gram row_number window: the aggregate
+    * partial-combines map-side, so a boilerplate gram shared by millions
+    * of documents costs one merged row per map task instead of one
+    * sorted million-row reducer partition (and the join against the
+    * 1-row-per-gram first-occurrence table is AQE-skew-splittable where
+    * a window partition is not).
     * (Hash collisions: 2^-64 per gram pair; a collision can only mark a
     * span duplicated spuriously, never corrupt surviving text.) */
   def substringDedup(docs: DataFrame, w: Int): DataFrame = {
@@ -123,7 +130,9 @@ object Dedup {
           .as("g"))
       .select(col("doc_id"), col("n_tok"),
         col("g.pos").as("pos"), col("g.gh").as("gh"))
-    val wFirst = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    val firsts = grams
+      .groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     // interval sweep: a span's new coverage is what extends past the
     // running max end of all earlier spans in the doc
     val wSweep = Window.partitionBy("doc_id").orderBy("pos")
@@ -131,8 +140,8 @@ object Dedup {
     val covered = greatest(lit(0L), col("pos") + w -
       greatest(col("pos"), col("prev_end")))
     grams
-      .withColumn("rn", row_number().over(wFirst))
-      .filter(col("rn") > 1)
+      .join(firsts, "gh")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .withColumn("prev_end",
         coalesce(max(col("pos") + w).over(wSweep), col("pos")))
       .groupBy("doc_id", "n_tok")
@@ -145,6 +154,65 @@ object Dedup {
 
   val qDedupSubstring: (SparkSession, String) => DataFrame = (s, d) =>
     substringDedup(Tables.documents(s, d), 50)
+
+  /** The REMOVAL pass over [[substringDedup]]'s detection: rebuild every
+    * document with its duplicated w-token spans deleted (the first
+    * corpus-wide occurrence of each span survives in place). Duplicate
+    * spans are merged into disjoint intervals FIRST (gaps-and-islands
+    * over the same running-max sweep), so the covered-position explode
+    * is bounded by the doc's token count, never by overlap multiplicity;
+    * tokens then drop by a LEFT ANTI join on (doc, position) and
+    * documents reassemble in order — the segmentDedup reassembly shape
+    * at token granularity. Untouched documents pass through whole. */
+  def substringDedupApply(docs: DataFrame, w: Int): DataFrame = {
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .repartition(parts)
+    val grams = toks
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
+          i => struct(i.cast("long").as("pos"),
+            xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))).as("gh"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val firsts = grams.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val wSweep = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIsl = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = grams
+      .join(firsts, "gh")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .withColumn("e", col("pos") + w)
+      .withColumn("prev_end",
+        coalesce(max(col("e")).over(wSweep), lit(-1L)))
+      .withColumn("iid",
+        sum(when(col("pos") > col("prev_end"), 1).otherwise(0)).over(wIsl))
+      .groupBy("doc_id", "iid")
+      .agg(min("pos").as("s"), max("e").as("e"))
+      .select(col("doc_id").as("c_doc"),
+        explode(sequence(col("s"), col("e") - 1)).as("cpos"))
+    toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .withColumn("pos", col("p0").cast("long") + 1L)
+      .join(covered,
+        col("doc_id") === col("c_doc") && col("pos") === col("cpos"),
+        "left_anti")
+      .groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupSubstringApply: (SparkSession, String) => DataFrame = (s, d) =>
+    substringDedupApply(Tables.documents(s, d), 50)
 
   /** Word-bigram shingles hashed to a sorted distinct Long array. The
     * sort+distinct make the merge-scan intersection valid; hashing makes
@@ -920,6 +988,8 @@ object Dedup {
       "WITH segs AS (SELECT doc_id, unnest(range(len(s))) AS seg_idx, unnest(s) AS seg FROM (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/16.0) AS BIGINT)), i -> array_to_string(t[i*16+1:i*16+16], ' ')) AS s FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents))), keep AS (SELECT doc_id, seg_idx, seg, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) SELECT doc_id, COUNT(*) AS kept_segments, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_dedup_substring", qDedupSubstring, Some(
       "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+49], ' ') AS gram FROM t, unnest(range(1, len(t) - 48)) AS u(i) WHERE len(t) >= 50), r AS (SELECT doc_id, n_tok, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), d AS (SELECT doc_id, n_tok, pos, COALESCE(MAX(pos + 50) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos) AS prev_end FROM r WHERE rn > 1) SELECT doc_id, n_tok, CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS BIGINT) AS dup_tokens, round(CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS DOUBLE) / n_tok, 6) AS dup_frac FROM d GROUP BY doc_id, n_tok ORDER BY doc_id")),
+    QueryDef("q_dedup_substring_apply", qDedupSubstringApply, Some(
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+49], ' ') AS gram FROM t, unnest(range(1, len(t) - 48)) AS u(i) WHERE len(t) >= 50), r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), d AS (SELECT doc_id, pos, pos + 50 AS e FROM r WHERE rn > 1), sw AS (SELECT doc_id, pos, e, COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_end FROM d), isl AS (SELECT doc_id, pos, e, SUM(CASE WHEN pos > prev_end THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS iid FROM sw), mi AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, iid), cov AS (SELECT doc_id, unnest(range(s, e)) AS cpos FROM mi), tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos, t[i] AS tok FROM t, unnest(range(1, len(t) + 1)) AS u(i)) SELECT tok.doc_id, tok.n_tok, COUNT(*) AS kept_tokens, string_agg(tok.tok, ' ' ORDER BY tok.pos) AS cleaned_text FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos WHERE cov.cpos IS NULL GROUP BY tok.doc_id, tok.n_tok ORDER BY tok.doc_id")),
     QueryDef("q_dedup_exact", qDedupExact, Some(
       "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
     QueryDef("q_dedup_containment", qDedupContainment, Some(

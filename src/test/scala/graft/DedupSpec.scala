@@ -63,6 +63,43 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 70L, 60L), (3L, 100L, 50L)))
   }
 
+  test("substring dedup APPLY removes exactly the duplicated spans and " +
+      "keeps first occurrences in place") {
+    import spark.implicits._
+    val c = (1 to 60).map(i => s"c$i").mkString(" ")
+    val r = (1 to 50).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, c),                                   // owns C — untouched
+      (2L, s"p1 p2 p3 p4 p5 $c s1 s2 s3 s4 s5"), // loses the C span
+      (3L, s"$r $r"))                            // loses the repeat
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.substringDedupApply(docs, 50)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 60L, c),
+      (2L, 10L, "p1 p2 p3 p4 p5 s1 s2 s3 s4 s5"),
+      (3L, 50L, r)))
+  }
+
+  test("substring APPLY is consistent with the detection counts on " +
+      "testdata") {
+    val docs = Tables.documents(spark, sf)
+    val applied = operators.Dedup.substringDedupApply(docs, 50)
+    val detected = operators.Dedup.substringDedup(docs, 50)
+      .select(col("doc_id"), col("n_tok").as("d_ntok"), col("dup_tokens"))
+    // docs whose every token is duplicated (whole-doc dupes of an earlier
+    // doc) vanish from the cleaned corpus; everyone else appears with
+    // kept == n_tok − dup_tokens (dup_tokens = 0 where undetected)
+    val fullyCovered = detected
+      .filter(col("dup_tokens") === col("d_ntok")).count()
+    assert(applied.count() === docs.count() - fullyCovered)
+    assert(fullyCovered > 0) // the fixture does contain whole-doc dupes
+    val joined = applied.join(detected, Seq("doc_id"), "left")
+      .withColumn("expect",
+        col("n_tok") - coalesce(col("dup_tokens"), lit(0L)))
+    assert(joined.filter(col("kept_tokens") =!= col("expect")).isEmpty)
+  }
+
   test("substring dedup on testdata: spans are unioned, fractions bounded") {
     val out = operators.Dedup.substringDedup(
       Tables.documents(spark, sf), 50).cache()
