@@ -137,6 +137,46 @@ class PlanRegressionSpec extends SparkSpec {
     assert(hashEx == 2, s"hash exchanges = $hashEx\n" + p.take(2000))
   }
 
+  test("substring dedup shuffles gram HASHES, never gram text, and " +
+      "joins without cartesian/nested-loop") {
+    val p = plan("q_dedup_substring")
+    // grams are xxhash64'd inside the projection stage — the shuffle key
+    // is the 8-byte hash, not the ~50-token string
+    assert(p.contains("xxhash64"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(1500))
+    // first-occurrence selection is an aggregate (map-side combinable),
+    // not a per-gram sort window
+    assert(p.contains("partial_min"), p.take(2000))
+  }
+
+  test("shard shuffle is one shard-keyed exchange reused by the digest " +
+      "aggregation") {
+    val p = plan("q_shuffle_shards")
+    assert(!p.contains("Broadcast"), p.take(1500))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
+  test("z-order audit: corpus side is map-only bit math plus one bucket " +
+      "aggregation; only the 1-row range broadcasts") {
+    val p = plan("q_zorder_layout")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
+    // the range row is the only nested-loop (1-row broadcast — the
+    // intended shape); no data-sized join exists in the plan
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"nested loops = $bnl\n" + p.take(2000))
+  }
+
+  test("span masking: one doc-keyed exchange shared by sweep and " +
+      "aggregation, no joins") {
+    val p = plan("q_span_mask")
+    assert(!p.contains("Broadcast") && !p.contains("Join"), p.take(1500))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"hash exchanges = $hashEx\n" + p.take(2000))
+  }
+
   test("cooc-pmi: vocab joins shuffle, only 1-row totals nested-loop") {
     val p = plan("q_cooc_pmi")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
