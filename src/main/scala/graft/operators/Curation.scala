@@ -273,10 +273,29 @@ object Curation {
     * maxRecordsPerFile no matter how the corpus grows. */
   def writeShards(docs: DataFrame, dir: String, nShards: Int,
       maxRecordsPerFile: Int): Unit =
+    landShards(docs, dir, nShards, maxRecordsPerFile, "overwrite")
+
+  /** Incremental append into an existing shard layout: a new batch
+    * hashes to its shards by the same salted assignment and lands as NEW
+    * files inside the existing shard directories — existing files are
+    * never rewritten, so the append costs the batch, not the corpus
+    * (the q_landing_overwrite discipline applied to shard placement).
+    * The global in-shard order key (__h, doc_id) is stored with the
+    * rows; a reader that needs the merged total order merges sorted
+    * files by that key, exactly like any LSM-flavored layout.
+    * ShardWriterSpec proves the base corpus's assignment and files are
+    * untouched by an append and the batch lands where shardAssign says
+    * it must. */
+  def appendToShards(docs: DataFrame, dir: String, nShards: Int,
+      maxRecordsPerFile: Int): Unit =
+    landShards(docs, dir, nShards, maxRecordsPerFile, "append")
+
+  private def landShards(docs: DataFrame, dir: String, nShards: Int,
+      maxRecordsPerFile: Int, mode: String): Unit =
     shardAssign(docs, nShards)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "__h", "doc_id")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .partitionBy("shard")
       .parquet(dir)

@@ -501,6 +501,23 @@ object Relational2 {
       .orderBy("n_nationkey")
   }
 
+  // XML roundtrip twin of q_scan_orc: write the nation dim with Spark 4's
+  // built-in XML source, read it back schema-explicit. Same oracle
+  // contract — the roundtrip must be lossless against the parquet rows.
+  val qScanXml: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_xml_" +
+      s.sparkContext.applicationId
+    graft.sources.Sources.writeXmlTable(
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
+      tmp)
+    graft.sources.Sources.readXmlTable(s, tmp, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))))
+      .orderBy("n_nationkey")
+  }
+
   // Exact interpolated percentiles (R-7, the same definition DuckDB's
   // quantile_cont uses) — the distribution profile a data-quality pass
   // computes per partition of a 100 TB corpus.
@@ -724,6 +741,8 @@ object Relational2 {
     QueryDef("q_scan_csv", qScanCsv, Some(
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
     QueryDef("q_scan_orc", qScanOrc, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+    QueryDef("q_scan_xml", qScanXml, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("q_scan_partition_pruned", qScanPartitionPruned, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' GROUP BY 1 ORDER BY 1")),

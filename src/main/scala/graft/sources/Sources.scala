@@ -68,4 +68,16 @@ object Sources {
 
   def writeOrcTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** XML scan/sink — Spark 4's built-in XML data source (the Databricks
+    * spark-xml donation), for the B2B/legacy feeds that still arrive as
+    * XML. rowTag-delimited records ARE splittable on read; the format's
+    * scale caveat is write-side verbosity, so it is an ingest format
+    * here, never a landing layout. Schema-explicit like every source. */
+  def readXmlTable(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).option("rowTag", "row").xml(path)
+
+  def writeXmlTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", "row").xml(path)
 }

@@ -62,6 +62,32 @@ class ShardWriterSpec extends SparkSpec {
     assert(seq1.nonEmpty)
   }
 
+  test("incremental append lands the batch without touching the base " +
+      "corpus's files or assignment") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0L)
+    val batch = docs.filter(col("doc_id") % 5 === 0L)
+    val dir = Files.createTempDirectory("graft_shards_inc").toString
+    Curation.writeShards(base, dir, nShards = 8, maxRecordsPerFile = 16)
+    val beforeFiles = fileProfile(dir)
+    val beforeAssign = spark.read.parquet(dir).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    Curation.appendToShards(batch, dir, nShards = 8,
+      maxRecordsPerFile = 16)
+    val after = spark.read.parquet(dir)
+    // base files and assignment untouched; union complete and disjoint
+    assert(fileProfile(dir).intersect(beforeFiles) === beforeFiles)
+    val afterAssign = after.select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(beforeAssign.subsetOf(afterAssign))
+    assert(afterAssign.size.toLong === docs.count())
+    // the batch landed exactly where shardAssign places it
+    val expected = Curation.shardAssign(batch, 8)
+      .select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(afterAssign -- beforeAssign === expected)
+  }
+
   test("shard digest query agrees with the written layout") {
     val docs = Tables.documents(spark, sf)
     val dir = Files.createTempDirectory("graft_shards_q").toString
