@@ -115,7 +115,15 @@ object Dedup {
     * 1-row-per-gram first-occurrence table is AQE-skew-splittable where
     * a window partition is not).
     * (Hash collisions: 2^-64 per gram pair; a collision can only mark a
-    * span duplicated spuriously, never corrupt surviving text.) */
+    * span duplicated spuriously, never corrupt surviving text.)
+    *
+    * Deliberate cost: the gram projection is computed TWICE (once under
+    * the first-occurrence aggregate, once on the join's probe side —
+    * the partial-agg difference keeps ReuseExchange from deduplicating
+    * them). Recomputing the codegen'd, embarrassingly-parallel
+    * projection is cheaper than materializing the corpus-sized gram
+    * table in-query; a pipeline running this daily lands the gram table
+    * once as an artifact instead (the cachedNgramPairs discipline). */
   def substringDedup(docs: DataFrame, w: Int): DataFrame = {
     val parts = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
