@@ -45,7 +45,12 @@ object Bench {
     // round-to-round regressions become decidable without quiet-box
     // forensics, and one-time init costs (first stateful streaming query)
     // show up as the median/min gap instead of silently inflating a row.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // 3 passes since round 8: two-pass medians still let one ambient spike
+    // pollute the median (it becomes the mean of the two passes); with
+    // three, the median ignores a single outlier and the min/median/spread
+    // triple in BENCH_DETAIL makes box noise separable from plan
+    // regressions (BASELINE.md §C states the decision rule: compare MINs).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // name -> per-pass (elapsed_sec, ok): a crashing query must surface
     // as a sentinel, never as a plausible-looking timing.
     val perPass: Seq[Map[String, (Double, Boolean)]] =
@@ -81,8 +86,20 @@ object Bench {
         val runs = perPass.map(_(name))
         name -> ((median(runs.map(_._1)), runs.forall(_._2)))
       }.toMap
-    val mins: Map[String, Double] =
-      queries.keys.map(name => name -> perPass.map(_(name)._1).min).toMap
+    // min and spread (max-min) carry the same ok-gating as the median: a
+    // query that crashed in ANY pass must never present a plausible-looking
+    // timing in any column (ADVICE r7).
+    val mins: Map[String, (Double, Boolean)] =
+      queries.keys.map { name =>
+        val runs = perPass.map(_(name))
+        name -> ((runs.map(_._1).min, runs.forall(_._2)))
+      }.toMap
+    val spreads: Map[String, (Double, Boolean)] =
+      queries.keys.map { name =>
+        val runs = perPass.map(_(name))
+        val ts = runs.map(_._1)
+        name -> ((ts.max - ts.min, runs.forall(_._2)))
+      }.toMap
     // The driver captures only the last ~2000 chars of output, and the full
     // per-query map (~100 entries at double precision) overflows that
     // window — rounds 2 and 3 both arrived truncated and unparseable
@@ -103,10 +120,8 @@ object Bench {
     val medianAll = if (okTimes.isEmpty) 0.0 else median(okTimes)
     val worst = if (okTimes.isEmpty) 0.0 else okTimes.last
     val slowest = results.toIndexedSeq.sortBy { case (_, (v, _)) => -v }.take(10)
-    val minJson = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$passes,"queries":${qjson(results)},"min":$minJson,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$passes,"queries":${qjson(results)},"min":${qjson(mins)},"spread":${qjson(spreads)},"errors":$errors,"sf":"$sfDir"}"""
     // Resolve against the repo root, not the process CWD (sbt forks the
     // run; an overridden fork directory must not scatter the artifact).
     val repoRoot = sys.env.get("SPARK_GRAFT_REPO")

@@ -42,9 +42,25 @@ object Verify {
       case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
       case None => SparkEntry.oracleSql
     }
-    val json = oracles
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A filtered run writes its oracle subset to a DIFFERENT artifact name
+    // (ADVICE r7): rerunning a filter into an outDir already holding a full
+    // dump would otherwise pair full per-query results with a partial
+    // oracle_sql.json — a mixed artifact a downstream comparator could
+    // silently mis-scope. The filtered artifact carries EVERY filtered
+    // query name (null for rows-only keys) so the comparator knows the
+    // exact scope including oracle-less queries. The driver's full run
+    // (no filter) is byte-unchanged.
+    filter match {
+      case Some(_) =>
+        val json = queries.keys.toSeq.sorted
+          .map(k => s"${q(k)}: ${oracles.get(k).map(q).getOrElse("null")}")
+          .mkString("{", ",", "}")
+        Files.writeString(Paths.get(s"$outDir/oracle_sql_filtered.json"), json)
+      case None =>
+        val json = oracles
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
     spark.stop()
   }
 }

@@ -12,17 +12,24 @@ import graft.{QueryDef, Tables}
   * the driver hash-verify SQL-path results end to end). No new plan
   * shapes: Catalyst analyzes both entries to the same optimized plan.
   *
-  * Views are registered per invocation under a `g7_` prefix (no
-  * collision with other declared queries' staging views); `spark.sql`
-  * analyzes eagerly, so the returned frame is bound to the directory
-  * current at build time even if the views are later re-registered. */
+  * View names are derived from the data DIRECTORY (`g7_<dirhash>_<t>`),
+  * not a fixed prefix: temp views are session-global, so two twins built
+  * concurrently on one shared session (the sbt shared-session test
+  * setup) with a fixed name could race between registration and
+  * `spark.sql` analysis and bind one query to the other's directory
+  * (ADVICE r7). With dir-keyed names, concurrent builds over the SAME
+  * directory register identical frames (a benign overwrite) and builds
+  * over different directories cannot collide at all. */
 object SqlTwins {
 
   private def sql(tables: Seq[String], text: String)
       : (SparkSession, String) => DataFrame = (s, d) => {
+    val suffix =
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(d))
     tables.foreach(t =>
-      Tables.table(s, d, t).createOrReplaceTempView(s"g7_$t"))
-    s.sql(text)
+      Tables.table(s, d, t).createOrReplaceTempView(s"g7_${suffix}_$t"))
+    s.sql(text.replace("g7_", s"g7_${suffix}_"))
   }
 
   private def oracleOf(defs: Seq[QueryDef], name: String): Option[String] =

@@ -73,6 +73,27 @@ object EventsStreaming {
           lit("utf-8"))))
       .dropDuplicates("fingerprint")
 
+  /** BOUNDED-state streaming document dedup — the deployed shape of the
+    * one above for true 24/7 ingest: the dedup key is the content
+    * fingerprint (NOT the event-time column), so plain
+    * `dropDuplicates(fingerprint)` would keep every fingerprint's state
+    * forever; `dropDuplicatesWithinWatermark` is the API built for
+    * exactly this key-excludes-event-time case — a duplicate arriving
+    * within the watermark delay of its first occurrence is dropped, and
+    * the key's state is evicted once the watermark passes first-seen
+    * ingest time + delay. The trade is explicit and the spec pins both
+    * sides: within-delay duplicates dedup; a duplicate arriving after
+    * eviction is re-admitted (at 100 TB you size the delay to the
+    * ingest pipeline's re-delivery horizon, e.g. hours, and back the
+    * stream gate with a periodic batch dedup for the long tail). */
+  def dedupDocumentsBounded(docs: DataFrame, delay: String): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(to_binary(lower(regexp_replace(col("text"), "\\s+", " ")),
+          lit("utf-8"))))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Production-shaped streaming near-dup: incoming documents are checked
     * against a STATIC corpus LSH index via a stream-static equi-join on
     * (band, bucket) — the standard "is this new doc a near-dup of
@@ -316,6 +337,103 @@ object EventsStreaming {
   val qStreamSessions: (SparkSession, String) => DataFrame = (s, d) =>
     runToMemorySink(s, d, "sessions", Events.sessionAgg)
       .orderBy("user_id", "sess_start")
+
+  // --- streaming document dedup through the driver gate ---
+  //
+  // Replay the documents table as a micro-batched stream WITH extra
+  // duplicates injected, dedup on the content fingerprint under a
+  // watermark, and require the surviving set to equal the BATCH
+  // exact-dedup survivors — q_stream_dedup shares q_dedup_exact's DuckDB
+  // oracle verbatim, so the driver hash-verifies the keyed-state
+  // machinery end to end.
+  //
+  // Staging (3 files → 3 micro-batches, ascending synthetic ingest_ts):
+  //   00_originals: the batch-dedup winners (first doc_id per
+  //     fingerprint) — one row per distinct content, so the first batch
+  //     admits each fingerprint exactly once and the survivor choice is
+  //     deterministic (WITHIN one micro-batch, which of several same-key
+  //     rows survives is not defined; ACROSS batches it is: keyed state
+  //     wins — the thing under test);
+  //   01_corpus_dupes: the corpus's natural whole-doc duplicates (the
+  //     rn > 1 rows batch dedup removes);
+  //   02_injected: fresh copies of winner docs under new doc_ids —
+  //     duplicates that don't exist in the table at all, so only
+  //     cross-batch state (not input identity) can reject them.
+  // All three batches land within the watermark delay, so every
+  // duplicate hits LIVE state and is dropped; the output is exactly the
+  // winners. StreamingSpec pins the complementary negative case: a
+  // duplicate arriving after its key's state was evicted (past the
+  // watermark horizon) is re-admitted.
+
+  /** documents schema + the synthetic ingest-time column the staged
+    * replay carries (streaming file sources need an explicit schema). */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** Write `df` as ONE parquet file `dir/name.parquet` with the given
+    * mtime (file-source replay order = mtime order). */
+  private def writeSingleFile(df: DataFrame, dir: String, name: String,
+      mtime: Long): Unit = {
+    val tmp = s"${dir}_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, s"$name.parquet")
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(mtime): Unit
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+  }
+
+  private val stagedDedupDocs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageDedupDocsDir(s: SparkSession, d: String): String =
+    stagedDedupDocs.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.expressions.Window
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|dedupdocs|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_dedupdocs_$key"
+      val w = Window
+        .partitionBy(md5(to_binary(
+          lower(regexp_replace(col("text"), "\\s+", " ")), lit("utf-8"))))
+        .orderBy("doc_id")
+      val ranked = Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w)).localCheckpoint()
+      def withTs(df: DataFrame, minutes: Int): DataFrame =
+        df.withColumn("ingest_ts", expr(
+          s"timestamp'2026-01-01 00:00:00' + INTERVAL $minutes MINUTES"))
+      val winners = ranked.filter(col("rn") === 1).drop("rn")
+      val dupes = ranked.filter(col("rn") > 1).drop("rn")
+      val injected = winners.orderBy("doc_id").limit(40)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      val t0 = System.currentTimeMillis()
+      writeSingleFile(withTs(winners, 0), dir, "00_originals", t0 - 180000)
+      writeSingleFile(withTs(dupes, 2), dir, "01_corpus_dupes", t0 - 120000)
+      writeSingleFile(withTs(injected, 4), dir, "02_injected", t0 - 60000)
+      dir
+    })
+
+  val qStreamDedup: (SparkSession, String) => DataFrame = (s, d) =>
+    runDirToMemorySink(s, stageDedupDocsDir(s, d), "dedup_docs", "append",
+      dir => dedupDocumentsBounded(
+        s.readStream.schema(docsSchema).option("maxFilesPerTrigger", "1")
+          .parquet(dir),
+        // generous vs the 4-minute staged span: every duplicate arrives
+        // within the delay, so none sees evicted state
+        "2 hours"))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
 
 
   // --- stream-stream interval join: clicks leading to purchases ---
@@ -590,6 +708,11 @@ object EventsStreaming {
     QueryDef("q_stream_sliding", qStreamSliding, Some(
       // identical to q_events_sliding's oracle: streaming == batch
       "SELECT event_type, strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE), '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks GROUP BY event_type, win_start ORDER BY event_type, win_start")),
+    QueryDef("q_stream_dedup", qStreamDedup, Some(
+      // shares q_dedup_exact's oracle verbatim: the streamed survivor set
+      // (winners batch + every duplicate dropped by keyed state) must
+      // equal batch exact dedup over the documents table
+      "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id")),
     QueryDef("q_stream_sessions", qStreamSessions, Some(
       // identical to q_events_sessions' oracle: streaming == batch
       "WITH t AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"))

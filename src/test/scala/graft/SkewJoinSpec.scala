@@ -83,8 +83,11 @@ class SkewJoinSpec extends SparkSpec {
       assert(n.toLong >= Tables.lineitem(spark, sf).count())
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan.take(500))
-      assert(plan.contains("skew=true") || plan.contains("skewed"),
-        s"expected OptimizeSkewedJoin split in:\n${plan.take(1200)}")
+      // precise marker only: OptimizeSkewedJoin tags the SMJ node with
+      // `skew=true`. (A looser substring like "skewed" could match conf
+      // or hint text rather than an actual split — ADVICE r7.)
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin split (skew=true) in:\n${plan.take(1200)}")
       // the full declared query under the skew-split regime must return
       // the identical rows (AQE skew handling is execution-layer only)
       val skewRun = operators.Olap.qJoinSkewed(spark, sf)

@@ -84,6 +84,69 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("fingerprint").distinct().count() === out.count())
   }
 
+  // Bounded-state dedup semantics, both sides of the watermark horizon
+  // (VERDICT r7 item 2). Files replay oldest-mtime-first; each is one
+  // micro-batch. Watermark delay 10 minutes.
+  test("bounded streaming dedup: within-delay duplicate dropped, " +
+      "post-eviction duplicate re-admitted") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_docstream_wm").toString
+    def doc(id: Long, text: String, tsMin: Long) =
+      Seq((id, text, "en", "spec", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("ingest_ts", expr(
+          s"timestamp'2026-01-01 00:00:00' + INTERVAL $tsMin MINUTES"))
+    val t0 = System.currentTimeMillis()
+    def land(df: org.apache.spark.sql.DataFrame, name: String,
+        slot: Int): Unit = {
+      val tmp = s"${dir}_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(t0 - (10 - slot).toLong * 60000L): Unit
+    }
+    // batch 0: original doc A at t=0
+    land(doc(1L, "alpha beta gamma delta", 0), "00_a", 0)
+    // batch 1: duplicate of A two minutes later — well within the
+    // 10-minute delay, so A's live state must drop it
+    land(doc(2L, "alpha beta gamma delta", 2), "01_dup_within", 1)
+    // batch 2: unrelated carrier doc three hours on — advances the
+    // watermark to t+180−10 min, far past A's eviction point (first-seen
+    // t=0 + 10-minute delay)
+    land(doc(3L, "totally different carrier text", 180), "02_carrier", 2)
+    // batch 3: duplicate of A after eviction — watermark semantics say
+    // the engine has forgotten A; the duplicate is RE-ADMITTED (the
+    // documented bounded-state trade; the batch dedup backstop catches
+    // the long tail in production)
+    land(doc(4L, "alpha beta gamma delta", 181), "03_dup_after", 3)
+    val stream = spark.readStream.schema(EventsStreaming.docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventsStreaming.dedupDocumentsBounded(stream, "10 minutes")
+      .writeStream
+      .format("memory").queryName("sink_docdedup_wm").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("sink_docdedup_wm")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 (within-delay duplicate) is the ONLY row missing
+    assert(ids === Set(1L, 3L, 4L))
+    // the duplicate fingerprint really does appear twice post-eviction
+    assert(out.groupBy("fingerprint").count()
+      .filter(col("count") === 2).count() === 1L)
+  }
+
+  test("q_stream_dedup survivors equal batch exact dedup") {
+    val streamed = graft.streaming.EventsStreaming.qStreamDedup(spark, sf)
+      .collect()
+    val batch = operators.Dedup.qDedupExact(spark, sf).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
   test("streaming near-dup gate finds each new doc's twin in the static index") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_neardup_stream").toString

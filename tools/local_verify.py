@@ -27,13 +27,25 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    with open(f"{out_dir}/oracle_sql.json") as f:
-        oracles = json.load(f)
     import glob
     import os
+    # A filtered graft.Verify run writes oracle_sql_filtered.json (never
+    # oracle_sql.json) so a partial artifact can't masquerade as a full
+    # surface. When the filtered file is present, compare ONLY its keys —
+    # stale q_* dirs from an earlier full dump in the same outDir are not
+    # this run's scope.
+    filtered = f"{out_dir}/oracle_sql_filtered.json"
+    if os.path.exists(filtered):
+        with open(filtered) as f:
+            raw = json.load(f)
+        names = sorted(raw)  # every filtered query; null = rows-only
+        oracles = {k: v for k, v in raw.items() if v is not None}
+    else:
+        with open(f"{out_dir}/oracle_sql.json") as f:
+            oracles = json.load(f)
+        names = sorted(set(oracles) |
+                       {os.path.basename(p) for p in glob.glob(f"{out_dir}/q_*")})
     fails = 0
-    names = sorted(set(oracles) |
-                   {os.path.basename(p) for p in glob.glob(f"{out_dir}/q_*")})
     for name in names:
         qdir = f"{out_dir}/{name}"
         if not os.path.isdir(qdir):
