@@ -91,6 +91,7 @@ class StreamingSpec extends SparkSpec {
       "post-eviction duplicate re-admitted") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_docstream_wm").toString
+    import spark.implicits._
     def doc(id: Long, text: String, tsMin: Long) =
       Seq((id, text, "en", "spec", text.length.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -117,11 +118,18 @@ class StreamingSpec extends SparkSpec {
     // watermark to t+180−10 min, far past A's eviction point (first-seen
     // t=0 + 10-minute delay)
     land(doc(3L, "totally different carrier text", 180), "02_carrier", 2)
-    // batch 3: duplicate of A after eviction — watermark semantics say
-    // the engine has forgotten A; the duplicate is RE-ADMITTED (the
-    // documented bounded-state trade; the batch dedup backstop catches
-    // the long tail in production)
-    land(doc(4L, "alpha beta gamma delta", 181), "03_dup_after", 3)
+    // batch 3: SECOND carrier — state eviction runs at batch END after
+    // the batch's lookups (measured, consistent with the two-readings
+    // behavior pinned at q_stream_tumbling_append): the batch whose
+    // start-watermark first exceeds A's expiry still sees A's state
+    // live during lookup, so re-admission needs the duplicate one batch
+    // later than the watermark-advancing one
+    land(doc(4L, "second carrier advancing nothing", 182), "03_carrier2", 3)
+    // batch 4: duplicate of A after eviction — the engine has forgotten
+    // A; the duplicate is RE-ADMITTED (the documented bounded-state
+    // trade; the batch dedup backstop catches the long tail in
+    // production)
+    land(doc(5L, "alpha beta gamma delta", 183), "04_dup_after", 4)
     val stream = spark.readStream.schema(EventsStreaming.docsSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val q = EventsStreaming.dedupDocumentsBounded(stream, "10 minutes")
@@ -133,7 +141,7 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("sink_docdedup_wm")
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
     // doc 2 (within-delay duplicate) is the ONLY row missing
-    assert(ids === Set(1L, 3L, 4L))
+    assert(ids === Set(1L, 3L, 4L, 5L))
     // the duplicate fingerprint really does appear twice post-eviction
     assert(out.groupBy("fingerprint").count()
       .filter(col("count") === 2).count() === 1L)
