@@ -15,17 +15,8 @@ class DppSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** All file scans in the executed plan, descending into AQE subtrees
-    * (an AdaptiveSparkPlanExec hides its finalized plan from collect). */
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-    // materialized query stages are leaf nodes wrapping their subtree
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      scans(q.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      scans(r.child)
-    case f: FileSourceScanExec => Seq(f)
-  }.flatten
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectFileScans(p)
 
   /** Run q_join_dpp, return (rows, executed plan string, partitions
     * actually read by the day-partitioned fact scan). */

@@ -163,4 +163,63 @@ class ScalePatternsSpec extends SparkSpec {
     assert(medianL(ts.map(_._1)) > gU * 9 / 10,
       s"time-layout median user span ${medianL(ts.map(_._1))} vs $gU")
   }
+
+  // The file-span statistics above say pruning SHOULD work; this test
+  // shows it actually HAPPENING in a scan (VERDICT r7 item 4): the same
+  // narrow single-dimension predicate, pushed to parquet, skips
+  // row groups whose zone maps exclude it — the scan's numOutputRows
+  // metric counts rows the reader actually surfaced (each staged file
+  // here is one row group, so rows-read ≈ files-read). Z-order must
+  // prune under BOTH dimensions; the time-sorted layout prunes only its
+  // own sort dimension and reads ~everything under the user predicate.
+  test("zone-map pruning is real: z-layout scans skip row groups under " +
+      "BOTH single-dimension predicates; time layout only under time") {
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft_zprune").toString
+    val hr = expr("unix_micros(ts) div 3600000000")
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"), hr.as("hr"))
+    val r = ev.agg(min("user_id"), max("user_id"), min("hr"), max("hr"))
+      .head()
+    val (umin, umax, hmin, hmax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val z = ScalePatterns.zValue(
+      expr(s"(user_id - $umin) * 65536 div ${umax - umin + 1}"),
+      expr(s"(hr - $hmin) * 65536 div ${hmax - hmin + 1}"))
+    ScalePatterns.writeZOrdered(ev, s"$dir0/z", z, nFiles = 16)
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dir0/bytime")
+    val total = ev.count()
+    // middle 1/16th band of each dimension
+    val uw = (umax - umin + 1) / 16
+    val hw = (hmax - hmin + 1) / 16
+    val uPred = col("user_id").between(umin + 7 * uw, umin + 8 * uw - 1)
+    val hPred = col("hr").between(hmin + 7 * hw, hmin + 8 * hw - 1)
+    def rowsRead(dir: String,
+        pred: org.apache.spark.sql.Column): (Long, Long) = {
+      // both staged layouts carry hr as a stored column, so either
+      // predicate is a plain pushable comparison on a top-level column.
+      // Execute THIS dataset (a derived .count() plan would leave these
+      // scan metrics unpopulated) and read its own metrics.
+      val df = spark.read.parquet(dir).filter(pred)
+      val n = df.collect().length.toLong
+      val scanned = collectFileScans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+      (scanned, n)
+    }
+    val (zU, nzU) = rowsRead(s"$dir0/z", uPred)
+    val (zH, nzH) = rowsRead(s"$dir0/z", hPred)
+    val (tU, ntU) = rowsRead(s"$dir0/bytime", uPred)
+    val (tH, ntH) = rowsRead(s"$dir0/bytime", hPred)
+    // both layouts surface identical query results...
+    assert(nzU === ntU); assert(nzH === ntH)
+    // ...but the z scan skipped most row groups under EITHER predicate
+    // (a 1/16th band crosses one column of the 4×4 z grid → ~4/16 files)
+    assert(zU <= total / 2, s"z-layout user-pred read $zU of $total")
+    assert(zH <= total / 2, s"z-layout hour-pred read $zH of $total")
+    // the time layout prunes its own dimension hard...
+    assert(tH <= total / 4, s"time-layout hour-pred read $tH of $total")
+    // ...and cannot prune the other at all
+    assert(tU > total * 9 / 10, s"time-layout user-pred read $tU of $total")
+  }
 }

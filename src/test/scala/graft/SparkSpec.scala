@@ -41,4 +41,18 @@ trait SparkSpec extends AnyFunSuite {
       .toDF("subscription_id", "user_id", "subscription_plan_id",
         "subscription_status", "start_date", "end_date", "payment_status")
   }
+
+  /** All file scans in an executed plan, descending into AQE subtrees
+    * (AdaptiveSparkPlanExec and materialized query stages are leaf-like
+    * nodes hiding their finalized subplans from a plain collect). */
+  def collectFileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectFileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectFileScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      collectFileScans(r.child)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+  }.flatten
 }
