@@ -39,7 +39,7 @@ class SkewJoinSpec extends SparkSpec {
       assert(n === 200000)
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan.take(500))
-      assert(plan.contains("skew=true") || plan.contains("skewed"),
+      assert(plan.contains("skew=true"),
         s"expected AQE skew split in:\n${plan.take(1200)}")
     } finally {
       restore.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -91,6 +91,52 @@ class SkewJoinSpec extends SparkSpec {
       // the full declared query under the skew-split regime must return
       // the identical rows (AQE skew handling is execution-layer only)
       val skewRun = operators.Olap.qJoinSkewed(spark, sf)
+        .collect().map(_.toSeq)
+      assert(skewRun.toSeq === expected.toSeq)
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
+
+  test("fact-by-fact hot-entity join (q_join_skewed_facts) gets an AQE " +
+      "skew split — no broadcast rescue exists — with identical results") {
+    val sf = "/root/testdata/sf0.01"
+    val expected = operators.Olap.qJoinSkewedFacts(spark, sf)
+      .collect().map(_.toSeq)
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val restore = keys.map(k => k -> spark.conf.get(k)).toMap
+    try {
+      // fact-scale simulation: with auto-broadcast OFF neither side can
+      // broadcast (both are fact tables at 100 TB), so the join MUST be
+      // a shuffle SMJ — splitting the hot-entity partition is the only
+      // anti-skew lever, unlike the fact⋈dim case above
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // both fact scans pre-repartitioned to 8 map tasks: skewed reduce
+      // partitions split by MAPPER ranges, so single-mapper shuffles are
+      // unsplittable no matter how skewed (the fixture parquet is one
+      // row group); at 100 TB each side is thousands of mappers
+      val joined = operators.Olap.hotEntityJoin(
+        Tables.lineitem(spark, sf).repartition(8),
+        Tables.orders(spark, sf).repartition(8))
+      val n = joined.collect().length
+      assert(n.toLong === Tables.lineitem(spark, sf).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin split (skew=true) in:\n${plan.take(1200)}")
+      // identical rows under the skew-split regime
+      val skewRun = operators.Olap.qJoinSkewedFacts(spark, sf)
         .collect().map(_.toSeq)
       assert(skewRun.toSeq === expected.toSeq)
     } finally {
