@@ -772,6 +772,29 @@ object Dedup {
     * and the memory guard actually steer the path. */
   @volatile private[graft] var lastCcPath: String = ""
 
+  /** Round checkpoint for the CC loop. `localCheckpoint` (default) keeps
+    * the lineage cut in executor memory/disk — right for a single-session
+    * run, but the blocks die with their executors, so a 1000-executor
+    * cluster job that loses a node mid-loop recomputes the whole chain.
+    * Setting the session conf `graft.cc.checkpointDir` (same pattern as
+    * `graft.cc.localMaxPairs`) switches every round cut to a RELIABLE
+    * checkpoint under that directory (HDFS/object store on a cluster) —
+    * each round restarts from durable storage instead of lineage.
+    * Dataset.checkpoint preserves the frame's partitioning in its
+    * LogicalRDD, so the loop's reuse-the-edge-partitioning design is
+    * unchanged under either mode (CcCheckpointSpec asserts identical
+    * labels and on-disk round artifacts). */
+  private def ccCheckpoint(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("graft.cc.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (!s.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** Connected components over an undirected pair set (doc_a, doc_b):
     * (doc_id, canonical = min id in component). `localMaxPairs` bounds the
     * driver fast path (0 forces the distributed loop — ScaleProbe and the
@@ -789,6 +812,9 @@ object Dedup {
     val pairs = pairsIn
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .localCheckpoint()
+    // (the pair snapshot above stays local in both modes: it is consumed
+    // within this call; only the ROUND cuts below — the state a cluster
+    // failure would otherwise rebuild the full chain for — go reliable)
     val pairCount = pairs.count()
     if (sys.props.contains("graft.cc.debug"))
       System.err.println(s"CC pairs ckpt n=$pairCount " +
@@ -823,15 +849,13 @@ object Dedup {
     // the partitioning, so each round's edges⋈labels equi-join reuses it
     // (only the label side shuffles) instead of re-exchanging the edge
     // table every round.
-    val edges = pairs
+    val edges = ccCheckpoint(pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .repartition(nParts, col("src"))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+      .repartition(nParts, col("src")))
+    var labels = ccCheckpoint(edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -846,15 +870,14 @@ object Dedup {
       // exactly once, from the labels branch; max() ignores the nulls the
       // other branches carry), so convergence detection reads the freshly
       // checkpointed table instead of paying a labels⋈next join per round.
-      val next = labels.select(col("node"), col("lbl"),
+      val next = ccCheckpoint(labels.select(col("node"), col("lbl"),
           col("lbl").as("old"))
         .unionByName(viaEdges.withColumn("old",
           lit(null).cast("long")))
         .unionByName(viaLabels.withColumn("old",
           lit(null).cast("long")))
         .groupBy("node")
-        .agg(min("lbl").as("lbl"), max("old").as("old"))
-        .localCheckpoint()
+        .agg(min("lbl").as("lbl"), max("old").as("old")))
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("node", "lbl")
       iter += 1
