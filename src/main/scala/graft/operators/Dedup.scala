@@ -123,11 +123,17 @@ object Dedup {
     * them). Recomputing the codegen'd, embarrassingly-parallel
     * projection is cheaper than materializing the corpus-sized gram
     * table in-query; a pipeline running this daily lands the gram table
-    * once as an artifact instead (the cachedNgramPairs discipline). */
-  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+    * once as an artifact instead (the cachedNgramPairs discipline).
+    * MEASURED (round 8, ScaleProbe ×10/×100, SCALE.md §8): caching via
+    * `cacheGrams` wins at ×10 (3.0 vs 8.8 s — the gram table fits
+    * memory) but loses at ×100 (24.0 vs 22.2 s — materialization costs
+    * more than the second projection pass), so recompute is the scale
+    * default. */
+  def substringDedup(docs: DataFrame, w: Int,
+      cacheGrams: Boolean = false): DataFrame = {
     val parts = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val grams = docs
+    val gramsBase = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .repartition(parts)
       .filter(size(col("t")) >= w)
@@ -138,6 +144,12 @@ object Dedup {
           .as("g"))
       .select(col("doc_id"), col("n_tok"),
         col("g.pos").as("pos"), col("g.gh").as("gh"))
+    // cacheGrams: materialize the gram table once and feed both the
+    // first-occurrence aggregate and the probe side from it — the OTHER
+    // arm of the documented recompute-vs-cache trade-off, exposed so
+    // ScaleProbe can measure the two at ×10/×100 instead of arguing
+    // from shape (VERDICT r8 item 1). Default stays recompute.
+    val grams = if (cacheGrams) gramsBase.localCheckpoint() else gramsBase
     val firsts = grams
       .groupBy("gh")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))

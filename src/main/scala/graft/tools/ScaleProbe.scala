@@ -72,9 +72,12 @@ object ScaleProbe {
       Similarity.nearDupPairsBucketed(embs, 0.4, k = 10).count())
     // localMaxPairs = 0: the stress probe must exercise the DISTRIBUTED
     // pointer-jumping loop, not the driver union-find fast path.
-    time(s"connected components over LSH pairs of ${n}x docs")(
-      Dedup.connectedComponents(Dedup.minhashPairs(docs),
-        localMaxPairs = 0L).count())
+    time(s"connected components over LSH pairs of ${n}x docs") {
+      val c = Dedup.connectedComponents(Dedup.minhashPairs(docs),
+        localMaxPairs = 0L).count()
+      println(s"          cc regime: ${Dedup.lastCcPath}")
+      c
+    }
 
     // Round-3 adversarial probes.
     // (a) TRUE hot-bucket case: a 500-doc slice duplicated 100-way — every
@@ -165,6 +168,21 @@ object ScaleProbe {
     // hash partitions, nothing quadratic in duplicate multiplicity.
     time(s"substring dedup (w=50) over ${n}x docs")(
       Dedup.substringDedup(docs, 50).count())
+    // Round-8 probes (VERDICT item 1): two-datapoint scale evidence for
+    // the heavy three — run this tool at SPARK_GRAFT_REPLICATE=10 AND
+    // =100 and compare walls (linear = 10×; SCALE.md records both).
+    // (a) the gram recompute-vs-cache trade-off measured, not argued:
+    time(s"substring dedup CACHED-GRAMS (w=50) over ${n}x docs")(
+      Dedup.substringDedup(docs, 50, cacheGrams = true).count())
+    // (b) the full curation chain (features → exact dedup → LSH →
+    // CC → quality gate → split), pair table built in-probe:
+    time(s"corpus curate (full chain) over ${n}x docs") {
+      val c = graft.operators.Pipeline.curateCorpus(docs, 0.3, None).count()
+      // regime observability: which CC path the chain took under its
+      // normal conf (no localMaxPairs override) at this replication
+      println(s"          cc regime inside curate: ${Dedup.lastCcPath}")
+      c
+    }
     spark.stop()
   }
 }
