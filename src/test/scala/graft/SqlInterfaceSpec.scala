@@ -57,11 +57,11 @@ class SqlInterfaceSpec extends SparkSpec {
     // Spark's numeric position parameter. These four oracles are correct
     // DuckDB and runnable-but-different Spark — locked here so any NEW
     // divergence (or a fix that shrinks the set) is caught.
-    // q_dedup_exact_sql shares q_dedup_exact's oracle text by reference,
-    // so it inherits the same divergence.
+    // q_dedup_exact_sql and q_stream_dedup share q_dedup_exact's oracle
+    // text by reference, so they inherit the same divergence.
     val knownDialectDivergent = Set("q_text_normalize",
       "q_events_extract_props", "q_doc_fingerprint", "q_dedup_exact",
-      "q_dedup_exact_sql")
+      "q_dedup_exact_sql", "q_stream_dedup")
     val mismatched = compatible.collect { case (n, false) => n }
     assert(mismatched.toSet === knownDialectDivergent,
       s"spark.sql ran but diverged from the builder: ${mismatched.mkString(", ")}")
