@@ -706,6 +706,143 @@ object Similarity {
   val qAnnPqExhaustive: (SparkSession, String) => DataFrame = (s, d) =>
     pqSearch(s, d, k = 10, shortlist = Int.MaxValue)
 
+  // --- IVFADC: the composed deployed shape — IVF coarse lists + PQ
+  // over RESIDUALS (x − coarse centroid), the FAISS-style index a
+  // trillion-vector serving fleet actually runs. Residual PQ beats
+  // plain PQ at equal bits because residuals concentrate near zero
+  // (IvfPqSpec measures the reconstruction-error gap). Probe shape:
+  //   dot(q, x̂) = dot(q, c_list) + dot(q, r̂)
+  // — the first term is one constant per probed list (computed on the
+  // driver from the ≤nlist collected coarse centroids, the same
+  // partition-selection collect ivfSearchBatch already does), the
+  // second is the residual-codebook LUT scan. Norms use one stored
+  // float per vector (the true |x|², kept beside the codes — standard
+  // PQ-index practice), so approximate cosine needs no cross-LUT. At
+  // 100 TB the codes table is partitioned by list id on disk and a
+  // probe reads nprobe partitions of 8 B codes — both pruning stories
+  // (partition + compression) in one index.
+
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  /** (coarse centroids, residual PQ codebook, codes table
+    * (vec_id, a_id, codes, rn2=|r̂|², n2=true |x|²)). */
+  private def ivfPqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ivfPqCache.getOrElseUpdate((s, d), {
+      val subDim = 64 / PqM
+      val e = prepared(s, d).filter(col("vec_id") =!= 0L)
+      val coarse = ivfCentroids(s, d, 10, 3)
+      val assigned = e.crossJoin(broadcast(coarse))
+        .withColumn("d2",
+          col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(
+          struct(col("ce"), col("n2"), col("c_id"), col("centroid")),
+          struct(col("d2"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
+          col("m.c_id").as("a_id"),
+          zip_with(col("m.ce"), col("m.centroid"), (a, b) => a - b)
+            .as("res"))
+        .localCheckpoint()
+      val resDf = assigned.select(col("vec_id"), col("res").as("ce"))
+      val cb = pqCodebook(resDf, PqM, PqKsub, subDim, iters = 3)
+        .localCheckpoint()
+      val codes = pqEncode(resDf, cb, PqM, subDim)
+        .join(assigned.select(col("vec_id"), col("a_id"), col("n2")),
+          "vec_id")
+        .localCheckpoint()
+      (coarse, cb, codes)
+    })
+
+  /** IVFADC search for vec_id=0: probe the `nprobe` nearest coarse
+    * lists, score their codes by LUT-ADC, exact-re-rank the top
+    * `shortlist`. nprobe ≥ nlist AND shortlist ≥ corpus ⇒ exactly
+    * brute force (q_ann_ivfpq_exhaustive's hard oracle). */
+  def ivfPqSearch(s: SparkSession, d: String, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val (coarse, cb, codes) = ivfPqIndex(s, d)
+    val subDim = 64 / PqM
+    val e = prepared(s, d)
+    val q = e.filter(col("vec_id") === 0L).select(col("ce"), col("n2"))
+      .head()
+    val qv = q.getSeq[Double](0)
+    val qn = math.sqrt(q.getDouble(1))
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // probed lists: nearest coarse centroids by cosine, plus each
+    // list's constant dot(q, c) — driver math over ≤nlist rows
+    val lists = coarse.select("c_id", "centroid", "cn2").collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        val qc = dot(qv, c)
+        (r.getInt(0), qc, qc / (qn * math.sqrt(r.getDouble(2))))
+      }
+      .sortBy { case (cid, _, csim) => (-csim, cid) }
+      .take(nprobe)
+    import s.implicits._
+    val probed = broadcast(
+      lists.map { case (cid, qc, _) => (cid, qc) }.toSeq
+        .toDF("a_id", "qc"))
+    // residual LUT, same construction as pqAdcScores
+    val lut = Array.fill(PqM * PqKsub)(0.0)
+    cb.select("m", "c_id", "centroid").collect().foreach { r =>
+      val m = r.getInt(0)
+      val cv = r.getSeq[Double](2)
+      var acc = 0.0; var i = 0
+      while (i < subDim) { acc += qv(m * subDim + i) * cv(i); i += 1 }
+      lut(m * PqKsub + r.getInt(1)) = acc
+    }
+    val lutCol = typedlit(lut.toSeq)
+    val resIp = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+        (c, m) => element_at(lutCol, m * PqKsub + c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val cand = codes.join(probed, "a_id")
+      .withColumn("adc_sim",
+        (col("qc") + resIp) / (lit(qn) * sqrt(col("n2"))))
+      .orderBy(col("adc_sim").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select("vec_id")
+    val qvDf = e.filter(col("vec_id") === 0L)
+      .select(col("ce").as("qe"), col("n2").as("qn2"))
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(qvDf))
+      .select(col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // --- q_ann_ivfpq: the serving configuration — 3 of 10 lists probed,
+  // ADC shortlist 50, exact re-rank. Rows-only; IvfPqSpec pins recall.
+  val qAnnIvfPq: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfPqSearch(s, d, k = 10, nprobe = 3, shortlist = 50)
+
+  // --- q_ann_ivfpq_exhaustive: all lists + corpus shortlist ⇒ the
+  // exact re-rank IS brute force — the composed IVFADC plumbing
+  // (coarse assign, residual codebook, per-list constants, LUT scan,
+  // refine) under the SAME hard oracle as q_cosine_topk.
+  val qAnnIvfPqExhaustive: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfPqSearch(s, d, k = 10, nprobe = Int.MaxValue,
+      shortlist = Int.MaxValue)
+
+  // --- q_ann_ivfpq_recall: self-validating recall row for the pruned
+  // configuration (truth size + hits + recall in the row).
+  val qAnnIvfPqRecall: (SparkSession, String) => DataFrame = (s, d) => {
+    val brute = qCosineTopk(s, d).select(col("vec_id"))
+    val got = qAnnIvfPq(s, d).select(col("vec_id"))
+      .withColumn("hit", lit(1))
+    brute.join(got, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("brute_k"), count(col("hit")).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("brute_k"))
+  }
+
   // --- q_ann_pq_recall: self-validating recall row (q_ann_recall
   // style): ground-truth size, ADC-only hits, re-ranked hits. A
   // collapsed codebook (recall→0) is visible in the output itself.
@@ -927,6 +1064,12 @@ object Similarity {
       // oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_pq_recall", qAnnPqRecall, None),
+    QueryDef("q_ann_ivfpq", qAnnIvfPq, None),
+    QueryDef("q_ann_ivfpq_exhaustive", qAnnIvfPqExhaustive, Some(
+      // all lists probed + corpus shortlist + exact re-rank ≡ brute
+      // force: the SAME oracle as q_cosine_topk
+      s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    QueryDef("q_ann_ivfpq_recall", qAnnIvfPqRecall, None),
     QueryDef("q_embed_clusters", qEmbedClusters, Some(
       "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src) SELECT src AS vec_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY vec_id")),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(

@@ -32,6 +32,75 @@ class IvfPqSpec extends SparkSpec {
     assert(build() === build())
   }
 
+  test("exhaustive IVFADC (all lists + corpus shortlist) is exactly " +
+      "brute force") {
+    val brute = Similarity.qCosineTopk(spark, sf).collect().map(_.toSeq)
+    val got = Similarity.qAnnIvfPqExhaustive(spark, sf).collect()
+      .map(_.toSeq)
+    assert(got.toSeq === brute.toSeq)
+  }
+
+  test("pruned IVFADC recall row is self-validating and non-degenerate") {
+    val r = Similarity.qAnnIvfPqRecall(spark, sf).head()
+    assert(r.getAs[Long]("brute_k") === 10L)
+    // the fixture's embeddings are near-random, so true neighbors
+    // scatter across coarse lists and nprobe=3/10 bounds what ANY
+    // IVF-family probe can recall (the same reason DedupSpec asserts
+    // multiprobe DOMINANCE rather than an absolute). 0.4 rules out a
+    // collapsed codebook/LUT while staying a property of the operator,
+    // not of fixture luck; exactness is carried by the exhaustive twin's
+    // hard oracle above.
+    assert(r.getAs[Double]("recall") >= 0.4,
+      s"ivfpq recall ${r.getAs[Double]("recall")}")
+  }
+
+  test("residual PQ reconstructs better than plain PQ at equal bits " +
+      "(why IVFADC quantizes residuals)") {
+    import graft.functions.VectorFunctions.dotd
+    val e = Similarity.prepare(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") =!= 0L)
+    // total squared reconstruction error of a codebook over vectors
+    def reconErr(vecs: org.apache.spark.sql.DataFrame,
+        cb: org.apache.spark.sql.DataFrame): Double =
+      vecs.select(col("vec_id"), col("ce"),
+          explode(sequence(lit(0), lit(7))).as("m"))
+        .select(col("vec_id"), col("m"),
+          expr("slice(ce, m * 8 + 1, 8)").as("sv"))
+        .join(broadcast(cb), "m")
+        .withColumn("d2",
+          col("cn2") - lit(2.0) * dotd(col("sv"), col("centroid")))
+        .groupBy("vec_id", "m")
+        .agg(min_by(struct(col("centroid"), col("sv")),
+          struct(col("d2"), col("c_id"))).as("x"))
+        .withColumn("err2", aggregate(
+          zip_with(col("x.sv"), col("x.centroid"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (a, x) => a + x))
+        .agg(sum("err2")).head().getDouble(0)
+    // underfit regime (ksub=16) so the quantizer, not memorization,
+    // carries the signal — at ksub=256 on a 500-vector fixture both
+    // codebooks nearly memorize the corpus and the gap collapses
+    val cbPlain = Similarity.pqCodebook(e, 8, 16, 8, 3)
+    val errPlain = reconErr(e, cbPlain)
+    // coarse assign (same shape as the index build), then residuals:
+    // |x − (c + r̂)|² = |r − r̂|², so reconErr over residuals with the
+    // residual codebook IS the composed IVFADC reconstruction error
+    val coarse = Similarity.kmeansCentroids(e, 10, 3)
+    val res = e.crossJoin(broadcast(coarse))
+      .withColumn("d2",
+        col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("ce"), col("centroid")),
+        struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"),
+        zip_with(col("m.ce"), col("m.centroid"), (a, b) => a - b)
+          .as("ce"))
+    val cbRes = Similarity.pqCodebook(res, 8, 16, 8, 3)
+    val errRes = reconErr(res, cbRes)
+    assert(errRes < errPlain,
+      s"residual recon err $errRes !< plain $errPlain")
+  }
+
   test("re-ranked PQ recall dominates raw ADC recall and the " +
       "int8-reconstructed search") {
     val r = Similarity.qAnnPqRecall(spark, sf).head()
