@@ -27,6 +27,9 @@ class RocksDbStateSpec extends SparkSpec {
     val defSessions = rows(EventsStreaming.qStreamSessions(spark, sf))
     val defProfiles = rows(EventsStreaming.qStreamUserProfiles(spark, sf))
     val defJoin = rows(EventsStreaming.qStreamJoin(spark, sf))
+    // dropDuplicatesWithinWatermark keeps per-key expiry state — the
+    // round-8 streaming-dedup shape rides the same provider swap
+    val defDedup = rows(EventsStreaming.qStreamDedup(spark, sf))
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, rocksdb)
@@ -37,8 +40,9 @@ class RocksDbStateSpec extends SparkSpec {
       assert(rows(EventsStreaming.qStreamUserProfiles(spark, sf))
         === defProfiles)
       assert(rows(EventsStreaming.qStreamJoin(spark, sf)) === defJoin)
+      assert(rows(EventsStreaming.qStreamDedup(spark, sf)) === defDedup)
       assert(defTumbling.nonEmpty && defSessions.nonEmpty &&
-        defProfiles.nonEmpty && defJoin.nonEmpty)
+        defProfiles.nonEmpty && defJoin.nonEmpty && defDedup.nonEmpty)
     } finally spark.conf.set(key, prev)
   }
 }
