@@ -290,6 +290,56 @@ object Curation {
       maxRecordsPerFile: Int): Unit =
     landShards(docs, dir, nShards, maxRecordsPerFile, "append")
 
+  /** Shard-layout compaction — the maintenance job the append path makes
+    * necessary: every `appendToShards` batch lands NEW files, so a
+    * long-lived layout accumulates per-shard file counts that make the
+    * 100 TB read open/footer-bound (the generic single-table form is
+    * `ScalePatterns.compactTo`; this is the shard-preserving variant).
+    * One hash shuffle ON THE SHARD ID carries each shard to exactly one
+    * writer task, the in-task sort restores the canonical (__h, doc_id)
+    * total order, and `partitionBy` re-lands the hive layout — so the
+    * compacted output is ONE file per shard, byte-deterministic, and
+    * content-identical to the merged view of the fragmented input
+    * (q_compact_shards hash-proves that against q_shuffle_shards'
+    * oracle). Compaction writes a FRESH directory: atomic swap is a
+    * table format's job; versioned dirs keep concurrent readers
+    * consistent. Parallelism = nShards (a deployment compacts with
+    * thousands of shards; the per-task volume is one shard by design).
+    */
+  def compactShards(s: SparkSession, srcDir: String, dstDir: String,
+      nShards: Int): Unit =
+    s.read.parquet(srcDir)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "__h", "doc_id")
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(dstDir)
+
+  private val compactInvocation = new java.util.concurrent.atomic.AtomicLong
+
+  /** Declared compaction query: land the corpus fragmented (small
+    * maxRecordsPerFile → several files per shard), compact, then compute
+    * the ORDER-SENSITIVE per-shard digest from the COMPACTED layout.
+    * Sharing q_shuffle_shards' oracle makes the driver hash-prove that
+    * compaction preserved every document, its shard, and its exact
+    * position in the shard's order — the whole invariant a compactor can
+    * break. */
+  val qCompactShards: (SparkSession, String) => DataFrame = (s, d) => {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
+      s.sparkContext.applicationId + "_" + compactInvocation.incrementAndGet()
+    writeShards(Tables.documents(s, d), s"$base/frag", 8,
+      maxRecordsPerFile = 16)
+    compactShards(s, s"$base/frag", s"$base/compact", 8)
+    val w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    s.read.parquet(s"$base/compact")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(pmod(col("rn") * (pmod(col("doc_id"), lit(1000003L)) + 7),
+          lit(2147483647L))).cast("long").as("digest"))
+      .orderBy("shard")
+  }
+
   private def landShards(docs: DataFrame, dir: String, nShards: Int,
       maxRecordsPerFile: Int, mode: String): Unit =
     shardAssign(docs, nShards)
@@ -408,6 +458,9 @@ object Curation {
       .orderBy("bin")
   }
 
+  private val shardDigestOracle =
+    "WITH a AS (SELECT doc_id, md5('graft_shuffle' || CAST(doc_id AS VARCHAR)) AS h FROM documents), b AS (SELECT doc_id, h, CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 8 AS INT) AS shard FROM a), r AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn FROM b) SELECT shard, COUNT(*) AS n_docs, CAST(SUM((rn * (doc_id % 1000003 + 7)) % 2147483647) AS BIGINT) AS digest FROM r GROUP BY shard ORDER BY shard"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_equidepth_bins", qEquidepthBins, Some(
       "WITH c AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM orders) SELECT CAST(len(list_filter(c.cuts, x -> o.o_totalprice >= x)) AS INT) AS bin, COUNT(*) AS cnt, MIN(o.o_totalprice) AS lo, MAX(o.o_totalprice) AS hi FROM orders o CROSS JOIN c GROUP BY 1 ORDER BY 1")),
@@ -415,8 +468,11 @@ object Curation {
       "WITH docs AS (SELECT source, doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM documents), spans AS (SELECT source, doc_id, n_tok, cum_before, unnest(generate_series(CAST(cum_before // 512 AS BIGINT), CAST((cum_before + n_tok - 1) // 512 AS BIGINT))) AS seq_id FROM docs) SELECT source, seq_id, COUNT(*) AS n_docs, CAST(SUM(LEAST(cum_before + n_tok, (seq_id + 1) * 512) - GREATEST(cum_before, seq_id * 512)) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM spans GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("q_span_mask", qSpanMask, Some(
       "WITH p AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), unnest(range(1, len(t) + 1)) AS u(i)), hsh AS (SELECT doc_id, n_tok, pos, md5('graft_mask' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)) AS h FROM p), st AS (SELECT doc_id, n_tok, pos, LEAST(pos + 2 + ((instr('0123456789abcdef', substring(h, 3, 1)) - 1) % 3), n_tok + 1) AS spanend FROM hsh WHERE (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) < 13), sw AS (SELECT doc_id, n_tok, pos, spanend, COALESCE(MAX(spanend) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos) AS prev_end FROM st) SELECT doc_id, n_tok, COUNT(*) AS n_spans, CAST(SUM(GREATEST(0, spanend - GREATEST(pos, prev_end))) AS BIGINT) AS n_masked, round(CAST(SUM(GREATEST(0, spanend - GREATEST(pos, prev_end))) AS DOUBLE) / n_tok, 6) AS mask_frac FROM sw GROUP BY doc_id, n_tok ORDER BY doc_id")),
-    QueryDef("q_shuffle_shards", qShuffleShards, Some(
-      "WITH a AS (SELECT doc_id, md5('graft_shuffle' || CAST(doc_id AS VARCHAR)) AS h FROM documents), b AS (SELECT doc_id, h, CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 8 AS INT) AS shard FROM a), r AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn FROM b) SELECT shard, COUNT(*) AS n_docs, CAST(SUM((rn * (doc_id % 1000003 + 7)) % 2147483647) AS BIGINT) AS digest FROM r GROUP BY shard ORDER BY shard")),
+    QueryDef("q_shuffle_shards", qShuffleShards, Some(shardDigestOracle)),
+    // same oracle BY REFERENCE: the digest from the compacted layout must
+    // equal the digest of the logical shard assignment — compaction
+    // preserved membership, shard placement, and in-shard order exactly
+    QueryDef("q_compact_shards", qCompactShards, Some(shardDigestOracle)),
     QueryDef("q_decontaminate", qDecontaminate, Some(
       s"WITH $gramsCte, bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0), corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0) SELECT doc_id, COUNT(*) AS n_overlap FROM corpus JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id")),
     // bit-identical to q_decontaminate by construction (bloom gate is a

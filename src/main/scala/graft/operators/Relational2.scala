@@ -378,6 +378,32 @@ object Relational2 {
       .orderBy("n_nationkey")
   }
 
+  /** Corrupt-tolerant ingest: land the nation dim as JSON lines WITH
+    * deterministically injected malformed lines (every nationkey ≡ 0
+    * mod 5 contributes one truncated-JSON line alongside its valid
+    * record), scan PERMISSIVE, and return the clean stream. The oracle
+    * is the nation dim itself — the driver hash-proves the corrupt
+    * lines polluted nothing and dropped nothing valid; SourcesSpec pins
+    * the quarantine side (count + raw text preserved). One pass, no
+    * re-scan: valid and quarantine split the same file read. */
+  val qScanJsonCorrupt: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_json_corrupt_" +
+      s.sparkContext.applicationId
+    val nation = Tables.nation(s, d)
+    val good = nation.select(
+      to_json(struct(col("n_nationkey"), col("n_name"))).as("value"))
+    val bad = nation.filter(col("n_nationkey") % 5 === 0)
+      .select(concat(lit("{\"n_nationkey\": "), col("n_nationkey"),
+        lit(", \"n_name\": \"broken")).as("value"))
+    good.union(bad).coalesce(1).write.mode("overwrite").text(tmp)
+    val scanned = graft.sources.Sources.readJsonLinesPermissive(s, tmp,
+      StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType))))
+    graft.sources.Sources.validRows(scanned).orderBy("n_nationkey")
+  }
+
   // CSV scan+sink roundtrip — same contract as the JSON roundtrip: the
   // query writes the region dim as headered CSV and reads it back
   // schema-explicit; the oracle reads the same rows from parquet, so the
@@ -783,6 +809,8 @@ object Relational2 {
     QueryDef("q_landing_overwrite", qLandingOverwrite, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(SUM(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-10' THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("q_scan_json", qScanJson, Some(
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+    QueryDef("q_scan_json_corrupt", qScanJsonCorrupt, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("q_agg_distinct", qAggDistinct, Some(
       "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nparts, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),

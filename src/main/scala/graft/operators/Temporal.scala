@@ -81,7 +81,56 @@ object Temporal {
       .orderBy("o_custkey", "version")
   }
 
+  /** Calendar gap-fill + forward fill — the time-series densification
+    * staple (metrics dashboards, feature stores, retention models): the
+    * sparse per-user daily purchase series becomes a DENSE (user × day)
+    * grid over the corpus' date span, missing days carry n_events = 0
+    * and inherit the most recent observed value (last-observation-
+    * carried-forward; days before a user's first purchase stay null).
+    *
+    * Scale shape: the calendar derives from a 1-row min/max aggregate
+    * whose `sequence` explode yields only span-many day rows —
+    * broadcast against the distinct-user set, so the grid build is a
+    * map-side cross of |users| × |days| with no corpus-sized shuffle.
+    * The observed dailies join the grid on (user_id, day) as a plain
+    * hash join, and the fill is ONE user-keyed running window — the
+    * output is users × days rows by definition (that IS the densified
+    * result), each stage key-partitioned. A deployment bounds the span
+    * (or fills per-user active ranges) exactly by narrowing the
+    * calendar aggregate; the plan shape is unchanged.
+    */
+  def gapFillForward(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+    val daily = purchases
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("day_value"))
+    val cal = events
+      .agg(min(col("ts").cast("date")).as("d0"),
+        max(col("ts").cast("date")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = purchases.select("user_id").distinct()
+      .crossJoin(broadcast(cal))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_value").isNull.as("is_gap"),
+        col("filled_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val qGapfillForward: (SparkSession, String) => DataFrame = (s, d) =>
+    gapFillForward(Tables.events(s, d))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gapfill_forward", qGapfillForward, Some(
+      "WITH span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events), cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span), daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), grid AS (SELECT u.user_id, c.day FROM users u CROSS JOIN cal c) SELECT g.user_id AS user_id, strftime(g.day, '%Y-%m-%d') AS day, COALESCE(d.n_events, 0) AS n_events, d.day_value IS NULL AS is_gap, last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day ORDER BY g.user_id, g.day")),
     QueryDef("q_join_band", qJoinBand, Some(
       "SELECT a.user_id, a.event_id AS e1, b.event_id AS e2, date_diff('second', a.ts, b.ts) AS delta_s FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id AND abs(date_diff('second', a.ts, b.ts)) <= 300 ORDER BY a.user_id, e1, e2")),
     QueryDef("q_scd2", qScd2, Some(

@@ -31,6 +31,43 @@ object Sources {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).json(path)
 
+  /** Corrupt-tolerant line-delimited JSON scan — the PERMISSIVE ingest
+    * contract a 100 TB raw feed needs: malformed lines must neither kill
+    * the job (FAILFAST) nor vanish silently (DROPMALFORMED). Each
+    * malformed line parses to a row with all data fields null and the
+    * RAW LINE preserved in `_corrupt_record`, so the caller can split
+    * the scan into a clean stream and a quarantine table in one pass —
+    * same file reads, no second scan. Deliberately NOT the json-source
+    * PERMISSIVE mode: Spark disallows any query that references only
+    * the source's corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+    * the documented workaround is caching the scan, a non-starter at
+    * corpus scale). Reading as TEXT and parsing with the codegen'd
+    * `from_json` expression sidesteps the restriction with identical
+    * semantics: the quarantine projection is then an ordinary column,
+    * free to stand alone. */
+  def readJsonLinesPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val full = schema.add("_corrupt_record", "string")
+    spark.read.text(path)
+      .select(from_json(col("value"), full, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** The clean stream of a permissive scan: rows that parsed. */
+  def validRows(scanned: DataFrame): DataFrame =
+    scanned.filter(scanned("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+
+  /** The quarantine table of a permissive scan: the raw text of every
+    * line that failed to parse, for replay/debug — the dead-letter
+    * pattern. */
+  def quarantineRows(scanned: DataFrame): DataFrame =
+    scanned.filter(scanned("_corrupt_record").isNotNull)
+      .select(scanned("_corrupt_record").as("raw"))
+
   /** Schema-INFERRED JSON reads — the reference's implicit-schema load
     * (`_load_json`, dags/subscription_flow.py:27-29) for exploratory use.
     * Inference is an extra full pass over the data (Spark samples per

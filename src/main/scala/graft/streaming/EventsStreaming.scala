@@ -630,6 +630,58 @@ object EventsStreaming {
     s.table(sink).orderBy("event_type", "win_start")
   }
 
+  /** Idempotent epoch write — the exactly-once file-sink discipline for
+    * foreachBatch: Spark's foreachBatch contract is AT-LEAST-ONCE (after
+    * a failure the last uncommitted epoch REPLAYS with the same
+    * epochId), so a sink that appends would duplicate the replayed
+    * batch. Writing each epoch to its own `epoch=<id>` directory in
+    * overwrite mode makes the replay a byte-identical rewrite — the
+    * composition (at-least-once delivery × idempotent write) is the
+    * standard exactly-once recipe for sinks without transactions. The
+    * epoch dirs double as hive partitions, so the consolidated read is
+    * one partitioned scan. */
+  def idempotentEpochWrite(df: DataFrame, base: String,
+      epochId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$base/epoch=$epochId")
+
+  private val foreachInvocation =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** Declared foreachBatch query: stream the staged events replay through
+    * a foreachBatch parquet sink via idempotentEpochWrite (checkpointed,
+    * AvailableNow), then aggregate the LANDED files. The oracle is the
+    * batch aggregate over events — the driver hash-proves the sink
+    * landed every event exactly once across micro-batches. StreamingSpec
+    * additionally replays an epoch to pin the idempotency half. */
+  val qStreamForeachSink: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val inv = foreachInvocation.incrementAndGet()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_fes_" +
+      s.sparkContext.applicationId + s"_$inv"
+    val sinkDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val staged = stageEventsDir(s, d)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    try {
+      val q = readEventsStream(s, staged).writeStream
+        .foreachBatch((df: Dataset[org.apache.spark.sql.Row],
+            id: Long) => idempotentEpochWrite(df.toDF(), sinkDir, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q_stream_foreach_sink timed out after 300s")
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(sinkDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Custom streaming state via flatMapGroupsWithState: a per-user running
     * profile (event count + decimal value sum) updated each micro-batch.
     * This is the escape hatch when built-in windows can't express the
@@ -689,6 +741,9 @@ object EventsStreaming {
       // the held-out oldest-day clicks arrive behind the watermark and are
       // dropped on input — the oracle is the batch join minus their pairs
       "WITH b AS (SELECT min(ts) + INTERVAL 15 DAYS AS cut FROM events) SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM events p JOIN events c ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts CROSS JOIN b WHERE p.event_type = 'purchase' AND c.event_type = 'click' AND c.ts >= b.cut ORDER BY p_id, c_id")),
+    QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
+      // every event lands in the file sink exactly once across batches
+      "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),
     QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
       // final flatMapGroupsWithState state == batch per-user aggregate
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),

@@ -181,6 +181,36 @@ class OperatorsSpec extends SparkSpec {
       col("n_cur") =!= 1).isEmpty)
   }
 
+  test("gap-fill: dense user×day grid, LOCF carries the last observation") {
+    val g = operators.Temporal.qGapfillForward(spark, sf)
+    val nUsers = g.select("user_id").distinct().count()
+    val nDays = g.select("day").distinct().count()
+    assert(g.count() === nUsers * nDays, "grid must be exactly users × days")
+    assert(g.filter(col("is_gap")).count() > 0, "fixture must contain gaps")
+    // the calendar cross MUST be a broadcast of the tiny day list, never
+    // a shuffled cartesian of corpus-sized inputs
+    assert(!g.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // independent LOCF re-derivation: walk each user's days in order and
+    // check every gap row carries exactly the last observed value (null
+    // before the first observation) and zero events
+    g.collect().groupBy(_.getAs[Long]("user_id")).values.foreach { rs0 =>
+      val rs = rs0.sortBy(_.getAs[String]("day"))
+      var lastSeen: Option[Double] = None
+      rs.foreach { r =>
+        val fv = Option(r.getAs[java.lang.Double]("filled_value"))
+          .map(_.doubleValue())
+        if (r.getAs[Boolean]("is_gap")) {
+          assert(r.getAs[Long]("n_events") === 0L, r.toString)
+          assert(fv === lastSeen, r.toString)
+        } else {
+          assert(r.getAs[Long]("n_events") > 0L, r.toString)
+          assert(fv.isDefined, r.toString)
+          lastSeen = fv
+        }
+      }
+    }
+  }
+
   test("bpe pairs: vocab-aggregated counts ≡ direct corpus pair counts") {
     val toks = split(trim(col("text")), "\\s+")
     // direct path: explode every token INSTANCE (no vocab pre-agg),

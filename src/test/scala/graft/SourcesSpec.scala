@@ -126,6 +126,41 @@ class SourcesSpec extends SparkSpec {
       failfast.getCause != null)
   }
 
+  test("permissive scan splits one file read into clean stream + " +
+      "quarantine with raw lines preserved") {
+    // the dead-letter contract behind q_scan_json_corrupt: the declared
+    // query's oracle proves the clean side ≡ nation; this pins the
+    // quarantine side — every injected corrupt line lands there verbatim
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_quarantine").toString
+    val nation = Tables.nation(spark, sf)
+    val good = nation.select(
+      to_json(struct(col("n_nationkey"), col("n_name"))).as("value"))
+    val bad = nation.filter(col("n_nationkey") % 5 === 0)
+      .select(concat(lit("{\"n_nationkey\": "), col("n_nationkey"),
+        lit(", \"n_name\": \"broken")).as("value"))
+    good.union(bad).coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType)))
+    val scanned = Sources.readJsonLinesPermissive(spark, dir, schema)
+    val nBad = nation.filter(col("n_nationkey") % 5 === 0).count()
+    val quarantined = Sources.quarantineRows(scanned)
+      .collect().map(_.getString(0))
+    assert(quarantined.length.toLong === nBad)
+    // raw text preserved byte-for-byte (replayable after a parser fix)
+    assert(quarantined.forall(_.startsWith("{\"n_nationkey\": ")))
+    assert(quarantined.forall(_.endsWith(", \"n_name\": \"broken")))
+    // the split is a partition of the scan: valid + quarantine = input
+    assert(Sources.validRows(scanned).count() + nBad ===
+      nation.count() + nBad)
+    // clean stream carries no phantom rows from the corrupt lines
+    assert(Sources.validRows(scanned)
+      .select("n_nationkey").exceptAll(nation.select("n_nationkey"))
+      .isEmpty)
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet " +
       "file generations") {
     // The other standing ingest reality: a column added upstream must not

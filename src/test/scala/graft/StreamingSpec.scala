@@ -310,6 +310,33 @@ class StreamingSpec extends SparkSpec {
     serving.zip(batchAgg).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("idempotent epoch sink: a replayed epoch rewrites, never " +
+      "duplicates (foreachBatch exactly-once recipe)") {
+    // foreachBatch is at-least-once — after a failure the last
+    // uncommitted epoch re-fires with the SAME epochId. The epoch-dir
+    // overwrite write must make that replay invisible.
+    val events = Tables.events(spark, sf)
+    val b0 = events.filter(col("event_id") % 2 === 0L)
+    val b1 = events.filter(col("event_id") % 2 =!= 0L)
+    val base = Files.createTempDirectory("graft_fes_spec").toString
+    EventsStreaming.idempotentEpochWrite(b0.toDF(), base, 0L)
+    val afterFirst = spark.read.parquet(base).count()
+    assert(afterFirst === b0.count())
+    // the failure replay: same epoch id, same logical batch
+    EventsStreaming.idempotentEpochWrite(b0.toDF(), base, 0L)
+    assert(spark.read.parquet(base).count() === afterFirst,
+      "replayed epoch must not add rows")
+    // progress continues normally after the replay
+    EventsStreaming.idempotentEpochWrite(b1.toDF(), base, 1L)
+    val all = spark.read.parquet(base)
+    assert(all.count() === events.count())
+    // exactly-once at row granularity, not just counts
+    assert(all.select("event_id").exceptAll(events.select("event_id"))
+      .isEmpty)
+    assert(events.select("event_id").exceptAll(all.select("event_id"))
+      .isEmpty)
+  }
+
   test("streaming decontamination gate flags exactly the contaminated docs") {
     import org.apache.spark.sql.types._
     import spark.implicits._
