@@ -574,6 +574,93 @@ object EventsStreaming {
       }, parts = 4)
       .orderBy("p_id", "c_id")
 
+  /** LEFT OUTER variant of the interval join — the streaming semantics
+    * inner joins never exercise: an unmatched purchase is emitted WITH
+    * NULLS only when the watermark proves no qualifying click can still
+    * arrive (state eviction), since emitting it eagerly would be wrong
+    * the moment a click lands late-but-in-bounds. */
+  def purchaseClickJoinOuter(purchases: DataFrame, clicks: DataFrame)
+      : DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  // Staging for the outer join: the time-ordered replay PLUS TWO
+  // far-future carrier batches, each carrying BOTH event types. Outer
+  // results are eviction-driven, and three engine behaviors (measured
+  // on 4.1 with a per-batch progress probe, consistent with the
+  // planning-time watermark design) shape the staging:
+  // (1) Catalyst pushes the deterministic event_type filter BELOW each
+  // branch's EventTimeWatermark node, so each branch's watermark tracks
+  // only ITS OWN type's max event time, and the join's global watermark
+  // is the MIN of the two — a carrier that advances only one branch
+  // advances nothing (a click-only carrier left the watermark pinned at
+  // last-purchase − delay). Each carrier batch therefore holds one
+  // click AND one purchase at the same future instant.
+  // (2) A batch evicts left state at the watermark as of its START,
+  // and with the 30-minute interval bound the eviction predicate is
+  // p_ts < watermark − 30 min — the final real batch strands every
+  // purchase in the last ~40 minutes.
+  // (3) Under AvailableNow no no-data batch follows the last file, so
+  // a watermark advanced at the END of the final batch never gets an
+  // eviction pass. Carrier batch A (max + 2 h) raises the watermark;
+  // carrier batch B (max + 4 h) EVICTS under A's watermark, flushing
+  // every real unmatched purchase.
+  // All carrier rows use user −1 (match nothing); the carrier clicks
+  // never null-emit in a LEFT join; the carrier purchases sit above
+  // the final watermark, so neither ever leaves state — and the
+  // declared query filters user −1 besides. The result equals the
+  // batch LEFT OUTER interval join exactly — the oracle hash-verifies
+  // the null rows, i.e. WHAT eviction emitted.
+  private val stagedOuterJoin =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageOuterJoinDir(s: SparkSession, d: String): String =
+    stagedOuterJoin.getOrElseUpdate((s, d), {
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|outerjoin|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_outerjoin_$key"
+      val ev = Tables.events(s, d)
+      def carrier(hours: Int, id: Long): DataFrame = {
+        val base = ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $hours HOURS"))
+          .withColumn("user_id", lit(-1L))
+        base.withColumn("event_id", lit(id))
+          .withColumn("event_type", lit("click"))
+          .unionByName(base.withColumn("event_id", lit(id - 10L))
+            .withColumn("event_type", lit("purchase")))
+      }
+      var slot = writeOrderedFiles(ev, dir, 3, 0, 5)
+      slot = writeOrderedFiles(carrier(2, -2L), dir, 1, slot, 5)
+      writeOrderedFiles(carrier(4, -3L), dir, 1, slot, 5): Unit
+      dir
+    })
+
+  val qStreamJoinOuter: (SparkSession, String) => DataFrame = (s, d) =>
+    runDirToMemorySink(s, stageOuterJoinDir(s, d), "join_outer", "append",
+      dir => {
+        val purchases = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "purchase")
+        val clicks = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "click")
+        purchaseClickJoinOuter(purchases, clicks)
+      }, parts = 4)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("p_id", "c_id")
+
   // --- checkpointed restart: exactly-once state recovery, hash-verified ---
   //
   // THE production property of a stateful streaming pipeline: kill the
@@ -741,6 +828,12 @@ object EventsStreaming {
       // the held-out oldest-day clicks arrive behind the watermark and are
       // dropped on input — the oracle is the batch join minus their pairs
       "WITH b AS (SELECT min(ts) + INTERVAL 15 DAYS AS cut FROM events) SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM events p JOIN events c ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts CROSS JOIN b WHERE p.event_type = 'purchase' AND c.event_type = 'click' AND c.ts >= b.cut ORDER BY p_id, c_id")),
+    QueryDef("q_stream_join_outer", qStreamJoinOuter, Some(
+      // eviction-driven null emission == the batch LEFT OUTER interval
+      // join: matched pairs stream out on match, unmatched purchases
+      // flush when the carrier-advanced watermark proves no qualifying
+      // click can still arrive
+      "SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM events p LEFT JOIN events c ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts WHERE p.event_type = 'purchase' ORDER BY p_id, c_id")),
     QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
       // every event lands in the file sink exactly once across batches
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),

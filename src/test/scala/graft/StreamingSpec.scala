@@ -155,6 +155,26 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("outer interval join: eviction null-emits exactly the batch " +
+      "anti-join side, matches stream as pairs") {
+    val streamed = graft.streaming.EventsStreaming
+      .qStreamJoinOuter(spark, sf).collect()
+    val batch = graft.streaming.EventsStreaming.purchaseClickJoinOuter(
+      Tables.events(spark, sf).filter(col("event_type") === "purchase"),
+      Tables.events(spark, sf).filter(col("event_type") === "click"))
+      .orderBy("p_id", "c_id").collect()
+    assert(streamed.length === batch.length)
+    // the null side must be non-vacuous at fixture scale — an eviction
+    // bug that silently strands unmatched purchases must not pass
+    val nulls = streamed.count(_.isNullAt(1))
+    assert(nulls > 0, "no unmatched purchases emitted — eviction broken")
+    assert(nulls === batch.count(_.isNullAt(1)))
+    // row-for-row: matched pairs and null rows both identical
+    streamed.zip(batch).foreach { case (a, b) => assert(a === b) }
+    // no carrier leakage
+    assert(streamed.forall(_.getAs[Long]("user_id") != -1L))
+  }
+
   test("streaming near-dup gate finds each new doc's twin in the static index") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_neardup_stream").toString
