@@ -661,6 +661,44 @@ object EventsStreaming {
       .filter(col("user_id") =!= -1L)
       .orderBy("p_id", "c_id")
 
+  /** FULL OUTER variant — both sides null-emit on eviction: an unmatched
+    * click flushes once the watermark passes c_ts + 30 min (no purchase
+    * with p_ts ≤ c_ts + 30 min can still arrive), an unmatched purchase
+    * as in the LEFT join. Same staging; both carrier batches remain
+    * invisible (their eviction instants sit above the final watermark).
+    */
+  def purchaseClickJoinFull(purchases: DataFrame, clicks: DataFrame)
+      : DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  val qStreamJoinFull: (SparkSession, String) => DataFrame = (s, d) =>
+    runDirToMemorySink(s, stageOuterJoinDir(s, d), "join_full", "append",
+      dir => {
+        val purchases = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "purchase")
+        val clicks = readEventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === "click")
+        purchaseClickJoinFull(purchases, clicks)
+      }, parts = 4)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("p_id", "c_id")
+
   // --- checkpointed restart: exactly-once state recovery, hash-verified ---
   //
   // THE production property of a stateful streaming pipeline: kill the
@@ -834,6 +872,10 @@ object EventsStreaming {
       // flush when the carrier-advanced watermark proves no qualifying
       // click can still arrive
       "SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM events p LEFT JOIN events c ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts WHERE p.event_type = 'purchase' ORDER BY p_id, c_id")),
+    QueryDef("q_stream_join_full", qStreamJoinFull, Some(
+      // both sides' eviction-driven null rows == the batch FULL OUTER
+      // interval join
+      "SELECT p.event_id AS p_id, c.event_id AS c_id, COALESCE(p.user_id, c.user_id) AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM (SELECT * FROM events WHERE event_type = 'purchase') p FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts ORDER BY p_id, c_id")),
     QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
       // every event lands in the file sink exactly once across batches
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),

@@ -175,6 +175,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.getAs[Long]("user_id") != -1L))
   }
 
+  test("full outer interval join: BOTH sides' eviction null rows equal " +
+      "the batch full outer join") {
+    val streamed = graft.streaming.EventsStreaming
+      .qStreamJoinFull(spark, sf).collect()
+    val batch = graft.streaming.EventsStreaming.purchaseClickJoinFull(
+      Tables.events(spark, sf).filter(col("event_type") === "purchase"),
+      Tables.events(spark, sf).filter(col("event_type") === "click"))
+      .orderBy("p_id", "c_id").collect()
+    assert(streamed.length === batch.length)
+    // both null sides non-vacuous: unmatched purchases (null c_id) AND
+    // unmatched clicks (null p_id) must each be emitted by eviction
+    assert(streamed.count(_.isNullAt(1)) > 0, "no unmatched purchases")
+    assert(streamed.count(_.isNullAt(0)) > 0, "no unmatched clicks")
+    streamed.zip(batch).foreach { case (a, b) => assert(a === b) }
+    assert(streamed.forall(_.getAs[Long]("user_id") != -1L))
+  }
+
   test("streaming near-dup gate finds each new doc's twin in the static index") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_neardup_stream").toString
