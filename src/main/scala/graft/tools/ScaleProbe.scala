@@ -183,6 +183,23 @@ object ScaleProbe {
       println(s"          cc regime inside curate: ${Dedup.lastCcPath}")
       c
     }
+    // Round-8 part-3 probe: the shard lifecycle at scale. Land the
+    // replicated corpus fragmented (many files per shard — the state an
+    // append-heavy landing reaches), then compact. Both passes are one
+    // shard-keyed write each; the probe proves the pair stays
+    // corpus-linear and the compacted layout lands one file per shard.
+    time(s"shard land (fragmented) + compact over ${n}x docs") {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe_shards_" +
+        spark.sparkContext.applicationId
+      graft.operators.Curation.writeShards(docs, s"$dir/frag", 32,
+        maxRecordsPerFile = 2000)
+      graft.operators.Curation.compactShards(spark, s"$dir/frag",
+        s"$dir/compact", 32)
+      val files = spark.read.parquet(s"$dir/compact")
+        .select(input_file_name()).distinct().count()
+      println(s"          compacted files: $files (shards: 32)")
+      spark.read.parquet(s"$dir/compact").count()
+    }
     spark.stop()
   }
 }
