@@ -856,6 +856,76 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  /** transformWithState — Spark 4's arbitrary-state API, the successor
+    * to flatMapGroupsWithState a new 100 TB deployment would write
+    * against: typed named state cells (ValueState/ListState/MapState)
+    * with per-state TTL, timers, and a mandatory RocksDB backend. The
+    * same running-profile state machine as `runningProfiles`, expressed
+    * as a StatefulProcessor with one ValueState cell — state still
+    * scales with distinct users, not events. */
+  class RunningProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, BigDecimal), UserProfile] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, BigDecimal)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("profile",
+        org.apache.spark.sql.Encoders.product[(Long, BigDecimal)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, BigDecimal)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserProfile] = {
+      var (cnt, sum) =
+        if (state.exists()) state.get() else (0L, BigDecimal(0))
+      rows.foreach { case (_, v) => cnt += 1; sum += v }
+      state.update((cnt, sum))
+      Iterator(UserProfile(key, cnt, sum))
+    }
+  }
+
+  def runningProfilesTws(spark: SparkSession, events: DataFrame)
+      : Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value").cast("decimal(18,2)")
+        .as("value"))
+      .as[(Long, BigDecimal)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Declared transformWithState query: the same replay, reduction, and
+    * oracle as q_stream_user_profiles — so the NEW state API is held to
+    * the identical hash-verified contract as the legacy one. The RocksDB
+    * provider is set for the run (transformWithState requires it; the
+    * conf is restored after), which also makes this the one declared
+    * query exercising the production state backend end-to-end. */
+  val qStreamProfilesTws: (SparkSession, String) => DataFrame = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val sinkDf =
+      try runDirToMemorySink(s, stageEventsDir(s, d), "profiles_tws",
+        "update", dir => runningProfilesTws(s, readEventsStream(s, dir))
+          .toDF())
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("events_seen").desc)
+    sinkDf
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("events_seen"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_join", qStreamJoin, Some(
       // stream-stream interval join over a time-ordered replay == the
@@ -881,6 +951,10 @@ object EventsStreaming {
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),
     QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
       // final flatMapGroupsWithState state == batch per-user aggregate
+      "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
+    QueryDef("q_stream_profiles_tws", qStreamProfilesTws, Some(
+      // transformWithState (the current arbitrary-state API, RocksDB
+      // backend) held to the identical batch oracle as the legacy API
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
     QueryDef("q_stream_tumbling_append", qStreamTumblingAppend, Some(
       // Append-mode semantics in SQL: only the newest-day rows (batch 1)

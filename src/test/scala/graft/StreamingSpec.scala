@@ -403,6 +403,19 @@ class StreamingSpec extends SparkSpec {
     assert(flagged === Set(1L, 2L), flagged.toString)
   }
 
+  test("transformWithState profiles equal the legacy " +
+      "flatMapGroupsWithState API row-for-row") {
+    // the new arbitrary-state API (StatefulProcessor + ValueState on the
+    // RocksDB backend) must be a pure API swap for the same state machine
+    val tws = graft.streaming.EventsStreaming
+      .qStreamProfilesTws(spark, sf).collect()
+    val legacy = graft.streaming.EventsStreaming
+      .qStreamUserProfiles(spark, sf).collect()
+    assert(tws.length === legacy.length)
+    assert(tws.nonEmpty)
+    tws.zip(legacy).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("flatMapGroupsWithState running profiles converge to batch totals") {
     val streamed = runStream("prof",
       df => EventsStreaming.runningProfiles(spark, df).toDF(), "update")
