@@ -926,6 +926,109 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  /** Event-time TIMERS on transformWithState — the facility the legacy
+    * API lacked entirely: a per-key timer registered at first-sight +
+    * horizon, with the user's accumulated count emitted by
+    * `handleExpiredTimer` when the WATERMARK (not any input row) crosses
+    * the deadline. This is the flush-at-horizon pattern (emit a user's
+    * aggregate when their retention window closes); nothing is emitted
+    * from `handleInputRows`, so every output row is timer-driven. */
+  class HorizonFlushProcessor(horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      val firstSight = !count.exists()
+      var c = if (firstSight) 0L else count.get()
+      var minTs = Long.MaxValue
+      rows.foreach { case (_, ts) =>
+        c += 1; minTs = math.min(minTs, ts.getTime)
+      }
+      // time-ordered replay ⇒ the first batch holding a key holds its
+      // earliest event, so the deadline is first-event time + horizon
+      if (firstSight) getHandle.registerTimer(minTs + horizonMs)
+      count.update(c)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long)] = {
+      val c = if (count.exists()) count.get() else 0L
+      count.clear()
+      Iterator((key, c))
+    }
+  }
+
+  def horizonFlushCounts(spark: SparkSession, events: DataFrame,
+      horizonMs: Long): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new HorizonFlushProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // Staging: the time-ordered replay + two far-future carrier batches
+  // (raise-then-fire, the same two-readings discipline as the outer
+  // join — timers fire against the batch-start watermark, and
+  // AvailableNow runs no trailing no-data batch). Deadlines sit at
+  // first-event + 60 days ∈ (day 61, day 90); carriers at max + 65 and
+  // max + 70 days put every real deadline under the firing watermark.
+  // The carrier's own timer (its first sight + 60 d) never fires, and
+  // the query filters user −1 besides.
+  private val stagedTimer =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageTimerDir(s: SparkSession, d: String): String =
+    stagedTimer.getOrElseUpdate((s, d), {
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|timer|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_timer_$key"
+      val ev = Tables.events(s, d)
+      def carrier(days: Int, id: Long): DataFrame =
+        ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+          .withColumn("event_id", lit(id))
+          .withColumn("user_id", lit(-1L))
+      var slot = writeOrderedFiles(ev, dir, 3, 0, 5)
+      slot = writeOrderedFiles(carrier(65, -4L), dir, 1, slot, 5)
+      writeOrderedFiles(carrier(70, -5L), dir, 1, slot, 5): Unit
+      dir
+    })
+
+  /** Declared timer query: every user's count flushes by TIMER EXPIRY
+    * (append mode, zero rows emitted on input), and the flushed counts
+    * must equal the batch per-user counts — the driver hash-verifies
+    * that timers fired exactly once per key with complete state. RocksDB
+    * provider as transformWithState requires. */
+  val qStreamTimerFlush: (SparkSession, String) => DataFrame = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val sinkDf =
+      try runDirToMemorySink(s, stageTimerDir(s, d), "timer_flush",
+        "append", dir => horizonFlushCounts(s, readEventsStream(s, dir),
+          60L * 24 * 3600 * 1000).toDF("user_id", "events_seen"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    sinkDf.filter(col("user_id") =!= -1L).orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_join", qStreamJoin, Some(
       // stream-stream interval join over a time-ordered replay == the
@@ -952,6 +1055,10 @@ object EventsStreaming {
     QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
       // final flatMapGroupsWithState state == batch per-user aggregate
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
+    QueryDef("q_stream_timer_flush", qStreamTimerFlush, Some(
+      // timer-driven flush == batch per-user counts: every row in the
+      // result was emitted by handleExpiredTimer, exactly once per key
+      "SELECT user_id, COUNT(*) AS events_seen FROM events GROUP BY user_id ORDER BY user_id")),
     QueryDef("q_stream_profiles_tws", qStreamProfilesTws, Some(
       // transformWithState (the current arbitrary-state API, RocksDB
       // backend) held to the identical batch oracle as the legacy API

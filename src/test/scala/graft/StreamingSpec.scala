@@ -416,6 +416,46 @@ class StreamingSpec extends SparkSpec {
     tws.zip(legacy).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("event-time timers: nothing flushes before the horizon; carriers " +
+      "fire every key exactly once") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // control run WITHOUT carriers: every deadline (first event +
+      // 60 days) sits far above the final watermark (max ts − 10 min),
+      // so an output row here would mean emission is NOT timer-driven
+      val dir = Files.createTempDirectory("graft_timer_ctl").toString
+      Tables.events(spark, sf).repartitionByRange(3, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val q = graft.streaming.EventsStreaming.horizonFlushCounts(spark,
+          graft.streaming.EventsStreaming.readEventsStream(spark, dir),
+          60L * 24 * 3600 * 1000)
+        .toDF("user_id", "events_seen").writeStream
+        .format("memory").queryName("sink_timer_ctl").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000)); q.stop()
+      assert(spark.table("sink_timer_ctl").count() === 0L,
+        "rows emitted with no expired timer")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    // the declared query (carrier-staged): exactly one flush per key,
+    // equal to the batch per-user counts
+    val flushed = graft.streaming.EventsStreaming
+      .qStreamTimerFlush(spark, sf).collect()
+    assert(flushed.nonEmpty)
+    assert(flushed.map(_.getLong(0)).distinct.length === flushed.length,
+      "a key flushed more than once")
+    val batch = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("events_seen")).orderBy("user_id").collect()
+    assert(flushed.length === batch.length)
+    flushed.zip(batch).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("flatMapGroupsWithState running profiles converge to batch totals") {
     val streamed = runStream("prof",
       df => EventsStreaming.runningProfiles(spark, df).toDF(), "update")
