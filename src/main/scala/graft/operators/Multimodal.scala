@@ -152,7 +152,63 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Blob-store ingest via Spark's `binaryFile` source — how a media
+    * corpus actually arrives: one file per asset, read distributed as
+    * (path, modificationTime, length, content) with pathGlobFilter /
+    * recursiveFileLookup pruning at listing time. The fixture lands one
+    * `.bin` file per document from EXECUTOR-side partition writers (a
+    * driver loop over assets would be the anti-pattern; each task writes
+    * only its partition), plus a decoy `.txt` per shard that the glob
+    * filter must skip. The declared result keys each blob by the id
+    * parsed from its path and fingerprints the bytes — the oracle
+    * recomputes both from the source table, so the driver hash-proves
+    * the file roundtrip byte-identically. At 100 TB the same plan reads
+    * an object store; `binaryFile` caps file size by conf, which is the
+    * documented reason frame EXTRACTION (q_media_frames) and decode run
+    * on the opaque column, not re-reads. */
+  val qScanBinary: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_binary_" +
+      s.sparkContext.applicationId
+    val dirFile = new java.io.File(tmp)
+    if (!dirFile.exists()) {
+      val staging = tmp + "_staging"
+      new java.io.File(staging).mkdirs()
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .repartition(8)
+        .foreachPartition {
+          (rows: Iterator[org.apache.spark.sql.Row]) =>
+            var decoy = -1L
+            rows.foreach { r =>
+              val id = r.getLong(0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(staging, s"doc_$id.bin"),
+                r.getAs[Array[Byte]](1)): Unit
+              decoy = id
+            }
+            if (decoy >= 0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(staging, s"skip_$decoy.txt"),
+                "not a blob".getBytes): Unit
+        }
+      // atomic publish: readers never see a half-written staging dir
+      if (!new java.io.File(staging).renameTo(dirFile))
+        require(dirFile.exists(), s"binary fixture publish failed: $tmp")
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(tmp)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_scan_binary", qScanBinary, Some(
+      "SELECT doc_id, octet_length(encode(text)) AS length, md5(text) AS content_md5 FROM documents ORDER BY doc_id")),
     QueryDef("q_multimodal_features", qMultimodalFeatures, Some(
       "SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, octet_length(encode(text)) % 480 + 1 AS height, CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) * (octet_length(encode(text)) % 480 + 1) AS n_pixels FROM documents ORDER BY doc_id")),
     QueryDef("q_media_frames", qMediaFrames, Some(

@@ -23,6 +23,20 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("binaryFile scan: glob filter skips decoys, lengths match bytes") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val r = Multimodal.qScanBinary(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+    // one row per document, none for the .txt decoys the writer plants
+    assert(r.count() === docs.count())
+    assert(r.filter(col("doc_id").isNull).count() === 0L)
+    // the source's length metadata must equal the actual payload bytes
+    val j = r.join(docs, "doc_id")
+      .filter(col("length") =!= octet_length(encode(col("text"), "utf-8")))
+    assert(j.isEmpty)
+  }
+
   test("per-partition decode recovers exact dimensions from real PNGs") {
     import spark.implicits._
     val dims = Seq((1L, 7, 11), (2L, 64, 48), (3L, 640, 2), (4L, 1, 1))
