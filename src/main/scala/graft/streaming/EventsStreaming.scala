@@ -926,6 +926,71 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  /** MapState on transformWithState — the keyed-sub-state primitive
+    * (per user, a map of event_type → running count): sub-keys update
+    * point-wise in the state store instead of rewriting one blob value,
+    * which is what makes wide per-key state (thousands of sub-keys)
+    * viable on RocksDB. Each batch emits only the sub-keys it touched —
+    * update-mode deltas, counts strictly increasing. */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+        touched += t: Unit
+      }
+      touched.iterator.map(t => (key, t, counts.getValue(t)))
+    }
+  }
+
+  def runningTypeCounts(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, String, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Declared MapState query: run the per-(user, type) running counts
+    * over the staged replay, reduce each sub-key to its final (maximal)
+    * count, and hold the result to the batch GROUP BY (user_id,
+    * event_type) oracle — sub-key state merges across micro-batches
+    * hash-verified. */
+  val qStreamTypeCounts: (SparkSession, String) => DataFrame = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val sinkDf =
+      try runDirToMemorySink(s, stageEventsDir(s, d), "type_counts",
+        "update", dir => runningTypeCounts(s, readEventsStream(s, dir))
+          .toDF("user_id", "event_type", "cnt"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    sinkDf
+      .groupBy("user_id", "event_type")
+      .agg(max("cnt").as("cnt"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Event-time TIMERS on transformWithState — the facility the legacy
     * API lacked entirely: a per-key timer registered at first-sight +
     * horizon, with the user's accumulated count emitted by
@@ -1055,6 +1120,9 @@ object EventsStreaming {
     QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
       // final flatMapGroupsWithState state == batch per-user aggregate
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
+    QueryDef("q_stream_type_counts", qStreamTypeCounts, Some(
+      // final MapState sub-key values == batch (user, type) counts
+      "SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type")),
     QueryDef("q_stream_timer_flush", qStreamTimerFlush, Some(
       // timer-driven flush == batch per-user counts: every row in the
       // result was emitted by handleExpiredTimer, exactly once per key
