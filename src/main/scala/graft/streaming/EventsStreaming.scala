@@ -926,6 +926,98 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  /** Batch→streaming BOOTSTRAP via StatefulProcessorWithInitialState —
+    * the migration shape every streaming adoption needs: a new 24/7
+    * profile job must not start from zero, it warm-starts from the
+    * batch aggregate of all history. `handleInitialState` seeds each
+    * key's ValueState from the batch table BEFORE the first micro-batch;
+    * the stream then continues the same state machine. The oracle covers
+    * warm history the stream NEVER SAW, so the seed is hash-verified,
+    * not just plumbed. */
+  class BootstrapProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, BigDecimal), UserProfile, (Long, BigDecimal)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, BigDecimal)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("profile",
+        org.apache.spark.sql.Encoders.product[(Long, BigDecimal)],
+        TTLConfig.NONE)
+    override def handleInitialState(key: Long, s: (Long, BigDecimal),
+        timers: org.apache.spark.sql.streaming.TimerValues): Unit =
+      state.update(s)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, BigDecimal)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserProfile] = {
+      var (cnt, sum) =
+        if (state.exists()) state.get() else (0L, BigDecimal(0))
+      rows.foreach { case (_, v) => cnt += 1; sum += v }
+      state.update((cnt, sum))
+      Iterator(UserProfile(key, cnt, sum))
+    }
+  }
+
+  // Staging: the NEWEST 15 days replayed as the stream; the oldest 15
+  // days exist only as the batch warm-start aggregate.
+  private val stagedBootstrap =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stageBootstrapDir(s: SparkSession, d: String): String =
+    stagedBootstrap.getOrElseUpdate((s, d), {
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|bootstrap|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_bootstrap_$key"
+      val ev = Tables.events(s, d)
+      val cut = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAYS")).as("c"))
+      writeOrderedFiles(ev.crossJoin(broadcast(cut))
+        .filter(col("ts") >= col("c")).drop("c"), dir, 3, 0, 3): Unit
+      dir
+    })
+
+  val qStreamProfilesBootstrap: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val cut = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAYS")).as("c"))
+      val warm = ev.crossJoin(broadcast(cut)).filter(col("ts") < col("c"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("events_seen"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .as[(Long, Long, BigDecimal)]
+        .map { case (u, c, v) => (u, (c, v)) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      val sinkDf =
+        try runDirToMemorySink(s, stageBootstrapDir(s, d),
+          "profiles_bootstrap", "update",
+          dir => readEventsStream(s, dir)
+            .select(col("user_id"), col("value").cast("decimal(18,2)")
+              .as("value"))
+            .as[(Long, BigDecimal)]
+            .groupByKey(_._1)
+            .transformWithState(new BootstrapProfileProcessor,
+              TimeMode.None(), OutputMode.Update(), warm)
+            .toDF())
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("events_seen").desc)
+      sinkDf
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("events_seen"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("user_id")
+    }
+
   /** MapState on transformWithState — the keyed-sub-state primitive
     * (per user, a map of event_type → running count): sub-keys update
     * point-wise in the state store instead of rewriting one blob value,
@@ -1120,6 +1212,11 @@ object EventsStreaming {
     QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
       // final flatMapGroupsWithState state == batch per-user aggregate
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
+    QueryDef("q_stream_profiles_bootstrap", qStreamProfilesBootstrap, Some(
+      // the stream replays ONLY the newest 15 days, yet every active
+      // user's totals must cover ALL 30 — the warm-start seed carries
+      // the history the stream never saw
+      "WITH cut AS (SELECT min(ts) + INTERVAL 15 DAYS AS c FROM events), active AS (SELECT DISTINCT user_id FROM events CROSS JOIN cut WHERE ts >= c) SELECT e.user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events e JOIN active a ON e.user_id = a.user_id GROUP BY e.user_id ORDER BY e.user_id")),
     QueryDef("q_stream_type_counts", qStreamTypeCounts, Some(
       // final MapState sub-key values == batch (user, type) counts
       "SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type")),

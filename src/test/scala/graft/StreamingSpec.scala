@@ -456,6 +456,28 @@ class StreamingSpec extends SparkSpec {
     flushed.zip(batch).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("initial-state bootstrap: totals cover warm history the stream " +
+      "never replayed") {
+    val boot = graft.streaming.EventsStreaming
+      .qStreamProfilesBootstrap(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(boot.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    val cut = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAYS")).as("c"))
+    val streamHalf = ev.crossJoin(broadcast(cut))
+      .filter(col("ts") >= col("c"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allCounts = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every bootstrapped user's count equals the FULL history...
+    boot.foreach { case (u, (n, _)) => assert(n === allCounts(u)) }
+    // ...and for at least one user that strictly exceeds what the
+    // stream replayed — the seed, not the replay, supplied the rest
+    assert(boot.exists { case (u, (n, _)) =>
+      n > streamHalf.getOrElse(u, 0L) })
+  }
+
   test("flatMapGroupsWithState running profiles converge to batch totals") {
     val streamed = runStream("prof",
       df => EventsStreaming.runningProfiles(spark, df).toDF(), "update")
