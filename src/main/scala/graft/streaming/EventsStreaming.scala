@@ -926,6 +926,79 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  /** ListState on transformWithState — the ordered-buffer primitive:
+    * per user, the 3 most recent events as a pruned recency list (the
+    * serving-feature shape behind "last N interactions" models). The
+    * buffer is rewritten with `put` only when membership changes and
+    * stays bounded at N regardless of corpus size; a ValueState counter
+    * rides along (primitives compose per key). Emission is the running
+    * (rows_seen, recent ids) snapshot — rows_seen strictly increases,
+    * so the final snapshot is argmax-selectable downstream. */
+  class RecentEventsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, String)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var recent: ListState[(Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState("recent",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        TTLConfig.NONE)
+      seen = getHandle.getValueState("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      val batch = rows.map { case (_, id, tsUs) => (tsUs, id) }.toArray
+      val merged = ((if (recent.exists()) recent.get().toArray
+        else Array.empty[(Long, Long)]) ++ batch)
+        .sortBy { case (ts, id) => (-ts, -id) }.take(n)
+      recent.put(merged)
+      val total = (if (seen.exists()) seen.get() else 0L) + batch.length
+      seen.update(total)
+      Iterator((key, total, merged.map(_._2).mkString(",")))
+    }
+  }
+
+  def recentEvents(spark: SparkSession, events: DataFrame, n: Int)
+      : Dataset[(Long, Long, String)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor(n),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Declared ListState query: final per-user recency buffer ≡ the
+    * batch top-3-by-event-time window — the pruned list survives
+    * cross-batch merging with arbitrary within-batch arrival order. */
+  val qStreamRecentEvents: (SparkSession, String) => DataFrame = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val sinkDf =
+      try runDirToMemorySink(s, stageEventsDir(s, d), "recent_events",
+        "update", dir => recentEvents(s, readEventsStream(s, dir), 3)
+          .toDF("user_id", "rows_seen", "recent_ids"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("rows_seen").desc)
+    sinkDf
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("rows_seen"), col("recent_ids"))
+      .orderBy("user_id")
+  }
+
   /** Batch→streaming BOOTSTRAP via StatefulProcessorWithInitialState —
     * the migration shape every streaming adoption needs: a new 24/7
     * profile job must not start from zero, it warm-starts from the
@@ -1212,6 +1285,9 @@ object EventsStreaming {
     QueryDef("q_stream_user_profiles", qStreamUserProfiles, Some(
       // final flatMapGroupsWithState state == batch per-user aggregate
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
+    QueryDef("q_stream_recent_events", qStreamRecentEvents, Some(
+      // final ListState recency buffer == batch top-3 by event time
+      "WITH r AS (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events), t AS (SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS recent_ids FROM r WHERE rn <= 3 GROUP BY user_id), n AS (SELECT user_id, COUNT(*) AS rows_seen FROM events GROUP BY user_id) SELECT n.user_id, n.rows_seen, t.recent_ids FROM n JOIN t USING (user_id) ORDER BY n.user_id")),
     QueryDef("q_stream_profiles_bootstrap", qStreamProfilesBootstrap, Some(
       // the stream replays ONLY the newest 15 days, yet every active
       // user's totals must cover ALL 30 — the warm-start seed carries
