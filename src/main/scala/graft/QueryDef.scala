@@ -25,6 +25,8 @@ object Registry {
       operators.Subqueries.defs ++
       operators.Events.defs ++
       operators.Temporal.defs ++
+      operators.Graph.defs ++
+      operators.Entity.defs ++
       operators.TextAnalysis.defs ++
       operators.Curation.defs ++
       operators.Dedup.defs ++

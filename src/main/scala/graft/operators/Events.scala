@@ -289,7 +289,40 @@ object Events {
       .orderBy("zbucket")
   }
 
+  /** Time-decayed engagement score — the recency-weighted feature the
+    * ranking/retention models consume: each purchase contributes
+    * value · 2^(−age_weeks), half-life one week, floored at 2^(−6)
+    * (~6 weeks horizon). Computed ENTIRELY in exact arithmetic: the
+    * weight 2^(−k) = 5^k/10^k is decimal-exact, so the contribution is
+    * value(DECIMAL) · 5^k · 10^(6−k) — a BIGINT-scaled decimal whose sum
+    * is independent of partition layout and engine, where the float form
+    * (value · pow(0.5, age/7.0)) would drift with summation order AND
+    * libm. Output is fixed-point: score_fp = floor(Σ) in units of 10⁻⁶.
+    *
+    * Scale shape: the reference date is a 1-row max aggregate broadcast
+    * back (the scalar-gate pattern); scoring is then map-only per event
+    * and one partial-agg'd groupBy(user). A daily refresh re-runs in one
+    * pass — or incrementally: yesterday's score halves every 7 days, so
+    * Σ re-scales by a constant between refreshes and only NEW events
+    * need scoring. */
+  val qDecayScore: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"), col("ts").cast("date").as("day"))
+    val ref = e.agg(max("day").as("ref_day"))
+    e.crossJoin(broadcast(ref))
+      .withColumn("k", least(floor(datediff(col("ref_day"), col("day"))
+        / 7).cast("int"), lit(6)))
+      .withColumn("term", col("value").cast("decimal(18,2)") *
+        expr("CAST(power(5, k) AS BIGINT) * CAST(power(10, 6 - k) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(floor(sum(col("term"))).cast("long").as("score_fp"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_decay_score", qDecayScore, Some(
+      "WITH e AS (SELECT user_id, value, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'), r AS (SELECT MAX(day) AS ref_day FROM e), t AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) * CAST(power(5, k) AS BIGINT) * CAST(power(10, 6 - k) AS BIGINT) AS term FROM (SELECT user_id, value, LEAST(date_diff('day', day, ref_day) // 7, 6) AS k FROM e, r)) SELECT user_id, CAST(FLOOR(SUM(term)) AS BIGINT) AS score_fp, COUNT(*) AS n_purchases FROM t GROUP BY user_id ORDER BY user_id")),
     QueryDef("q_zorder_layout", qZorderLayout, Some(
       "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events), r AS (SELECT MIN(user_id) AS umin, MAX(user_id) AS umax, MIN(hr) AS hmin, MAX(hr) AS hmax FROM e), t1 AS (SELECT user_id, hr, ((user_id - umin) * 65536 // (umax - umin + 1)) & 65535 AS ua, ((hr - hmin) * 65536 // (hmax - hmin + 1)) & 65535 AS hb FROM e CROSS JOIN r), t2 AS (SELECT user_id, hr, ((ua | (ua << 8)) & 16711935) AS ua, ((hb | (hb << 8)) & 16711935) AS hb FROM t1), t3 AS (SELECT user_id, hr, ((ua | (ua << 4)) & 252645135) AS ua, ((hb | (hb << 4)) & 252645135) AS hb FROM t2), t4 AS (SELECT user_id, hr, ((ua | (ua << 2)) & 858993459) AS ua, ((hb | (hb << 2)) & 858993459) AS hb FROM t3), t5 AS (SELECT user_id, hr, ((ua | (ua << 1)) & 1431655765) AS ua, ((hb | (hb << 1)) & 1431655765) AS hb FROM t4) SELECT (ua | (hb << 1)) >> 22 AS zbucket, COUNT(*) AS cnt, MIN(user_id) AS u_lo, MAX(user_id) AS u_hi, MIN(hr) AS h_lo, MAX(hr) AS h_hi FROM t5 GROUP BY 1 ORDER BY 1")),
     QueryDef("q_rolling_dau", qRollingDau, Some(

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Graph analytics over a co-occurrence ("market basket") graph — the
+  * association-analysis + graph-metrics family every large-scale
+  * entity/recommendation pipeline runs, composed DataFrame-first.
+  *
+  * The graph: supplier affinity. Nodes are suppliers; an undirected edge
+  * joins two suppliers whose co-occurrence count over orders (distinct
+  * (order, supplier) pairs from lineitem) is statistically significant —
+  * at least mean + 2σ of the co-occurrence distribution. The 2σ cut
+  * adapts to corpus density (a fixed count threshold is degenerate at
+  * small SFs and vacuous at large ones) and is computed from EXACT
+  * integer moments (Σcnt, Σcnt², n — the q_agg_variance discipline), so
+  * both engines derive bit-identical doubles: IEEE division, multiply
+  * and sqrt are all correctly rounded, making `cnt ≥ μ + 2σ` a
+  * deterministic predicate cross-engine.
+  *
+  * Scale shape, stage by stage:
+  *  - (order, supplier) dedup: one shuffle on the composite key.
+  *  - pair generation: self-equi-join ON ORDER KEY — pairs-per-order is
+  *    quadratic only in the per-order supplier count, which the data
+  *    model bounds (line items per order), never in the corpus. A
+  *    pathological mega-order would need the same salting/cap treatment
+  *    as Dedup.HotBucketCap; the guard is the per-key group size, not
+  *    the join algorithm.
+  *  - co-occurrence counts: partial-agg'd groupBy (sa, sb).
+  *  - the 2σ threshold: a 1-ROW moment aggregate broadcast back — the
+  *    broadcast-scalar-gate pattern (Curation's Bloom gate), never a
+  *    second pass over pairs.
+  * All downstream metrics (degree, triangles, PageRank) run on the
+  * THRESHOLDED edge set, which the cut keeps sparse by construction.
+  */
+object Graph {
+
+  /** Distinct co-occurrence counts per supplier pair (sa < sb). */
+  def coSupplierCooc(lineitem: DataFrame): DataFrame = {
+    val os = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_suppkey").as("sk")).distinct()
+    val a = os.select(col("ok"), col("sk").as("sa"))
+    val b = os.select(col("ok").as("ok2"), col("sk").as("sb"))
+    a.join(b, col("ok") === col("ok2") && col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Keep pairs with cnt ≥ μ + 2σ (exact-moment μ/σ, broadcast 1-row). */
+  def significantEdges(cooc: DataFrame): DataFrame = {
+    val m = cooc.agg(sum("cnt").as("s1"),
+      sum(col("cnt") * col("cnt")).as("s2"), count(lit(1)).as("n"))
+    val avg = col("s1").cast("double") / col("n")
+    val thr = m.select((avg + lit(2.0) *
+      sqrt(col("s2").cast("double") / col("n") - avg * avg)).as("t"))
+    cooc.crossJoin(broadcast(thr))
+      .filter(col("cnt").cast("double") >= col("t"))
+      .select(col("sa"), col("sb"), col("cnt"))
+  }
+
+  // Computed once per (session, corpus) and shared by the three declared
+  // metrics — deterministic, so the cache is semantics-free (the
+  // cachedNgramPairs pattern). A deployment persists the edge table and
+  // reads it pre-partitioned instead.
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def cachedEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.getOrElseUpdate((s, d),
+      significantEdges(coSupplierCooc(Tables.lineitem(s, d)))
+        .localCheckpoint())
+
+  /** Undirected degree per node: explode endpoints, one keyed agg. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("sa"), col("sb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Degree histogram — the graph-shape audit (power-law check) that
+    * stays tiny no matter the corpus: |distinct degrees| rows. */
+  val qGraphDegree: (SparkSession, String) => DataFrame = (s, d) =>
+    degrees(cachedEdges(s, d))
+      .groupBy(col("deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
+  /** Exact triangle count via DEGREE-ORDERED edge orientation (the
+    * node-iterator / Suri–Vassilvitskii shape): orient every undirected
+    * edge from the endpoint with the smaller (degree, id) to the larger,
+    * making the graph a DAG in which each triangle {x,y,z} survives as
+    * exactly one path x→y→z closed by x→z. Orienting BY DEGREE bounds
+    * every node's out-degree by O(√|E|) — a hub of degree d generates
+    * wedges only toward its ≥-degree peers, so the wedge join never
+    * explodes on skew; the count is orientation-invariant, which is why
+    * the DuckDB oracle can use plain id-order and still hash-match.
+    * Both joins shuffle on node keys; the wedge→edge semi-check is the
+    * only quadratic-risk stage and degree order is exactly what tames
+    * it at 100 TB.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val da = deg.select(col("node").as("sa"), col("deg").as("dega"))
+    val db = deg.select(col("node").as("sb"), col("deg").as("degb"))
+    val oriented = edges.join(da, "sa").join(db, "sb")
+      .select(
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("sa") < col("sb")),
+          col("sa")).otherwise(col("sb")).as("u"),
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("sa") < col("sb")),
+          col("sb")).otherwise(col("sa")).as("v"))
+    val e1 = oriented.select(col("u").as("x"), col("v").as("y"))
+    val e2 = oriented.select(col("u").as("y2"), col("v").as("z"))
+    val e3 = oriented.select(col("u").as("x3"), col("v").as("z3"))
+    val tri = e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = degrees(edges).agg(count(lit(1)).as("n_nodes"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(ne).crossJoin(tri)
+  }
+
+  val qGraphTriangles: (SparkSession, String) => DataFrame = (s, d) =>
+    triangleCount(cachedEdges(s, d))
+
+  /** Per-node rank in FIXED-POINT integer arithmetic: rank₀ = 10¹²;
+    * rankᵢ₊₁(v) = (15·10¹²)/100 + (85·Σ_{u→v} rankᵢ(u) div deg(u)) div
+    * 100, all BIGINT floor divisions — deterministic to the last digit
+    * on any partitioning and in any engine, where a double-valued
+    * PageRank would drift with summation order. Per-node teleport
+    * convention (total mass ≈ n·10¹²); every node has deg ≥ 1 by
+    * construction so there is no dangling-mass term.
+    *
+    * Scale shape: each iteration is one join (edges ⋈ ranks, keyed on
+    * src) + one partial-agg'd groupBy(dst) — the canonical distributed
+    * PageRank step. The edge list is the loop invariant: at cluster
+    * scale it is persisted pre-partitioned on src so every iteration
+    * reuses the exchange; ranks are corpus-node-sized, never collected.
+    * A fixed iteration count keeps the plan finite; a convergence-driven
+    * loop would checkpoint every k rounds exactly like the CC pointer-
+    * jumping loop (Dedup.connectedComponents).
+    */
+  def pagerankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    val r0 = 1000000000000L
+    val dir = edges.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(edges.select(col("sb").as("src"), col("sa").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = dir.join(deg, "src")
+    var rank = deg.select(col("src").as("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      rank = withDeg
+        .join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+        .select(col("dst").as("node"),
+          (lit(r0 / 100L * 15L) + expr("85 * cs div 100")).as("rank"))
+    }
+    rank.select(col("node").as("s_suppkey"), col("rank").as("rank_fp"))
+  }
+
+  val qGraphPagerank: (SparkSession, String) => DataFrame = (s, d) =>
+    pagerankFixedPoint(cachedEdges(s, d), 3).orderBy("s_suppkey")
+
+  // Shared oracle prefix: the thresholded edge set in DuckDB SQL.
+  private val edgeCte =
+    "WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem), " +
+      "cooc AS (SELECT a.sk AS sa, b.sk AS sb, COUNT(*) AS cnt FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2), " +
+      "m AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS s1, CAST(SUM(cnt*cnt) AS DOUBLE) AS s2, CAST(COUNT(*) AS DOUBLE) AS n FROM cooc), " +
+      "thr AS (SELECT s1/n + 2.0 * sqrt(s2/n - (s1/n)*(s1/n)) AS t FROM m), " +
+      "e AS (SELECT sa, sb, cnt FROM cooc, thr WHERE CAST(cnt AS DOUBLE) >= t)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_graph_degree", qGraphDegree, Some(
+      edgeCte + ", deg AS (SELECT node, COUNT(*) AS deg FROM (SELECT sa AS node FROM e UNION ALL SELECT sb FROM e) GROUP BY 1) " +
+        "SELECT deg AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1")),
+    QueryDef("q_graph_triangles", qGraphTriangles, Some(
+      edgeCte + " SELECT (SELECT COUNT(*) FROM (SELECT sa AS node FROM e UNION SELECT sb FROM e)) AS n_nodes, " +
+        "(SELECT COUNT(*) FROM e) AS n_edges, " +
+        "(SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.sb = e2.sa JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb) AS n_triangles")),
+    QueryDef("q_graph_pagerank", qGraphPagerank, Some(
+      edgeCte + ", dir AS (SELECT sa AS src, sb AS dst FROM e UNION ALL SELECT sb, sa FROM e), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1), " +
+        "r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank FROM deg), " +
+        "i1 AS (SELECT d.dst AS node, CAST(150000000000 + (85 * CAST(SUM(r.rank // g.deg) AS BIGINT)) // 100 AS BIGINT) AS rank FROM dir d JOIN r0 r ON d.src = r.node JOIN deg g ON d.src = g.src GROUP BY 1), " +
+        "i2 AS (SELECT d.dst AS node, CAST(150000000000 + (85 * CAST(SUM(r.rank // g.deg) AS BIGINT)) // 100 AS BIGINT) AS rank FROM dir d JOIN i1 r ON d.src = r.node JOIN deg g ON d.src = g.src GROUP BY 1), " +
+        "i3 AS (SELECT d.dst AS node, CAST(150000000000 + (85 * CAST(SUM(r.rank // g.deg) AS BIGINT)) // 100 AS BIGINT) AS rank FROM dir d JOIN i2 r ON d.src = r.node JOIN deg g ON d.src = g.src GROUP BY 1) " +
+        "SELECT node AS s_suppkey, rank AS rank_fp FROM i3 ORDER BY 1"))
+  )
+}

@@ -744,7 +744,29 @@ object Relational2 {
       .na.fill(0L, Seq("F", "O", "P"))
       .orderBy("o_orderpriority")
 
+  // Unpivot (melt) — the inverse reshaping of q_pivot: a wide per-group
+  // aggregate (three metric columns, unified to DOUBLE as unpivot
+  // requires one value type) melts into (group, metric, value) long
+  // form. Spark's Dataset.unpivot plans an Expand over the SMALL
+  // aggregated frame — the corpus-sized work is the partial-agg'd
+  // groupBy that happens first; melting after aggregating is the
+  // scale-correct order (melting raw rows first would triple the
+  // shuffle volume for the same answer). Oracle is the portable
+  // UNION ALL form.
+  val qUnpivot: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("sum_price"), col("max_price")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_unpivot", qUnpivot, Some(
+      "WITH w AS (SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, MAX(o_totalprice) AS max_price FROM orders GROUP BY 1) SELECT o_orderpriority, metric, value FROM (SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w UNION ALL SELECT o_orderpriority, 'sum_price', sum_price FROM w UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM w) ORDER BY o_orderpriority, metric")),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q_approx_percentile", qApproxPercentile, None),
     QueryDef("q_agg_collect", qAggCollect, Some(

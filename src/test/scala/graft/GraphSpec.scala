@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph-metric semantics on hand-built graphs with known answers, plus
+  * the orientation-invariance property the q_graph_triangles oracle
+  * relies on (Spark counts over the degree-ordered orientation, DuckDB
+  * over id order — the counts must be equal for ANY acyclic
+  * orientation). */
+class GraphSpec extends SparkSpec {
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("sa", "sb").withColumn("cnt", lit(1L))
+  }
+
+  test("triangle count: K4 has 4 triangles, a path has none") {
+    val k4 = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    val r = Graph.triangleCount(k4).head()
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+
+    val path = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(Graph.triangleCount(path).head()
+      .getAs[Long]("n_triangles") === 0L)
+  }
+
+  test("triangle count matches the id-ordered orientation (oracle form)") {
+    // Skewed star+clique graph: hub 1 connected to everything, plus a
+    // 4-clique among {2,3,4,5} — degree order orients AWAY from the hub,
+    // id order TOWARD increasing ids; counts must agree regardless.
+    val g = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    val byDegree = Graph.triangleCount(g).head().getAs[Long]("n_triangles")
+    // id orientation: edges already satisfy sa < sb
+    val e = g.select(col("sa").as("x"), col("sb").as("y"))
+    val idCount = e.join(e.select(col("x").as("y2"), col("y").as("z")),
+        col("y") === col("y2"))
+      .join(e.select(col("x").as("x3"), col("y").as("z3")),
+        col("x") === col("x3") && col("z") === col("z3"))
+      .count()
+    assert(byDegree === idCount)
+    // star+clique: triangles = C(4,2) hub triangles + C(4,3) clique ones
+    assert(byDegree === 6L + 4L)
+  }
+
+  test("fixed-point pagerank: symmetry, conservation order, determinism") {
+    // Star: hub 1 with 4 leaves. All leaves must get IDENTICAL ranks
+    // (symmetry is exact in integer arithmetic), hub strictly higher.
+    val star = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    val r = Graph.pagerankFixedPoint(star, 3).collect()
+      .map(x => x.getAs[Long]("s_suppkey") -> x.getAs[Long]("rank_fp"))
+      .toMap
+    val leafRanks = Seq(2L, 3L, 4L, 5L).map(r)
+    assert(leafRanks.distinct.size === 1)
+    assert(r(1L) > leafRanks.head)
+    // a rerun is bit-identical (no rand(), no double sums)
+    val r2 = Graph.pagerankFixedPoint(star, 3).collect()
+      .map(x => x.getAs[Long]("s_suppkey") -> x.getAs[Long]("rank_fp"))
+      .toMap
+    assert(r === r2)
+  }
+
+  test("pagerank on a regular graph is uniform at every iteration") {
+    // 4-cycle: every node has degree 2 — the fixed-point iteration must
+    // keep all ranks exactly equal (rank div 2 contributions symmetric).
+    val cycle = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    val ranks = Graph.pagerankFixedPoint(cycle, 3).collect()
+      .map(_.getAs[Long]("rank_fp")).toSeq
+    assert(ranks.distinct.size === 1)
+  }
+
+  test("significant-edges threshold keeps only >= mu + 2 sigma pairs") {
+    import spark.implicits._
+    // 9 background pairs at cnt=1, one hot pair at cnt=100:
+    // mu = 10.9, sigma ~ 29.7 -> threshold ~ 70.3: only the hot survives.
+    val cooc = ((1 to 9).map(i => (100L + i, 200L + i, 1L)) :+
+      (1L, 2L, 100L)).toDF("sa", "sb", "cnt")
+    val kept = Graph.significantEdges(cooc).collect()
+    assert(kept.length === 1)
+    assert(kept.head.getAs[Long]("sa") === 1L)
+  }
+
+  test("co-occurrence counts: orders sharing suppliers count distinctly") {
+    import spark.implicits._
+    // order 10: suppliers {1,2,3} -> pairs (1,2),(1,3),(2,3); order 20:
+    // {1,2} again -> (1,2) reaches cnt 2; duplicate lineitems within an
+    // order must NOT inflate counts (distinct first).
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val cooc = Graph.coSupplierCooc(li).collect()
+      .map(r => (r.getAs[Long]("sa"), r.getAs[Long]("sb")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(cooc((1L, 2L)) === 2L)
+    assert(cooc((1L, 3L)) === 1L)
+    assert(cooc((2L, 3L)) === 1L)
+    assert(cooc.size === 3)
+  }
+}

@@ -362,6 +362,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("unpivot melts the pivot-shaped wide aggregate losslessly") {
+    val long = operators.Relational2.qUnpivot(spark, sf)
+    // 3 metrics per group, and re-widening recovers the original values
+    val perGroup = long.groupBy("o_orderpriority").count()
+      .filter(col("count") =!= 3).count()
+    assert(perGroup === 0)
+    val wide = Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("v"))
+    val melted = long.filter(col("metric") === "n_orders")
+      .join(wide, "o_orderpriority")
+      .filter(col("value") =!= col("v"))
+    assert(melted.count() === 0)
+  }
+
+  test("decay score: today's purchase counts full, old ones halve weekly") {
+    import spark.implicits._
+    import graft.Tables
+    // synthetic: one user, 100.00 at ref day, 100.00 at 7 days before,
+    // 100.00 at 70 days before (capped at k=6) ->
+    // 100·2^0 + 100·2^-1 + 100·2^-6 = 151.5625 -> 151_562_500 fp
+    val dir = java.nio.file.Files.createTempDirectory("graft_decay").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-03-12 10:00:00"), 1L,
+        "purchase", 100.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2025-03-05 10:00:00"), 1L,
+        "purchase", 100.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2025-01-01 10:00:00"), 1L,
+        "purchase", 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.Events.qDecayScore(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("score_fp") === 151562500L)
+    assert(out.head.getAs[Long]("n_purchases") === 3L)
+  }
+
   test("multimodal feature extraction is deterministic over payload bytes") {
     val f1 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
     val f2 = operators.Multimodal.qMultimodalFeatures(spark, sf).collect()
