@@ -513,6 +513,47 @@ object Relational2 {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")
 
+  // The bloom-indexed point-lookup layout is likewise staged once per
+  // (session, sf dir) — the layout is the artifact a deployment
+  // maintains; the declared query times the LOOKUP, not the build.
+  private val stagedBloom = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private def eventsBloomDir(s: SparkSession, d: String): String =
+    stagedBloom.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_events_bloom_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.Sources.writeBloomIndexed(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        dir, "event_id", 16)
+      dir
+    })
+
+  /** Point lookups on the bloom-indexed hash-scattered layout — the
+    * needle-in-haystack fetch (one record by id out of an
+    * ingest-ordered corpus) that min/max zone maps cannot serve: the
+    * four probed ids are derived from the corpus id range (min,
+    * +1/3, +2/3, max — present at every SF since event ids are dense),
+    * pushed as an IN predicate, and parquet-mr's bloom-based row-group
+    * filter skips every row group that definitely lacks them
+    * (BloomScanSpec proves ~1-row-group reads vs ~all on the same
+    * layout without blooms). The 1-row min/max aggregate is metadata-
+    * sized; the lookup itself is a pushed-predicate scan. */
+  val qScanBloom: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = eventsBloomDir(s, d)
+    val r = Tables.events(s, d)
+      .agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val keys = Seq(lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi)
+    s.read.parquet(dir)
+      .filter(col("event_id").isin(keys: _*))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** Dynamic-partition-pruning join over the day-partitioned layout —
     * the RUNTIME complement of q_scan_partition_pruned's static prune
     * and the partitioned-layout analogue of the runtime Bloom filters
@@ -824,6 +865,8 @@ object Relational2 {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("q_join_dpp", qJoinDpp, Some(
       "WITH dim AS (SELECT day FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt FROM events GROUP BY 1) WHERE cnt % 2 = 0) SELECT dim.day, COUNT(*) AS n_events, CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events e JOIN dim ON strftime(e.ts, '%Y-%m-%d') = dim.day GROUP BY dim.day ORDER BY dim.day")),
+    QueryDef("q_scan_bloom", qScanBloom, Some(
+      "WITH r AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events) SELECT event_id, user_id, event_type, value FROM events, r WHERE event_id IN (lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi) ORDER BY event_id")),
     QueryDef("q_scan_partition_pruned", qScanPartitionPruned, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' GROUP BY 1 ORDER BY 1")),
     QueryDef("q_landing_partitioned", qLandingPartitioned, Some(

@@ -106,6 +106,40 @@ object Sources {
   def writeOrcTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Parquet layout for POINT LOOKUPS on a high-cardinality key the
+    * table is NOT sorted by — the 100 TB needle-in-haystack shape
+    * (fetch one document/event by id out of an ingest-ordered corpus).
+    * Min/max zone maps are useless there: a hash-scattered key spans
+    * ~the full domain in every row group, so a point predicate prunes
+    * nothing. Parquet BLOOM FILTERS are the layout answer: a per-row-
+    * group bloom on the key lets the reader skip every row group that
+    * definitely lacks it — IO drops from corpus-sized to ~one row group
+    * — at a few bits per value of file overhead.
+    *
+    * Dictionary encoding is disabled FOR THE KEY COLUMN: at fixture
+    * scale every row group's ids would fit a dictionary page and
+    * parquet's dictionary filter would prune by exact-match instead,
+    * masking what happens at corpus scale where high-cardinality
+    * columns overflow dictionaries and fall back to plain encoding —
+    * precisely the regime blooms exist for. (BloomScanSpec stages the
+    * same layout WITHOUT the bloom as its control.)
+    *
+    * One file per shuffle partition, each file one row group at this
+    * volume; `spark.read.parquet(path).filter(col === k)` needs no
+    * special code — the pushed Eq predicate reaches parquet-mr's
+    * bloom-based row-group filter (on by default). */
+  def writeBloomIndexed(df: DataFrame, path: String, keyCol: String,
+      nFiles: Int, withBloom: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(nFiles, col(keyCol))
+      .write.mode(SaveMode.Overwrite)
+      .option(s"parquet.enable.dictionary#$keyCol", "false")
+    (if (withBloom)
+      w.option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$keyCol", "100000")
+    else w).parquet(path)
+  }
+
   /** XML scan/sink — Spark 4's built-in XML data source (the Databricks
     * spark-xml donation), for the B2B/legacy feeds that still arrive as
     * XML. rowTag-delimited records ARE splittable on read; the format's
