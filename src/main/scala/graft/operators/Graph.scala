@@ -161,6 +161,80 @@ object Graph {
   val qGraphPagerank: (SparkSession, String) => DataFrame = (s, d) =>
     pagerankFixedPoint(cachedEdges(s, d), 3).orderBy("s_suppkey")
 
+  /** Common-neighbor (Jaccard) node similarity — the link-prediction
+    * feature: two suppliers are similar when their affinity
+    * NEIGHBORHOODS overlap, even if they never co-occur themselves.
+    * Candidate pairs come from the inverted-index shape (join the
+    * directed adjacency with itself ON THE SHARED NEIGHBOR — one
+    * shuffle keyed on the neighbor node, never nodes×nodes), common
+    * counts partial-aggregate per pair, and the union size folds in via
+    * degree lookups. Selection is TOP-100 by score — an absolute
+    * Jaccard cut is corpus-density-fragile (0.4 keeps 22 pairs at
+    *  sf0.01 and zero at sf0.1); ranking by (rounded score, a, b) is a
+    * deterministic total order both engines share, and plans as
+    * TakeOrdered — no global sort.
+    * Scale note: a hub neighbor w fans out deg(w)² candidate pairs —
+    * the same quadratic hazard as an LSH hot bucket, with the same
+    * remedies (cap or drop top-degree hubs as stopword nodes; a hub
+    * shared by everyone carries no similarity signal anyway). */
+  def commonNeighborSimilarity(edges: DataFrame): DataFrame = {
+    val dir = edges.select(col("sa").as("node"), col("sb").as("nbr"))
+      .unionByName(edges.select(col("sb").as("node"), col("sa").as("nbr")))
+    val deg = dir.groupBy("node").agg(count(lit(1)).as("deg"))
+    val l = dir.select(col("node").as("a"), col("nbr"))
+    val r = dir.select(col("node").as("b"), col("nbr").as("nbr2"))
+    val common = l.join(r, col("nbr") === col("nbr2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .withColumn("unions", col("dega") + col("degb") - col("common"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") / col("unions"), 6).as("jac"))
+  }
+
+  val qGraphCommonNbrs: (SparkSession, String) => DataFrame = (s, d) =>
+    commonNeighborSimilarity(cachedEdges(s, d))
+      .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+      .limit(100)
+
+  /** k-core decomposition — iterative peeling to the unique maximal
+    * subgraph where every node keeps ≥ k neighbors. The fixpoint loop
+    * is data-dependent (unlike PageRank's fixed iterations): each round
+    * recomputes degrees (one keyed agg), drops under-k nodes, and
+    * SEMI-JOINS the edge list down on both endpoints; the loop exits
+    * when the node count stops falling. Rounds are O(peeling depth);
+    * each round's plan is checkpointed so lineage stays flat (the CC
+    * loop's discipline — reliable checkpoint dir at cluster scale).
+    * No SQL oracle (iterate-to-fixpoint is not ANSI-expressible);
+    * correctness is the two defining properties, spec-locked: every
+    * kept node has ≥ k neighbors INSIDE the core, every dropped node
+    * has < k (maximality) — plus rerun determinism (the k-core is
+    * order-independent). */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    var e = edges.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(edges.select(col("sb").as("src"), col("sa").as("dst")))
+      .localCheckpoint()
+    var n = -1L
+    var prev = Long.MaxValue
+    while (n != prev) {
+      prev = if (n < 0) Long.MaxValue else n
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("src").as("node"))
+      e = e.join(keep, col("src") === col("node"), "left_semi")
+        .join(keep, col("dst") === col("node"), "left_semi")
+        .localCheckpoint()
+      n = e.select("src").distinct().count()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  // k=2 — the cycle core: drops every tree-like tendril, keeps exactly
+  // the cyclically-connected backbone. (The 2σ-thresholded affinity
+  // graph has no 3-core at sf0.01; k is a caller knob.)
+  val qGraphKcore: (SparkSession, String) => DataFrame = (s, d) =>
+    kCore(cachedEdges(s, d), 2).orderBy("node")
+
   // Shared oracle prefix: the thresholded edge set in DuckDB SQL.
   private val edgeCte =
     "WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem), " +
@@ -177,6 +251,12 @@ object Graph {
       edgeCte + " SELECT (SELECT COUNT(*) FROM (SELECT sa AS node FROM e UNION SELECT sb FROM e)) AS n_nodes, " +
         "(SELECT COUNT(*) FROM e) AS n_edges, " +
         "(SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.sb = e2.sa JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb) AS n_triangles")),
+    QueryDef("q_graph_common_neighbors", qGraphCommonNbrs, Some(
+      edgeCte + ", dir AS (SELECT sa AS node, sb AS nbr FROM e UNION ALL SELECT sb, sa FROM e), " +
+        "deg AS (SELECT node, COUNT(*) AS deg FROM dir GROUP BY 1), " +
+        "c AS (SELECT l.node AS a, r.node AS b, COUNT(*) AS common FROM dir l JOIN dir r ON l.nbr = r.nbr AND l.node < r.node GROUP BY 1, 2) " +
+        "SELECT a, b, common, round(CAST(common AS DOUBLE) / unions, 6) AS jac FROM (SELECT a, b, common, da.deg + db.deg - common AS unions FROM c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node) ORDER BY jac DESC, a ASC, b ASC LIMIT 100")),
+    QueryDef("q_graph_kcore", qGraphKcore, None),
     QueryDef("q_graph_pagerank", qGraphPagerank, Some(
       edgeCte + ", dir AS (SELECT sa AS src, sb AS dst FROM e UNION ALL SELECT sb, sa FROM e), " +
         "deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1), " +

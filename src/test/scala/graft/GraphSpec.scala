@@ -74,6 +74,48 @@ class GraphSpec extends SparkSpec {
     assert(ranks.distinct.size === 1)
   }
 
+  test("common-neighbor similarity: perfect twins score 1, exact counts") {
+    // 1 and 2 have IDENTICAL neighborhoods {3,4,5} and no direct edge ->
+    // jac = 1.0; node 6 hangs off 3 only, so its best overlap is 1
+    // shared neighbor against a union of 3.
+    val g = edgesDf(Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 6L)))
+    val sims = Graph.commonNeighborSimilarity(g).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("common"), r.getAs[Double]("jac"))).toMap
+    assert(sims((1L, 2L)) === ((3L, 1.0)))
+    // 3,4 share neighbors {1,2}: common=2, deg3=3 (1,2,6), deg4=2 ->
+    // union=3, jac=2/3
+    assert(sims((3L, 4L))._1 === 2L)
+    assert(sims((3L, 4L))._2 === 0.666667)
+    // 1,6 share only neighbor 3: jac = 1/3 — present but ranked low
+    assert(sims((1L, 6L)) === ((1L, 0.333333)))
+    // pairs with NO shared neighbor never become candidates
+    assert(!sims.contains((5L, 6L)))
+  }
+
+  test("k-core: peels the tail, keeps the clique, properties hold") {
+    // 4-clique {1,2,3,4} with a pendant chain 4-5-6: 3-core = the clique.
+    val g = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)))
+    val core = Graph.kCore(g, 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(core.keySet === Set(1L, 2L, 3L, 4L))
+    // every kept node has >= 3 neighbors inside the core
+    assert(core.values.forall(_ >= 3L))
+    // maximality: dropped nodes have < 3 neighbors in the core
+    // (5 has one core neighbor: 4; 6 has none)
+    val adj = Map(5L -> Seq(4L, 6L), 6L -> Seq(5L))
+    assert(adj(5L).count(core.contains) < 3)
+    assert(adj(6L).count(core.contains) < 3)
+    // a graph that is entirely its own 3-core is untouched
+    val k4 = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(Graph.kCore(k4, 3).count() === 4L)
+    // and an over-aggressive k empties it
+    assert(Graph.kCore(k4, 4).count() === 0L)
+  }
+
   test("significant-edges threshold keeps only >= mu + 2 sigma pairs") {
     import spark.implicits._
     // 9 background pairs at cnt=1, one hot pair at cnt=100:
