@@ -554,6 +554,45 @@ object Relational2 {
       .orderBy("event_id")
   }
 
+  /** Referential-integrity audit — the warehouse data-quality gate run
+    * after every load: one row per FK relationship with its row count
+    * and orphan count (non-null FK values with no matching dimension
+    * key). Each relationship is a LEFT ANTI join (Spark's native
+    * existence-negation — no row materializes unless it is an orphan)
+    * plus a 1-row count aggregate; dims broadcast, the fact-sized scans
+    * partial-aggregate, and the 7 relationship rows union at the end.
+    * A deployment runs exactly this after landing and alerts on any
+    * n_orphans > 0. */
+  val qIntegrityAudit: (SparkSession, String) => DataFrame = (s, d) => {
+    def audit(rel: String, fact: DataFrame, fk: String, dim: DataFrame,
+        pk: String): DataFrame = {
+      val rows = fact.agg(count(lit(1)).as("n_rows"))
+      val orphans = fact.filter(col(fk).isNotNull)
+        .join(dim.select(col(pk).as("__pk")), col(fk) === col("__pk"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      rows.crossJoin(orphans).select(lit(rel).as("fk"), col("n_rows"),
+        col("n_orphans"))
+    }
+    Seq(
+      audit("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      audit("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      audit("lineitem.l_partkey->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"),
+      audit("orders.o_custkey->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"),
+      audit("customer.c_nationkey->nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+      audit("supplier.s_nationkey->nation", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey"),
+      audit("nation.n_regionkey->region", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy("fk")
+  }
+
   /** Dynamic-partition-pruning join over the day-partitioned layout —
     * the RUNTIME complement of q_scan_partition_pruned's static prune
     * and the partitioned-layout analogue of the runtime Bloom filters
@@ -865,6 +904,15 @@ object Relational2 {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("q_join_dpp", qJoinDpp, Some(
       "WITH dim AS (SELECT day FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt FROM events GROUP BY 1) WHERE cnt % 2 = 0) SELECT dim.day, COUNT(*) AS n_events, CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events e JOIN dim ON strftime(e.ts, '%Y-%m-%d') = dim.day GROUP BY dim.day ORDER BY dim.day")),
+    QueryDef("q_integrity_audit", qIntegrityAudit, Some(
+      "SELECT 'lineitem.l_orderkey->orders' AS fk, (SELECT COUNT(*) FROM lineitem) AS n_rows, (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans " +
+        "UNION ALL SELECT 'lineitem.l_suppkey->supplier', (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM lineitem l WHERE l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) " +
+        "UNION ALL SELECT 'lineitem.l_partkey->part', (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM lineitem l WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) " +
+        "UNION ALL SELECT 'orders.o_custkey->customer', (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) " +
+        "UNION ALL SELECT 'customer.c_nationkey->nation', (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer c WHERE c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) " +
+        "UNION ALL SELECT 'supplier.s_nationkey->nation', (SELECT COUNT(*) FROM supplier), (SELECT COUNT(*) FROM supplier s WHERE s_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) " +
+        "UNION ALL SELECT 'nation.n_regionkey->region', (SELECT COUNT(*) FROM nation), (SELECT COUNT(*) FROM nation n WHERE n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) " +
+        "ORDER BY fk")),
     QueryDef("q_scan_bloom", qScanBloom, Some(
       "WITH r AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events) SELECT event_id, user_id, event_type, value FROM events, r WHERE event_id IN (lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi) ORDER BY event_id")),
     QueryDef("q_scan_partition_pruned", qScanPartitionPruned, Some(
