@@ -116,6 +116,19 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(k4, 4).count() === 0L)
   }
 
+  test("incremental cooc merge reconstructs the full-build graph exactly") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val full = Graph.significantEdges(Graph.coSupplierCooc(li))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = Graph.coSupplierCooc(li.filter(col("l_orderkey") % 10 =!= 0))
+    val delta = Graph.coSupplierCooc(li.filter(col("l_orderkey") % 10 === 0))
+    val inc = Graph.significantEdges(Graph.mergeCooc(base, delta))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+    assert(full.nonEmpty)
+  }
+
   test("significant-edges threshold keeps only >= mu + 2 sigma pairs") {
     import spark.implicits._
     // 9 background pairs at cnt=1, one hot pair at cnt=100:
