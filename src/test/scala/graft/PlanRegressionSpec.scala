@@ -353,6 +353,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("BroadcastExchange"), p.take(900))
   }
 
+  test("affinity edge build: pair join keys on order id, threshold is " +
+      "a broadcast 1-row gate, aggregation partial-then-final") {
+    val df = operators.Graph.significantEdges(
+      operators.Graph.coSupplierCooc(Tables.lineitem(spark, sf)))
+    val p = df.queryExecution.executedPlan.toString
+    // the self-join on the order key is an equi-join, never a cartesian
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the 2σ cut joins as a broadcast of the single moment row
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(1200))
+    // co-occurrence counting partial-aggregates map-side
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(1200))
+  }
+
+  test("fixed-point pagerank iteration joins shuffle on the node key " +
+      "and aggregate partially — no broadcast of the rank table") {
+    val edges = operators.Graph.significantEdges(
+      operators.Graph.coSupplierCooc(Tables.lineitem(spark, sf)))
+      .localCheckpoint()
+    val p = operators.Graph.pagerankFixedPoint(edges, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
+
   test("bucketed embedding near-dup has no data-sized nested-loop join") {
     // Only the k-row centroid/cluster-pair sides may broadcast; the member
     // verify join must be a shuffle equi-join with the exact predicate in
