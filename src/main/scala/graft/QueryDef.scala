@@ -22,6 +22,7 @@ object Registry {
     operators.Relational.defs ++
       operators.Relational2.defs ++
       operators.Olap.defs ++
+      operators.Olap2.defs ++
       operators.Subqueries.defs ++
       operators.Events.defs ++
       operators.Temporal.defs ++

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** The remaining TPC-H shapes (Q2/Q4/Q16/Q17/Q20/Q21/Q22) as named
+  * queries, completing the literal 22-query suite. Their sub-shapes were
+  * already covered by the subquery surface (q_exists_semi, q_not_in,
+  * q_scalar_avg_filter, q_scalar_gate, q_not_exists); these make the
+  * canonical compositions explicit, each with its decorrelation written
+  * the way an optimizer rewrites it — window-min for Q2's correlated MIN,
+  * semi-join for Q4's EXISTS, one aggregation pass for Q21's
+  * EXISTS+NOT-EXISTS pair — while the oracles state the classic
+  * correlated formulations, so the driver hash-proves the rewrites.
+  *
+  * Schema adaptations (same discipline as Q9/Q11/Q12 in Olap.scala — the
+  * testdata has no partsupp and no commit/receipt dates):
+  * - the part⋈supplier "supply" relationship is DISTINCT (l_partkey,
+  *   l_suppkey) from lineitem; supply cost is MIN shipped extendedprice
+  *   (order-independent, exact decimal);
+  * - "late" is shipped-more-than-30-days-after-order-date, the lateness
+  *   predicate Q12 and the subquery surface already use;
+  * - Q16's "customer complaints" supplier exclusion becomes negative
+  *   account balance; Q22's phone country code becomes c_nationkey, and
+  *   "no orders in 7 years" becomes no orders since 1999-01-01 (every
+  *   fixture customer has SOME order).
+  *
+  * Money/threshold determinism (QueryDef contract): every comparison
+  * against a derived average is written multiplication-only in exact
+  * decimal — Q17's `qty < 0.2·avg(qty)` runs as `qty·5·cnt < sum`,
+  * Q22's `bal > avg(bal)` as `bal·n > total` — so no engine ever
+  * divides before comparing and the row sets are bit-identical.
+  */
+object Olap2 {
+
+  private def d12(c: Column): Column = c.cast("decimal(12,2)")
+
+  private def dimRegion(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === name),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+
+  /** Q2 — minimum-cost supplier. The correlated-MIN shape: among EUROPE
+    * suppliers of each STANDARD small part, keep those offering the
+    * part's minimum cost. Decorrelated as a window MIN over the per-
+    * (part, supplier) aggregate — partitioned by part key, so the window
+    * is corpus-partitioned, never global; the part filter joins BEFORE
+    * the window (it selects whole partkeys, so the per-part min is
+    * unchanged and the window input shrinks at the scan). supplier is
+    * fact-sized and shuffles; only nation⋈region broadcasts. */
+  val qTpchQ2: (SparkSession, String) => DataFrame = (s, d) => {
+    val euro = Tables.supplier(s, d)
+      .join(broadcast(dimRegion(s, d, "EUROPE")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    val supply = Tables.lineitem(s, d)
+      .join(euro, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+      .agg(min(d12(col("l_extendedprice"))).as("cost"))
+    supply
+      .join(Tables.part(s, d)
+          .filter(col("p_size") <= 10 && col("p_type") === "STANDARD"),
+        col("p_partkey") === col("l_partkey"))
+      .withColumn("min_cost",
+        min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        col("cost").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q4 — order-priority checking. EXISTS(late line) runs as a LEFT SEMI
+    * join with the lateness predicate IN the join condition: one shuffle
+    * on the order key, the quarter filter pushed to the orders scan. */
+  val qTpchQ4: (SparkSession, String) => DataFrame = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** Q16 — parts/supplier relationship count. The NOT-IN exclusion runs
+    * as a LEFT ANTI join against the (tiny, but fact-shaped) excluded-
+    * supplier set — s_suppkey is non-null so anti ≡ NOT IN; the distinct
+    * supply projection partial-aggregates map-side before its one
+    * shuffle, and COUNT(DISTINCT) expands per-key, never globally. */
+  val qTpchQ16: (SparkSession, String) => DataFrame = (s, d) => {
+    val complained = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      .join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#5" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q17 — small-quantity-order revenue. The correlated scalar-AVG gate,
+    * decorrelated as aggregate-then-join on the part key; the 20%-of-
+    * average cut is the multiplication-only form qty·5·cnt < sum(qty),
+    * exact in decimal in both engines. The per-part aggregate runs over
+    * the FULL lineitem (the correlated subquery's scope — not just the
+    * branded parts), one map-side-combinable shuffle. */
+  val qTpchQ17: (SparkSession, String) => DataFrame = (s, d) => {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("ap"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"),
+        sum(d12(col("l_quantity"))).as("sq"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM"),
+        col("p_partkey") === col("l_partkey"))
+      .join(perPart, col("ap") === col("l_partkey"))
+      .filter(d12(col("l_quantity")) * lit(5).cast("decimal(3,0)") *
+        col("cnt") < col("sq"))
+      .agg((sum(d12(col("l_extendedprice"))).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  /** Q20 — potential part promotion. The nested-IN shape: suppliers who
+    * shipped >20 units of some widget part in 1997, intersected with a
+    * region's suppliers. The inner aggregate reduces lineitem to
+    * (supplier, part) totals FIRST (partial agg map-side); the outer
+    * membership runs as LEFT SEMI — no distinct materialization of the
+    * inner set beyond the semi-join's build side. */
+  val qTpchQ20: (SparkSession, String) => DataFrame = (s, d) => {
+    val qualified = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.part(s, d).filter(col("p_name").contains("widget")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(d12(col("l_quantity"))).as("shipped"))
+      .filter(col("shipped") > 20)
+    Tables.supplier(s, d)
+      .join(broadcast(dimRegion(s, d, "EUROPE")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  /** Q21 — suppliers who kept orders waiting. The classic formulation is
+    * an EXISTS + NOT EXISTS pair over two more lineitem scans; here both
+    * collapse into ONE aggregation per order — n_supp ≥ 2 encodes the
+    * EXISTS (another supplier participated), n_late_supp = 1 encodes the
+    * NOT EXISTS (nobody else was late), and the unique late supplier is
+    * recovered as MIN(late suppkey) under that condition. One shuffle on
+    * the order key instead of three correlated scans; the oracle states
+    * the textbook EXISTS form, so the driver hash-proves the rewrite. */
+  val qTpchQ21: (SparkSession, String) => DataFrame = (s, d) => {
+    val lines = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+          .as("late"))
+    lines.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        min(when(col("late"), col("l_suppkey"))).as("waiting_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(Tables.supplier(s, d), col("waiting_supp") === col("s_suppkey"))
+      .join(broadcast(dimRegion(s, d, "ASIA")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Q22 — global sales opportunity. Scalar-gate + anti-join: the
+    * positive-balance average over the country pool broadcasts as ONE
+    * row (multiplication-only comparison bal·n > total, exact decimal),
+    * dormant customers are a LEFT ANTI against recent orders, and the
+    * final histogram groups by the handful of country codes. */
+  val qTpchQ22: (SparkSession, String) => DataFrame = (s, d) => {
+    val pool = Tables.customer(s, d)
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+      .select(col("c_custkey"), col("c_nationkey"),
+        d12(col("c_acctbal")).as("bal"))
+    val stats = pool.filter(col("bal") > 0)
+      .agg(sum(col("bal")).cast("decimal(18,2)").as("total"),
+        count(lit(1)).cast("decimal(10,0)").as("n"))
+    pool.join(broadcast(stats))
+      .filter(col("bal") * col("n") > col("total"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tpch_q2", qTpchQ2, Some(
+      "WITH supply AS (SELECT l_partkey, s_suppkey, s_acctbal, s_name, n_name, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' GROUP BY 1,2,3,4,5) SELECT s_acctbal, s_name, n_name, p_partkey, p_name, CAST(cost AS DOUBLE) AS supply_cost FROM supply JOIN part ON p_partkey = l_partkey WHERE p_size <= 10 AND p_type = 'STANDARD' AND cost = (SELECT MIN(cost) FROM supply s2 WHERE s2.l_partkey = supply.l_partkey) ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100")),
+    QueryDef("q_tpch_q4", qTpchQ4, Some(
+      "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY) GROUP BY 1 ORDER BY 1")),
+    QueryDef("q_tpch_q16", qTpchQ16, Some(
+      "SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps JOIN part ON p_partkey = l_partkey WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1,4,7,10,13,16,19,22) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size")),
+    QueryDef("q_tpch_q17", qTpchQ17, Some(
+      "WITH agg AS (SELECT l_partkey AS ap, CAST(COUNT(*) AS DECIMAL(10,0)) AS cnt, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq FROM lineitem GROUP BY 1) SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7.0 AS avg_yearly FROM lineitem JOIN part ON p_partkey = l_partkey JOIN agg ON ap = l_partkey WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM' AND CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(3,0)) * cnt < sq")),
+    QueryDef("q_tpch_q20", qTpchQ20, Some(
+      "SELECT s_name, s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_name LIKE '%widget%' AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_suppkey, l_partkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 20) ORDER BY s_name")),
+    QueryDef("q_tpch_q21", qTpchQ21, Some(
+      "WITH l AS (SELECT l_orderkey, l_suppkey, (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F') SELECT s_name, COUNT(*) AS numwait FROM (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey FROM l l1 WHERE l1.late AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)) w JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100")),
+    QueryDef("q_tpch_q22", qTpchQ22, Some(
+      "WITH pool AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)), s AS (SELECT CAST(SUM(bal) AS DECIMAL(18,2)) AS total, CAST(COUNT(*) AS DECIMAL(10,0)) AS n FROM pool WHERE bal > 0) SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal FROM pool, s WHERE bal * n > total AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') GROUP BY 1 ORDER BY 1"))
+  )
+}

@@ -155,4 +155,52 @@ class OlapPlanSpec extends SparkSpec {
     assert(!analyzed.toLowerCase.contains("broadcast"),
       analyzed.take(1500))
   }
+
+  // --- the round-8 TPC-H closers (Olap2.scala) ---
+
+  private def scanCount(p: String, table: String): Int =
+    p.linesIterator.count(l =>
+      l.contains(s"$table.parquet") && l.contains("FileScan"))
+
+  test("Q2's correlated MIN runs as a part-key-partitioned window, " +
+      "top-100 via TakeOrdered — no cartesian, no global window") {
+    val p = plan("q_tpch_q2")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    val windowLine = p.linesIterator.find(_.contains("Window"))
+    assert(windowLine.exists(_.contains("l_partkey")), windowLine.toString)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("Q4's EXISTS is a LEFT SEMI with the quarter filter pushed to " +
+      "the orders scan; Q16/Q22's exclusions are LEFT ANTI") {
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), p4.take(1000))
+    assert(p4.contains("GreaterThanOrEqual(o_orderdate"), p4.take(1500))
+    assert(plan("q_tpch_q16").contains("LeftAnti"))
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), p22.take(1000))
+    // the balance gate joins as the broadcast of ONE aggregate row
+    assert(p22.contains("BroadcastNestedLoopJoin") ||
+      p22.contains("BroadcastExchange"), p22.take(1200))
+  }
+
+  test("Q21's EXISTS + NOT EXISTS pair collapses to ONE lineitem scan " +
+      "(the classic form takes three)") {
+    val p = plan("q_tpch_q21")
+    assert(scanCount(p, "lineitem") === 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("Q17/Q20 aggregate partial-then-final; Q20 pushes the p_name " +
+      "contains-filter into the part scan") {
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("partial_sum") || p17.contains("partial_count"),
+      p17.take(1200))
+    // the scalar-avg gate is decorrelated: equi-joins only
+    assert(!p17.contains("CartesianProduct") &&
+      !p17.contains("BroadcastNestedLoopJoin"), p17.take(1200))
+    val p20 = plan("q_tpch_q20")
+    assert(p20.contains("LeftSemi"), p20.take(1000))
+    assert(p20.contains("StringContains(p_name,widget)"), p20.take(2000))
+  }
 }
