@@ -438,8 +438,77 @@ object TextAnalysis {
       .orderBy(col("exact_cnt").desc, col("tok").asc)
   }
 
+  /** Full BPE training over a (word, freq) vocabulary: `rounds` greedy
+    * merge rounds, each one Spark job over the VOCAB-SIZED symbol table —
+    * the corpus is touched exactly once (the word-count shuffle the
+    * caller already paid). Per round: adjacent-pair counts weighted by
+    * word frequency, argmax with (count desc, pair asc) tie-break — the
+    * single collected row is 1-row metadata, the broadcast-threshold
+    * discipline — then greedy left-to-right non-overlapping merge
+    * application as an `aggregate` fold over each symbol array (the
+    * merged symbol differs from its left part, so the fold can never
+    * re-match an overlap). localCheckpoint truncates the per-round
+    * lineage; the table it materializes is the vocabulary, which is
+    * exactly what every BPE trainer (vocab-count-first, Sennrich §3)
+    * holds in memory at any corpus scale. Stops early when no pair is
+    * left (every word fully merged). */
+  def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var syms = words.select(col("freq"),
+      concat(regexp_extract_all(col("word"), lit("."), lit(0)),
+        array(lit("</w>"))).as("sym"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val best = syms.select(col("freq"),
+          explode(when(size(col("sym")) >= 2,
+            transform(sequence(lit(1), size(col("sym")) - 1),
+              i => struct(element_at(col("sym"), i).as("a"),
+                element_at(col("sym"), i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, s"$a $b", cnt))
+        val (aL, bL) = (lit(a), lit(b))
+        syms = syms.select(col("freq"),
+          aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === aL && x === bL,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(aL, bL))))
+              .otherwise(concat(acc, array(x)))).as("sym"))
+          .localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "pair", "weighted_cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** Declared BPE-training query: the first 8 learned merges over the
+    * documents vocabulary, with the weighted pair count each merge saw
+    * when it won — the training trace a tokenizer build emits. Iterative
+    * fixpoint semantics DuckDB cannot express → rows-only; BpeSpec locks
+    * the merge sequence on a hand-computed vocabulary and character
+    * conservation on the fixture. */
+  val qBpeEncode: (SparkSession, String) => DataFrame = (s, d) =>
+    bpeTrain(
+      Tables.documents(s, d)
+        .select(explode(wsTokens).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      rounds = 8)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_topk", qApproxTopk, None),
+    QueryDef("q_bpe_encode", qBpeEncode, None),
     QueryDef("q_quality_unigram_lp", qQualityUnigramLp, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2), cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt) SELECT doc_id, round(CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(24,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_bm25_topterms", qBm25TopTerms, Some(
