@@ -164,18 +164,24 @@ object Olap2 {
     * recovered as MIN(late suppkey) under that condition. One shuffle on
     * the order key instead of three correlated scans; the oracle states
     * the textbook EXISTS form, so the driver hash-proves the rewrite. */
-  val qTpchQ21: (SparkSession, String) => DataFrame = (s, d) => {
-    val lines = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+  /** The one-pass stage of [[qTpchQ21]], exposed for the scale probe:
+    * (order, waiting supplier) pairs where that supplier was the ONLY
+    * late one on a multi-supplier finished order. */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
           .as("late"))
-    lines.groupBy("l_orderkey")
+      .groupBy("l_orderkey")
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
         min(when(col("late"), col("l_suppkey"))).as("waiting_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+
+  val qTpchQ21: (SparkSession, String) => DataFrame = (s, d) => {
+    waitingSuppliers(Tables.lineitem(s, d), Tables.orders(s, d))
       .join(Tables.supplier(s, d), col("waiting_supp") === col("s_suppkey"))
       .join(broadcast(dimRegion(s, d, "ASIA")),
         col("s_nationkey") === col("n_nationkey"))
@@ -224,18 +230,46 @@ object Olap2 {
       val path = s"${sys.props("java.io.tmpdir")}/graft_rollup_" +
         s"${s.sparkContext.applicationId.hashCode.toHexString}_" +
         java.lang.Integer.toHexString(d.hashCode)
-      val one = lit(1).cast("decimal(4,2)")
-      val disc = d12(col("l_extendedprice")) *
-        (one - col("l_discount").cast("decimal(4,2)"))
-      Tables.lineitem(s, d)
-        .groupBy(to_date(col("l_shipdate")).as("day"),
-          col("l_returnflag"))
-        .agg(sum(d12(col("l_quantity"))).as("qty_d"),
-          sum(disc).as("rev_d"),
-          count(lit(1)).as("n_items"))
-        .write.mode("overwrite").parquet(path)
+      rollupOf(Tables.lineitem(s, d)).write.mode("overwrite").parquet(path)
       path
     })
+
+  /** The daily-rollup aggregation shared by the staged layout, the
+    * incremental merge, and the scale probe. */
+  def rollupOf(df: DataFrame): DataFrame = {
+    val one = lit(1).cast("decimal(4,2)")
+    val disc = d12(col("l_extendedprice")) *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    df.groupBy(to_date(col("l_shipdate")).as("day"), col("l_returnflag"))
+      .agg(sum(d12(col("l_quantity"))).as("qty_d"),
+        sum(disc).as("rev_d"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Incremental rollup maintenance — the additive-merge complement of
+    * [[qRollupReuse]] (the q_graph_increment discipline): two partial
+    * rollups over OVERLAPPING day keys (a deterministic 90/10 modulo
+    * split of the fact stream — the "yesterday's rollup + today's late
+    * batch" shape) merge by key-summing their exact-decimal partials,
+    * and the monthly answer from the merged table shares the
+    * full-rebuild oracle BY REFERENCE: the driver hash-proves
+    * incremental ≡ rebuilt-from-scratch. Merge cost is rollup-sized
+    * (days×flags), never fact-sized — the 100 TB maintenance story. */
+  val qRollupIncrement: (SparkSession, String) => DataFrame = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val base = rollupOf(li.filter(pmod(col("l_orderkey"), lit(10L)) < 9))
+    val delta = rollupOf(li.filter(pmod(col("l_orderkey"), lit(10L)) >= 9))
+    base.unionByName(delta)
+      .groupBy("day", "l_returnflag")
+      .agg(sum(col("qty_d")).as("qty_d"), sum(col("rev_d")).as("rev_d"),
+        sum(col("n_items")).as("n_items"))
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"),
+        col("l_returnflag"))
+      .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
+        sum(col("rev_d")).cast("double").as("revenue"),
+        sum(col("n_items")).as("n_items"))
+      .orderBy("month", "l_returnflag")
+  }
 
   /** Summary-table reuse — answer a monthly aggregate FROM the
     * materialized daily rollup instead of the fact scan. The rollup
@@ -254,9 +288,14 @@ object Olap2 {
         sum(col("n_items")).as("n_items"))
       .orderBy("month", "l_returnflag")
 
+  private val rollupOracle =
+    "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_rollup_reuse", qRollupReuse, Some(
-      "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("q_rollup_reuse", qRollupReuse, Some(rollupOracle)),
+    // shares the full-rebuild oracle BY REFERENCE: the driver hash-match
+    // proves the additive partial-merge reconstructs the identical rollup
+    QueryDef("q_rollup_increment", qRollupIncrement, Some(rollupOracle)),
     QueryDef("q_tpch_q2", qTpchQ2, Some(
       "WITH supply AS (SELECT l_partkey, s_suppkey, s_acctbal, s_name, n_name, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' GROUP BY 1,2,3,4,5) SELECT s_acctbal, s_name, n_name, p_partkey, p_name, CAST(cost AS DOUBLE) AS supply_cost FROM supply JOIN part ON p_partkey = l_partkey WHERE p_size <= 10 AND p_type = 'STANDARD' AND cost = (SELECT MIN(cost) FROM supply s2 WHERE s2.l_partkey = supply.l_partkey) ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100")),
     QueryDef("q_tpch_q4", qTpchQ4, Some(

@@ -232,6 +232,26 @@ object ScaleProbe {
       .select(col("s_suppkey").as("id"), col("s_name").as("name"))
     time(s"blocked fuzzy join over ${n}x suppliers (names duplicated)")(
       graft.operators.Entity.fuzzyPairs(supp10, 1).count())
+    // Round-8 part-7 probes: the literal-TPC-H and rollup closers.
+    // (a) Q21 one-pass rewrite: the EXISTS+NOT-EXISTS pair as a single
+    // per-order aggregation — one shuffle on the order key; contrast
+    // with the three-pass notExistsSql probe above. Replication widens
+    // every order's supplier set ×n (countDistinct state grows), which
+    // is exactly the stress the one-pass form must absorb map-side.
+    time(s"TPC-H Q21 one-pass rewrite over ${n}x lineitem+orders")(
+      graft.operators.Olap2.waitingSuppliers(lineitem, orders).count())
+    // (b) rollup build + additive merge: build cost is fact-linear (the
+    // nightly job); the 90/10 partial merge must stay rollup-sized.
+    time(s"daily rollup build + additive 90/10 merge over ${n}x lineitem") {
+      val r = graft.operators.Olap2.rollupOf(
+        lineitem.filter(pmod(col("l_orderkey"), lit(10L)) < 9))
+        .unionByName(graft.operators.Olap2.rollupOf(
+          lineitem.filter(pmod(col("l_orderkey"), lit(10L)) >= 9)))
+        .groupBy("day", "l_returnflag")
+        .agg(sum(col("qty_d")).as("qty_d"), sum(col("rev_d")).as("rev_d"),
+          sum(col("n_items")).as("n_items"))
+      r.count()
+    }
     spark.stop()
   }
 }
