@@ -461,7 +461,59 @@ object Curation {
   private val shardDigestOracle =
     "WITH a AS (SELECT doc_id, md5('graft_shuffle' || CAST(doc_id AS VARCHAR)) AS h FROM documents), b AS (SELECT doc_id, h, CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 8 AS INT) AS shard FROM a), r AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn FROM b) SELECT shard, COUNT(*) AS n_docs, CAST(SUM((rn * (doc_id % 1000003 + 7)) % 2147483647) AS BIGINT) AS digest FROM r GROUP BY shard ORDER BY shard"
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document log
+    * importance weight under hashed-n-gram bag-of-features models of a
+    * TARGET distribution (here lang='en' — the "quality domain" stand-in)
+    * vs the RAW corpus. Features are unigram+bigram occurrences hashed to
+    * 256 buckets via the md5 hex-pair decode both engines share
+    * (qDomainMix's move — never engine-specific hash()); bucket counts
+    * get +1 smoothing; each doc's weight is the sum over its feature
+    * OCCURRENCES of the bucket log-ratio.
+    *
+    * Scale shape: feature hashing is a codegen'd map pass; both count
+    * tables aggregate to ≤256 rows (map-side partial combine does nearly
+    * all the work); the log-ratio table joins back as a BROADCAST of 256
+    * rows; the only corpus-sized shuffle is the per-doc re-aggregation on
+    * doc_id. Cross-engine float discipline: ln() runs on identically-
+    * ordered arithmetic and is rounded to 6 decimals into DECIMAL(24,6)
+    * BEFORE the exact per-doc sum (the q_quality_unigram_lp rule), so
+    * partitioning can never flip a hash. */
+  val qDsirWeights: (SparkSession, String) => DataFrame = (s, d) => {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .repartition(parts)
+    val feats = docs.select(col("doc_id"), col("lang"),
+        explode(concat(col("t"), ngramsFromToks(col("t"), 2))).as("f"))
+      .withColumn("b",
+        (expr("instr('0123456789abcdef', substring(md5(f), 1, 1))") - 1)
+          * 16 +
+        (expr("instr('0123456789abcdef', substring(md5(f), 2, 1))") - 1))
+      .select("doc_id", "lang", "b")
+    val srcCnt = feats.groupBy("b").agg(count(lit(1)).as("c_s"))
+    val tgtCnt = feats.filter(col("lang") === "en")
+      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))
+    val totals = srcCnt.agg(sum(col("c_s")).as("n_s"))
+      .crossJoin(tgtCnt.agg(sum(col("c_t")).as("n_t")))
+    val ratio = srcCnt
+      .join(tgtCnt, col("b") === col("tb"), "left_outer")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("c_t") + 1).cast("double") * (col("n_s") + 256)) /
+          ((col("c_s") + 1).cast("double") * (col("n_t") + 256))), 6)
+          .cast("decimal(24,6)").as("lr"))
+    feats.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("lr")).cast("double").as("dsir_lw"),
+        count(lit(1)).as("n_feats"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dsir_weights", qDsirWeights, Some(
+      "WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents), f0 AS (SELECT doc_id, lang, unnest(t) AS f FROM t UNION ALL SELECT doc_id, lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f FROM t WHERE len(t) >= 2), fb AS (SELECT doc_id, lang, (instr('0123456789abcdef', substring(md5(f), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(f), 2, 1)) - 1) AS b FROM f0), sc AS (SELECT b, COUNT(*) AS c_s FROM fb GROUP BY b), tc AS (SELECT b AS tb, COUNT(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY 1), tot AS (SELECT (SELECT SUM(c_s) FROM sc) AS n_s, (SELECT COALESCE(SUM(c_t), 0) FROM tc) AS n_t), r AS (SELECT b, CAST(round(ln((CAST(c_t + 1 AS DOUBLE) * (n_s + 256)) / (CAST(c_s + 1 AS DOUBLE) * (n_t + 256))), 6) AS DECIMAL(24,6)) AS lr FROM (SELECT sc.b, c_s, COALESCE(c_t, 0) AS c_t FROM sc LEFT JOIN tc ON sc.b = tc.tb) CROSS JOIN tot) SELECT doc_id, CAST(SUM(lr) AS DOUBLE) AS dsir_lw, COUNT(*) AS n_feats FROM fb JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_equidepth_bins", qEquidepthBins, Some(
       "WITH c AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM orders) SELECT CAST(len(list_filter(c.cuts, x -> o.o_totalprice >= x)) AS INT) AS bin, COUNT(*) AS cnt, MIN(o.o_totalprice) AS lo, MAX(o.o_totalprice) AS hi FROM orders o CROSS JOIN c GROUP BY 1 ORDER BY 1")),
     QueryDef("q_pack_sequences", qPackSequences, Some(

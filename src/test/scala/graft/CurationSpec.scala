@@ -139,4 +139,20 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(wSum - evenIn) / evenIn < 0.35,
       s"weighted even mass $wSum vs $evenIn")
   }
+
+  test("DSIR importance weights rank target-language docs above the " +
+      "rest on average (length-normalized)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Curation.qDsirWeights(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+    // per-feature average log-ratio: positive means the doc's features
+    // look more like the target model than the raw-corpus model
+    val byTarget = out
+      .groupBy((col("lang") === "en").as("is_target"))
+      .agg(avg(col("dsir_lw") / col("n_feats")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTarget(true) > byTarget(false),
+      s"target ${byTarget(true)} vs rest ${byTarget(false)}")
+    assert(byTarget(true) > 0 && byTarget(false) < 0, byTarget.toString)
+  }
 }
