@@ -379,6 +379,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(1200))
   }
 
+  test("DSIR weights: the log-ratio table joins back as a BROADCAST " +
+      "(256-row side), never a corpus-sized shuffle or cartesian") {
+    val p = operators.Curation.qDsirWeights(spark, sf)
+      .queryExecution.executedPlan.toString
+    // feature-stream ⋈ ratio must be the hinted broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the only BroadcastNestedLoopJoins allowed are the 1-row totals
+    // cross joins; they appear at most twice (totals into ratio)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"$bnlj BNLJs\n${p.take(1500)}")
+  }
+
   test("bucketed embedding near-dup has no data-sized nested-loop join") {
     // Only the k-row centroid/cluster-pair sides may broadcast; the member
     // verify join must be a shuffle equi-join with the exact predicate in
