@@ -104,6 +104,58 @@ object SqlTwins {
           |      FROM g7_documents)
           |WHERE rn = 1
           |ORDER BY doc_id""".stripMargin),
-      oracleOf(Dedup.defs, "q_dedup_exact"))
+      oracleOf(Dedup.defs, "q_dedup_exact")),
+    // The TEXTBOOK correlated formulations of Q21/Q2 through spark.sql —
+    // unlike the other twins these are NOT the same logical plan as their
+    // DataFrame originals: the originals are hand-written decorrelations
+    // (one-pass aggregate / window-min), while these make CATALYST do the
+    // decorrelating from the classic EXISTS/NOT-EXISTS and correlated-MIN
+    // text. Sharing the originals' oracles hash-proves all three agree:
+    // classic SQL ≡ Catalyst's rewrite ≡ the hand rewrite.
+    QueryDef("q_tpch_q21_sql",
+      sql(Seq("lineitem", "orders", "supplier", "nation", "region"),
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM (
+          |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          |  FROM g7_lineitem l1
+          |  JOIN g7_orders ON o_orderkey = l1.l_orderkey
+          |  WHERE o_orderstatus = 'F'
+          |    AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          |    AND EXISTS (SELECT 1 FROM g7_lineitem l2
+          |                WHERE l2.l_orderkey = l1.l_orderkey
+          |                  AND l2.l_suppkey <> l1.l_suppkey)
+          |    AND NOT EXISTS (SELECT 1 FROM g7_lineitem l3
+          |                WHERE l3.l_orderkey = l1.l_orderkey
+          |                  AND l3.l_suppkey <> l1.l_suppkey
+          |                  AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+          |) w
+          |JOIN g7_supplier ON s_suppkey = l_suppkey
+          |JOIN g7_nation ON s_nationkey = n_nationkey
+          |JOIN g7_region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin),
+      oracleOf(Olap2.defs, "q_tpch_q21")),
+    QueryDef("q_tpch_q2_sql",
+      sql(Seq("lineitem", "part", "supplier", "nation", "region"),
+        """WITH supply AS (
+          |  SELECT l_partkey, s_suppkey, s_acctbal, s_name, n_name,
+          |         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+          |  FROM g7_lineitem
+          |  JOIN g7_supplier ON l_suppkey = s_suppkey
+          |  JOIN g7_nation ON s_nationkey = n_nationkey
+          |  JOIN g7_region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'
+          |  GROUP BY 1, 2, 3, 4, 5)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+          |       CAST(cost AS DOUBLE) AS supply_cost
+          |FROM supply JOIN g7_part ON p_partkey = l_partkey
+          |WHERE p_size <= 10 AND p_type = 'STANDARD'
+          |  AND cost = (SELECT MIN(s2.cost) FROM supply s2
+          |              WHERE s2.l_partkey = supply.l_partkey)
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin),
+      oracleOf(Olap2.defs, "q_tpch_q2"))
   )
 }
