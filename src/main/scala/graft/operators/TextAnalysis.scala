@@ -452,10 +452,24 @@ object TextAnalysis {
     * exactly what every BPE trainer (vocab-count-first, Sennrich §3)
     * holds in memory at any corpus scale. Stops early when no pair is
     * left (every word fully merged). */
-  def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
-    val spark = words.sparkSession
-    import spark.implicits._
-    var syms = words.select(col("freq"),
+  /** Greedy left-to-right non-overlapping application of one merge to a
+    * symbol-array column, as an `aggregate` fold. */
+  private def mergeFold(sym: Column, a: String, b: String): Column = {
+    val (aL, bL) = (lit(a), lit(b))
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === aL && x === bL,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(aL, bL))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** The full training loop: the merge trace AND the final encoded
+    * vocabulary (word → symbol array), so callers can apply the trained
+    * tokenizer without re-training. */
+  def bpeTrainFull(words: DataFrame, rounds: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
+    var syms = words.select(col("word"), col("freq"),
       concat(regexp_extract_all(col("word"), lit("."), lit(0)),
         array(lit("</w>"))).as("sym"))
       .localCheckpoint()
@@ -478,18 +492,19 @@ object TextAnalysis {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((r, s"$a $b", cnt))
-        val (aL, bL) = (lit(a), lit(b))
-        syms = syms.select(col("freq"),
-          aggregate(col("sym"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === aL && x === bL,
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(aL, bL))))
-              .otherwise(concat(acc, array(x)))).as("sym"))
+        syms = syms.select(col("word"), col("freq"),
+            mergeFold(col("sym"), a, b).as("sym"))
           .localCheckpoint()
       }
     }
-    learned.toSeq.toDF("merge_rank", "pair", "weighted_cnt")
+    (learned.toSeq, syms)
+  }
+
+  def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    bpeTrainFull(words, rounds)._1
+      .toDF("merge_rank", "pair", "weighted_cnt")
       .orderBy("merge_rank")
   }
 
@@ -506,9 +521,35 @@ object TextAnalysis {
         .groupBy("word").agg(count(lit(1)).as("freq")),
       rounds = 8)
 
+  /** Token counting under the TRAINED tokenizer — the token-budgeting
+    * pass a pipeline runs before sequence packing: per-doc whitespace
+    * token count and BPE symbol count after the 8 learned merges.
+    * Vocab-count-first again: the merges apply on the VOCABULARY, and
+    * per-doc counts come from joining the doc token stream against the
+    * encoded vocab's per-word symbol lengths — the corpus never re-folds
+    * a merge per occurrence, and the join keys on the word (the shuffle a
+    * 100 TB run pays once; the vocab side partial-aggregates first).
+    * Training fixpoint semantics → rows-only; BpeSpec locks full-merge
+    * counts on the toy vocab and the count invariants on the fixture. */
+  val qBpeApply: (SparkSession, String) => DataFrame = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(wsTokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (_, syms) = bpeTrainFull(words, rounds = 8)
+    val wordLen = syms.select(col("word"), size(col("sym")).as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(wsTokens).as("word"))
+      .join(wordLen, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(col("n_sym")).as("bpe_symbols"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_topk", qApproxTopk, None),
     QueryDef("q_bpe_encode", qBpeEncode, None),
+    QueryDef("q_bpe_apply", qBpeApply, None),
     QueryDef("q_quality_unigram_lp", qQualityUnigramLp, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2), cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt) SELECT doc_id, round(CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(24,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_bm25_topterms", qBm25TopTerms, Some(

@@ -58,6 +58,43 @@ class BpeSpec extends SparkSpec {
     assert(rows2.toSeq === rows.toSeq)
   }
 
+  test("bpeTrainFull's encoded vocab: the toy corpus fully merges to " +
+      "one symbol per word") {
+    import spark.implicits._
+    val words = Seq(("ab", 4L), ("abc", 3L)).toDF("word", "freq")
+    val (_, syms) = operators.TextAnalysis.bpeTrainFull(words, rounds = 8)
+    val m = syms.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(m("ab") === Seq("ab</w>"))
+    assert(m("abc") === Seq("abc</w>"))
+  }
+
+  test("q_bpe_apply invariants on the fixture: symbols bounded by " +
+      "tokens and characters, totals conserve, rerun-deterministic") {
+    val sfDocs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("q_bpe_apply")(spark, sf)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every word encodes to between 1 and len(word)+1 symbols
+    assert(rows.forall { case (_, t, s) => s >= t }, "symbols >= tokens")
+    // total ws tokens across docs == corpus token count
+    val corpusToks = sfDocs
+      .select(size(split(trim(col("text")), "\\s+")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_._2).sum === corpusToks)
+    // merges actually compress: fewer symbols than raw chars+1 per word
+    val rawSyms = sfDocs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select((length(col("w")) + 1).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_._3).sum < rawSyms,
+      s"${rows.map(_._3).sum} vs raw $rawSyms")
+    val rows2 = SparkEntry.queries("q_bpe_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows2.toSeq === rows.toSeq)
+  }
+
   test("rollup reuse: monthly answer from the daily rollup is " +
       "bit-identical to the direct fact scan") {
     val fromRollup = SparkEntry.queries("q_rollup_reuse")(spark, sf)
