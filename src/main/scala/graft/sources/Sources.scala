@@ -149,6 +149,41 @@ object Sources {
       : DataFrame =
     spark.read.schema(schema).option("rowTag", "row").xml(path)
 
+  /** Write-audit-publish: the safe-landing discipline for production
+    * batch jobs. The frame lands in a STAGING directory, the audit
+    * function runs against a reader over that staging (referential
+    * integrity, row counts, null gates — whatever the caller composes),
+    * and only on audit success does the staging directory move atomically
+    * into the published path (HDFS/posix rename — one metadata op, never
+    * a data copy; object stores swap this for a manifest commit). A
+    * failed audit leaves the published path UNTOUCHED and the staging
+    * directory in place for forensics — downstream readers can never
+    * observe a half-landed or audit-failing table.
+    *
+    * Returns true when published. At 100 TB the audit cost is a query
+    * over the staged data (usually aggregates — integrity counts), and
+    * the publish is O(1) regardless of data size.
+    */
+  def writeAuditPublish(df: DataFrame, publishPath: String,
+      audit: DataFrame => Boolean): Boolean = {
+    val spark = df.sparkSession
+    val staging = publishPath + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    if (!audit(staged)) false
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pub = new org.apache.hadoop.fs.Path(publishPath)
+      val stg = new org.apache.hadoop.fs.Path(staging)
+      val fs = pub.getFileSystem(conf)
+      // replace-on-publish: the old version leaves before the rename so
+      // the swap is the single rename below (a production layout would
+      // version the published dirs instead of deleting)
+      if (fs.exists(pub)) fs.delete(pub, true)
+      fs.rename(stg, pub)
+    }
+  }
+
   def writeXmlTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("rowTag", "row").xml(path)
 }

@@ -197,4 +197,35 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("subscription_id").collect().toSeq ===
       subsFixture.orderBy("subscription_id").collect().toSeq)
   }
+
+  test("write-audit-publish: a failing audit never publishes and leaves " +
+      "the previous version readable; a passing one swaps atomically") {
+    import org.apache.spark.sql.functions._
+    val pub = Files.createTempDirectory("graft_wap").toString + "/orders"
+    val sf = "/root/testdata/sf0.001"
+    val v1 = Tables.orders(spark, sf).filter(col("o_orderkey") <= 500)
+    // audit: no null keys and at least one row
+    def audit(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val r = df.agg(count(lit(1)).as("n"),
+        count(when(col("o_orderkey").isNull, 1)).as("nulls")).head()
+      r.getLong(0) > 0 && r.getLong(1) === 0L
+    }
+    assert(Sources.writeAuditPublish(v1, pub, audit))
+    val n1 = spark.read.parquet(pub).count()
+    assert(n1 === v1.count())
+    // v2 fails its audit (row-count gate unmet) → publish refused,
+    // published table still serves v1, staging kept for forensics
+    val v2 = Tables.orders(spark, sf).filter(col("o_orderkey") < 0)
+    assert(!Sources.writeAuditPublish(v2, pub,
+      df => df.count() > 0))
+    assert(spark.read.parquet(pub).count() === n1)
+    val fs = new org.apache.hadoop.fs.Path(pub)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(pub + ".staging")))
+    // v3 passes → the published content is v3, staging consumed
+    val v3 = Tables.orders(spark, sf).filter(col("o_orderkey") <= 100)
+    assert(Sources.writeAuditPublish(v3, pub, audit))
+    assert(spark.read.parquet(pub).count() === v3.count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pub + ".staging")))
+  }
 }
