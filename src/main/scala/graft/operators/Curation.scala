@@ -511,7 +511,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the data-versioning audit between two corpus
+    * versions: per-source counts of added / removed / changed / unchanged
+    * documents via a content-digest FULL OUTER join on the doc key. The
+    * "next snapshot" is a deterministic synthetic revision of the fixture
+    * (every 50th doc dropped, every 31st doc's text revised, re-keyed
+    * copies of every 97th appended) so the oracle states the identical
+    * construction and the driver hash-verifies the whole diff.
+    *
+    * Scale shape: digests are a codegen'd map pass; the diff is ONE
+    * co-partitioned full-outer shuffle join on the doc key (zero-exchange
+    * when both snapshots share a bucketed layout), and the report
+    * aggregates to sources×4 rows. This is the nightly what-changed gate
+    * between corpus drops — at 100 TB its cost is one keyed join, never
+    * a text comparison (digests compare, text stays in place). */
+  val qCorpusDiff: (SparkSession, String) => DataFrame = (s, d) => {
+    val cur = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
+    val revised = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(50L)) =!= 7)
+      .select(col("doc_id").as("n_id"), col("source").as("n_src"),
+        md5(when(pmod(col("doc_id"), lit(31L)) === 3,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+          .as("n_dg"))
+    val added = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(97L)) === 5)
+      .select((col("doc_id") + 1000000L).as("n_id"),
+        col("source").as("n_src"), md5(col("text")).as("n_dg"))
+    cur.join(revised.unionByName(added),
+        col("doc_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("source"), col("n_src")).as("src"),
+        when(col("doc_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("dg") =!= col("n_dg"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("src", "status").agg(count(lit(1)).as("n"))
+      .orderBy("src", "status")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_corpus_diff", qCorpusDiff, Some(
+      "WITH cur AS (SELECT doc_id, source, md5(text) AS dg FROM documents), nxt AS (SELECT doc_id AS n_id, source AS n_src, md5(CASE WHEN doc_id % 31 = 3 THEN text || ' rev2' ELSE text END) AS n_dg FROM documents WHERE doc_id % 50 <> 7 UNION ALL SELECT doc_id + 1000000, source, md5(text) FROM documents WHERE doc_id % 97 = 5) SELECT COALESCE(c.source, n.n_src) AS src, CASE WHEN c.doc_id IS NULL THEN 'added' WHEN n.n_id IS NULL THEN 'removed' WHEN c.dg <> n.n_dg THEN 'changed' ELSE 'unchanged' END AS status, COUNT(*) AS n FROM cur c FULL OUTER JOIN nxt n ON c.doc_id = n.n_id GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("q_dsir_weights", qDsirWeights, Some(
       "WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents), f0 AS (SELECT doc_id, lang, unnest(t) AS f FROM t UNION ALL SELECT doc_id, lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f FROM t WHERE len(t) >= 2), fb AS (SELECT doc_id, lang, (instr('0123456789abcdef', substring(md5(f), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(f), 2, 1)) - 1) AS b FROM f0), sc AS (SELECT b, COUNT(*) AS c_s FROM fb GROUP BY b), tc AS (SELECT b AS tb, COUNT(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY 1), tot AS (SELECT (SELECT SUM(c_s) FROM sc) AS n_s, (SELECT COALESCE(SUM(c_t), 0) FROM tc) AS n_t), r AS (SELECT b, CAST(round(ln((CAST(c_t + 1 AS DOUBLE) * (n_s + 256)) / (CAST(c_s + 1 AS DOUBLE) * (n_t + 256))), 6) AS DECIMAL(24,6)) AS lr FROM (SELECT sc.b, c_s, COALESCE(c_t, 0) AS c_t FROM sc LEFT JOIN tc ON sc.b = tc.tb) CROSS JOIN tot) SELECT doc_id, CAST(SUM(lr) AS DOUBLE) AS dsir_lw, COUNT(*) AS n_feats FROM fb JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_equidepth_bins", qEquidepthBins, Some(
