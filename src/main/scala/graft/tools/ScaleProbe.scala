@@ -252,6 +252,40 @@ object ScaleProbe {
           sum(col("n_items")).as("n_items"))
       r.count()
     }
+    // (c) DSIR weights: feature hashing is map-side, count tables are
+    // 256 rows, so the cost must track the corpus scan, not the join.
+    time(s"DSIR importance weights over ${n}x docs") {
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val toks = docs.select(col("doc_id"), col("lang"),
+          split(trim(col("text")), "\\s+").as("t")).repartition(parts)
+      val feats = toks.select(col("doc_id"), col("lang"),
+          explode(col("t")).as("f"))
+        .withColumn("b",
+          (expr("instr('0123456789abcdef', substring(md5(f), 1, 1))") - 1)
+            * 16 +
+          (expr("instr('0123456789abcdef', substring(md5(f), 2, 1))") - 1))
+      val srcCnt = feats.groupBy("b").agg(count(lit(1)).as("c_s"))
+      val tgtCnt = feats.filter(col("lang") === "en")
+        .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))
+      val ratio = srcCnt.join(tgtCnt, col("b") === col("tb"), "left_outer")
+        .na.fill(0L, Seq("c_t"))
+        .select(col("b"), (col("c_t") - col("c_s")).as("lr"))
+      feats.join(broadcast(ratio), "b")
+        .groupBy("doc_id").agg(sum("lr")).count()
+    }
+    // (d) snapshot diff: one co-partitioned full-outer join on the key.
+    time(s"corpus snapshot diff over ${n}x docs") {
+      val cur = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+      val nxt = docs.filter(pmod(col("doc_id"), lit(50L)) =!= 7)
+        .select(col("doc_id").as("n_id"),
+          md5(concat(col("text"), lit("x"))).as("n_dg"))
+      cur.join(nxt, col("doc_id") === col("n_id"), "full_outer")
+        .select(when(col("doc_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("dg") =!= col("n_dg"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").count().count()
+    }
     spark.stop()
   }
 }
