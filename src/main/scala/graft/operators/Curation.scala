@@ -549,7 +549,40 @@ object Curation {
       .orderBy("src", "status")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    * per-doc key u^(1/w), keep the top-k keys — the distributed-friendly
+    * form of weighted reservoir sampling (the selection is TakeOrdered,
+    * no shuffle beyond the top-k reduction; at 100 TB each executor
+    * surfaces its local top-k and the driver merges k rows). Here w =
+    * n_chars (length-proportional inclusion — the "sample tokens, not
+    * documents" correction every corpus subsample needs).
+    *
+    * Determinism discipline: u is NOT rand() — it's the md5 hex-quad of
+    * the salted doc id decoded to [0,1) via the engine-portable
+    * instr() digit arithmetic (qDomainMix's move), so the sample is
+    * reproducible across engines, runs, and partition layouts; the
+    * A-Res key is rounded to 8 decimals BEFORE the top-k order (pow()
+    * ulp differences across engines cannot flip ranks; ties break on
+    * doc_id). */
+  val qSampleWeighted: (SparkSession, String) => DataFrame = (s, d) => {
+    val h = md5(to_binary(concat(lit("graft_wrs"),
+      col("doc_id").cast("string")), lit("utf-8")))
+    def digit(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(__h, $i, 1))") - 1
+    val v = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+    Tables.documents(s, d)
+      .withColumn("__h", h)
+      .withColumn("u", (v.cast("double") + 0.5) / 65536.0)
+      .withColumn("wkey", round(pow(col("u"),
+        lit(1.0) / col("n_chars")), 8))
+      .select("doc_id", "source", "n_chars", "wkey")
+      .orderBy(col("wkey").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_weighted", qSampleWeighted, Some(
+      "SELECT doc_id, source, n_chars, round(POWER((((((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substring(h, 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)) + 0.5) / 65536.0, 1.0 / n_chars), 8) AS wkey FROM (SELECT doc_id, source, n_chars, md5('graft_wrs' || CAST(doc_id AS VARCHAR)) AS h FROM documents) ORDER BY wkey DESC, doc_id ASC LIMIT 100")),
     QueryDef("q_corpus_diff", qCorpusDiff, Some(
       "WITH cur AS (SELECT doc_id, source, md5(text) AS dg FROM documents), nxt AS (SELECT doc_id AS n_id, source AS n_src, md5(CASE WHEN doc_id % 31 = 3 THEN text || ' rev2' ELSE text END) AS n_dg FROM documents WHERE doc_id % 50 <> 7 UNION ALL SELECT doc_id + 1000000, source, md5(text) FROM documents WHERE doc_id % 97 = 5) SELECT COALESCE(c.source, n.n_src) AS src, CASE WHEN c.doc_id IS NULL THEN 'added' WHEN n.n_id IS NULL THEN 'removed' WHEN c.dg <> n.n_dg THEN 'changed' ELSE 'unchanged' END AS status, COUNT(*) AS n FROM cur c FULL OUTER JOIN nxt n ON c.doc_id = n.n_id GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("q_dsir_weights", qDsirWeights, Some(

@@ -155,4 +155,18 @@ class CurationSpec extends SparkSpec {
       s"target ${byTarget(true)} vs rest ${byTarget(false)}")
     assert(byTarget(true) > 0 && byTarget(false) < 0, byTarget.toString)
   }
+
+  test("weighted A-Res sample over-represents long documents and runs " +
+      "as TakeOrdered, never a global sort") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Curation.qSampleWeighted(spark, sf)
+    val sampleAvg = df.agg(avg("n_chars")).head().getDouble(0)
+    val corpusAvg = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleAvg > corpusAvg * 1.1,
+      s"sample avg $sampleAvg vs corpus $corpusAvg")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("rangepartitioning"), p.take(800))
+  }
 }
