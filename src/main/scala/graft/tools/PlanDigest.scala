@@ -21,7 +21,7 @@ import graft.SparkEntry
   * exchange metadata the normalizer drops.
   */
 object PlanDigest {
-  private[tools] def normalize(plan: String): String =
+  def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+L?", "#_")
       .replaceAll("plan_id=\\d+", "plan_id=_")
@@ -35,8 +35,13 @@ object PlanDigest {
       // JVM identity hashes: array-typed expression args ([J@1a2b3c) and
       // any other Object.toString leak into plan strings
       .replaceAll("@[0-9a-f]{6,}", "@_")
-      // JIT-assigned lambda-class addresses (Lambda$123/0x00007f…)
-      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda$_")
+      // JIT-assigned lambda-class addresses (Lambda$123/0x00007f…);
+      // the replacement $ must be escaped or Java reads it as a group ref
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$_")
+      // HOF lambda-variable counters (lambda x_3) increment per SESSION,
+      // so they are stable across fresh JVMs only while query order never
+      // changes — normalize them away entirely
+      .replaceAll("(lambda [a-z]+)_\\d+", "$1_")
 
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

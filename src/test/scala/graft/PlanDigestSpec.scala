@@ -1,0 +1,42 @@
+package graft
+
+/** Locks for the PLANS_DIGEST normalizer (tools/PlanDigest.scala): the
+  * digest is only useful as a cross-round regression gate if identical
+  * plans digest identically across sessions. The two failure modes
+  * found while building it — JVM identity hashes of array-typed
+  * expression arguments ([J@1a2b3c) and JIT lambda-class addresses
+  * (Lambda$123/0x7f…) — are pinned here on the queries that exhibited
+  * them, plus the rewrite rules themselves on synthetic strings.
+  */
+class PlanDigestSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("normalizer strips session counters, identity hashes, and " +
+      "lambda addresses") {
+    val n = tools.PlanDigest.normalize(
+      "Project [a#123L, b#45] plan_id=678 [J@1a2b3cff " +
+        "graft.X$$Lambda$2687/0x00007fa4bcde9db8@4e9d1119 " +
+        "Statistics(sizeInBytes=29.9 KiB, rowCount=500) /tmp/graft_x_9 " +
+        "g7_ab12cd_orders local-1786695622440")
+    assert(!n.contains("#123"), n)
+    assert(!n.contains("1a2b3c"), n)
+    assert(!n.contains("0x00007f"), n)
+    assert(!n.contains("29.9"), n)
+    assert(!n.contains("ab12cd"), n)
+    assert(!n.contains("1786695622440"), n)
+  }
+
+  test("the historically-unstable plans digest identically across two " +
+      "in-session builds") {
+    for (q <- Seq("q_minhash_source_sketch", "q_multimodal_features")) {
+      val p1 = tools.PlanDigest.normalize(
+        SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString)
+      val p2 = tools.PlanDigest.normalize(
+        SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString)
+      assert(p1 === p2, q)
+    }
+  }
+}
