@@ -27,6 +27,19 @@ class PlanDigestSpec extends SparkSpec {
     assert(!n.contains("1786695622440"), n)
   }
 
+  test("PLANS_DIGEST.json covers exactly the declared surface (no " +
+      "stale or missing keys)") {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS_DIGEST.json")), "UTF-8")
+    val keys = "\"(q_[a-z0-9_]+)\"".r.findAllMatchIn(json)
+      .map(_.group(1)).toSet
+    val declared = Registry.all.map(_.name).toSet
+    assert(keys === declared,
+      s"stale=${(keys -- declared).toSeq.sorted.take(5)} " +
+        s"missing=${(declared -- keys).toSeq.sorted.take(5)}")
+    assert(!json.contains("\"ERROR\""), "a digest recorded ERROR")
+  }
+
   test("the historically-unstable plans digest identically across two " +
       "in-session builds") {
     for (q <- Seq("q_minhash_source_sketch", "q_multimodal_features")) {
