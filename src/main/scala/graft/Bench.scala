@@ -120,8 +120,19 @@ object Bench {
     val medianAll = if (okTimes.isEmpty) 0.0 else median(okTimes)
     val worst = if (okTimes.isEmpty) 0.0 else okTimes.last
     val slowest = results.toIndexedSeq.sortBy { case (_, (v, _)) => -v }.take(10)
+    // One hash over every declared query's normalized executed-plan
+    // digest (tools/PlanDigest): the per-round bench artifact carries it
+    // so the driver can detect plan drift mechanically — a changed
+    // plans_digest with unchanged queries means a PLAN changed even when
+    // timing noise masks it (VERDICT r8 item 7). Planning only — no
+    // execution — so it costs seconds and never pollutes the timings
+    // above (it runs after the last timed pass).
+    val plansDigest = filter match {
+      case Some(_) => "filtered" // partial surface must not look whole
+      case None => tools.PlanDigest.rollupDigest(spark, sfDir)
+    }
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$passes,"queries":${qjson(results)},"min":${qjson(mins)},"spread":${qjson(spreads)},"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$passes,"queries":${qjson(results)},"min":${qjson(mins)},"spread":${qjson(spreads)},"errors":$errors,"plans_digest":"$plansDigest","sf":"$sfDir"}"""
     // Resolve against the repo root, not the process CWD (sbt forks the
     // run; an overridden fork directory must not scatter the artifact).
     val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
@@ -130,7 +141,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(repoRoot).resolve("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"runs":$passes,"median":${fmt(medianAll)},"worst":${fmt(worst)},"queries":${qjson(slowest)},"errors":$errors,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"runs":$passes,"median":${fmt(medianAll)},"worst":${fmt(worst)},"queries":${qjson(slowest)},"errors":$errors,"plans_digest":"$plansDigest","detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

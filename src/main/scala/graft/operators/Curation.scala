@@ -331,13 +331,21 @@ object Curation {
       maxRecordsPerFile = 16)
     compactShards(s, s"$base/frag", s"$base/compact", 8)
     val w = Window.partitionBy("shard").orderBy("__h", "doc_id")
-    s.read.parquet(s"$base/compact")
+    val digest = s.read.parquet(s"$base/compact")
       .withColumn("rn", row_number().over(w).cast("long"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(pmod(col("rn") * (pmod(col("doc_id"), lit(1000003L)) + 7),
           lit(2147483647L))).cast("long").as("digest"))
       .orderBy("shard")
+      // materialize the (nShards-row) digest BEFORE dropping the
+      // invocation's directory — repeated bench iterations would
+      // otherwise accumulate full fragmented+compacted corpus copies in
+      // tmpdir for the JVM lifetime
+      .localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    digest
   }
 
   private def landShards(docs: DataFrame, dir: String, nShards: Int,

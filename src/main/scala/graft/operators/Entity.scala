@@ -51,6 +51,13 @@ object Entity {
   /** All pairs with levenshtein(name_a, name_b) ≤ maxDist (=1): blocked
     * candidates, deduped, then exact-verified. */
   def fuzzyPairs(records: DataFrame, maxDist: Int): DataFrame = {
+    // The blocking keys (identity / one-char deletion / one-char
+    // substitution) are COMPLETE only for edit distance ≤ 1: a pair at
+    // distance 2 need not share any key, so a larger maxDist would
+    // silently drop pairs while still looking exact-verified.
+    require(maxDist <= 1,
+      s"fuzzyPairs: blocking is complete only for maxDist <= 1 " +
+        s"(got $maxDist); wider distances need k-deletion blocking")
     val k = blockingKeys(records)
     val a = k.select(col("id").as("ida"), col("name").as("na"), col("key"))
     val b = k.select(col("id").as("idb"), col("name").as("nb"),

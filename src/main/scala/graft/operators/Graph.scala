@@ -63,13 +63,23 @@ object Graph {
   // metrics — deterministic, so the cache is semantics-free (the
   // cachedNgramPairs pattern). A deployment persists the edge table and
   // reads it pre-partitioned instead.
+  // Keyed on (applicationId, dir) like the staged-layout caches
+  // elsewhere (Olap2.stagedRollups): a stopped session's entries stop
+  // colliding with — and stop pinning checkpoint blocks for — the next
+  // session in the same JVM, because the next app's id differs and a
+  // same-key overwrite replaces the dead frame.
   private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(String, String), DataFrame]
 
-  private def cachedEdges(s: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, d),
+  private def cachedEdges(s: SparkSession, d: String): DataFrame = {
+    val app = s.sparkContext.applicationId
+    // evict entries from previous (stopped) applications so their
+    // checkpointed frames are not retained for the JVM lifetime
+    edgeCache.keySet.filter(_._1 != app).foreach(edgeCache.remove)
+    edgeCache.getOrElseUpdate((app, d),
       significantEdges(coSupplierCooc(Tables.lineitem(s, d)))
         .localCheckpoint())
+  }
 
   /** Undirected degree per node: explode endpoints, one keyed agg. */
   def degrees(edges: DataFrame): DataFrame =
@@ -292,7 +302,27 @@ object Graph {
         "deg AS (SELECT node, COUNT(*) AS deg FROM dir GROUP BY 1), " +
         "c AS (SELECT l.node AS a, r.node AS b, COUNT(*) AS common FROM dir l JOIN dir r ON l.nbr = r.nbr AND l.node < r.node GROUP BY 1, 2) " +
         "SELECT a, b, common, round(CAST(common AS DOUBLE) / unions, 6) AS jac FROM (SELECT a, b, common, da.deg + db.deg - common AS unions FROM c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node) ORDER BY jac DESC, a ASC, b ASC LIMIT 100")),
-    QueryDef("q_graph_kcore", qGraphKcore, None),
+    // The peel fixpoint IS SQL-expressible: the removed set grows
+    // monotonically (R_{i+1} = R_i ∪ {x : deg(x) − |N(x) ∩ R_i| < k}),
+    // so a recursive UNION accumulates exactly the nodes the iterative
+    // peel deletes, and terminates at the same fixpoint — the recursive
+    // trick behind q_dedup_clusters' reachability oracle, applied to
+    // deletion instead of reachability. Survivors and their in-core
+    // degrees then follow non-recursively.
+    QueryDef("q_graph_kcore", qGraphKcore, Some(
+      edgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", sym AS (SELECT sa AS src, sb AS dst FROM e UNION ALL SELECT sb, sa FROM e)" +
+        ", deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1)" +
+        ", removed(node) AS (" +
+        "SELECT node FROM deg WHERE deg < 2 " +
+        "UNION " +
+        "SELECT s.src FROM sym s JOIN removed r ON s.dst = r.node " +
+        "JOIN deg d ON d.node = s.src " +
+        "GROUP BY s.src, d.deg HAVING d.deg - COUNT(*) < 2) " +
+        "SELECT s.src AS node, COUNT(*) AS core_deg FROM sym s " +
+        "WHERE s.src NOT IN (SELECT node FROM removed) " +
+        "AND s.dst NOT IN (SELECT node FROM removed) " +
+        "GROUP BY 1 ORDER BY 1")),
     QueryDef("q_graph_pagerank", qGraphPagerank, Some(
       edgeCte + ", dir AS (SELECT sa AS src, sb AS dst FROM e UNION ALL SELECT sb, sa FROM e), " +
         "deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1), " +

@@ -89,6 +89,22 @@ object Relational2 {
         "rank_err_bound", "abs_err")
       .orderBy("o_orderstatus")
 
+  // The deterministic half of q_approx_percentile split out under a
+  // DuckDB oracle (the sketch value itself stays rows-only — sketch
+  // internals differ across engines): group count, exact interpolated
+  // median, and the absolute rank-error bound the sketch's accuracy
+  // parameter implies. Everything about the approx row EXCEPT the
+  // sketch output is now hash-proven.
+  val qApproxPercentileExact: (SparkSession, String) => DataFrame =
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"))
+        .withColumn("rank_err_bound",
+          round(col("n").cast("double") / 1000.0, 2))
+        .orderBy("o_orderstatus")
+
   // GROUPING SETS — the general form behind rollup/cube: two independent
   // one-column breakdowns plus the grand total in one pass (Spark plans a
   // single Expand + partial/final agg, not three scans).
@@ -488,12 +504,18 @@ object Relational2 {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(dir)
-    s.read.parquet(dir)
+    val out = s.read.parquet(dir)
       .groupBy(col("day").cast("string").as("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
       .orderBy("day")
+      // materialize the (days-row) summary, then drop the invocation's
+      // landing dir — same tmpdir-accumulation fix as qCompactShards
+      .localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
   }
 
   /** Partition-pruned scan over a hive-layout fact — the standard 100 TB
@@ -849,6 +871,11 @@ object Relational2 {
       "WITH w AS (SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, MAX(o_totalprice) AS max_price FROM orders GROUP BY 1) SELECT o_orderpriority, metric, value FROM (SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w UNION ALL SELECT o_orderpriority, 'sum_price', sum_price FROM w UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM w) ORDER BY o_orderpriority, metric")),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q_approx_percentile", qApproxPercentile, None),
+    QueryDef("q_approx_percentile_exact", qApproxPercentileExact, Some(
+      "SELECT o_orderstatus, COUNT(*) AS n, " +
+        "round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact, " +
+        "round(CAST(COUNT(*) AS DOUBLE) / 1000.0, 2) AS rank_err_bound " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_agg_collect", qAggCollect, Some(
       "SELECT o_orderstatus, array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     QueryDef("q_grouping_sets", qGroupingSets, Some(

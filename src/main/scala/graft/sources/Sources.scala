@@ -175,12 +175,30 @@ object Sources {
       val conf = spark.sparkContext.hadoopConfiguration
       val pub = new org.apache.hadoop.fs.Path(publishPath)
       val stg = new org.apache.hadoop.fs.Path(staging)
+      val prev = new org.apache.hadoop.fs.Path(publishPath + ".prev")
       val fs = pub.getFileSystem(conf)
-      // replace-on-publish: the old version leaves before the rename so
-      // the swap is the single rename below (a production layout would
-      // version the published dirs instead of deleting)
-      if (fs.exists(pub)) fs.delete(pub, true)
-      fs.rename(stg, pub)
+      // Retire-then-swap, never delete-then-swap: the previous version
+      // moves ASIDE (one rename), the staged version moves IN (one
+      // rename), and only then does the retired copy leave. A crash
+      // between the two renames loses nothing — the old table is intact
+      // at .prev and recoverable; a failed swap rolls the old version
+      // back so readers are never left without a published path. Every
+      // rename's boolean is asserted, not discarded.
+      if (fs.exists(prev)) fs.delete(prev, true)
+      val hadOld = fs.exists(pub)
+      if (hadOld && !fs.rename(pub, prev))
+        throw new java.io.IOException(
+          s"writeAuditPublish: failed to retire $pub to $prev")
+      if (!fs.rename(stg, pub)) {
+        if (hadOld && !fs.rename(prev, pub))
+          throw new java.io.IOException(
+            s"writeAuditPublish: swap failed AND rollback of $prev failed")
+        throw new java.io.IOException(
+          s"writeAuditPublish: failed to publish $stg to $pub" +
+            (if (hadOld) " (previous version restored)" else ""))
+      }
+      if (hadOld) fs.delete(prev, true)
+      true
     }
   }
 

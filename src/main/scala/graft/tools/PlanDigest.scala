@@ -30,6 +30,13 @@ object PlanDigest {
       .replaceAll("graft_(b_orders|b_lineitem|rollup|stream|scaleprobe)[_a-z0-9]*",
         "graft_$1_")
       .replaceAll("local-\\d+", "local-_")
+      // staged-layout dirs are built from java.io.tmpdir, which is not
+      // /tmp on every host — normalize the RUNTIME tmpdir (regex-quoted)
+      // as well as the literal /tmp so digests stay machine-independent
+      .replaceAll(
+        java.util.regex.Pattern.quote(
+          sys.props("java.io.tmpdir").stripSuffix("/")) + "/[^ ,)\\]]+",
+        "/tmp/_")
       .replaceAll("/tmp/[^ ,)\\]]+", "/tmp/_")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
       // JVM identity hashes: array-typed expression args ([J@1a2b3c) and
@@ -43,21 +50,35 @@ object PlanDigest {
       // changes — normalize them away entirely
       .replaceAll("(lambda [a-z]+)_\\d+", "$1_")
 
+  private def md5(s: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** (name → digest) for every declared query, sorted by name.
+    * Also the bench artifact's plan-drift source (Bench.rollupDigest). */
+  def digestMap(spark: SparkSession, dir: String): Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val dg = try
+        md5(normalize(fn(spark, dir).queryExecution.executedPlan.toString))
+      catch { case _: Throwable => "ERROR" }
+      name -> dg
+    }
+
+  /** One hash over the whole (name, digest) map — compact enough for the
+    * one-line bench JSON; any plan change anywhere changes it. */
+  def rollupDigest(spark: SparkSession, dir: String): String =
+    md5(digestMap(spark, dir)
+      .map { case (n, d) => s"$n=$d" }.mkString("\n"))
+
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val out = args.headOption.getOrElse("PLANS_DIGEST.json")
     val spark = SparkEntry.configure(
       SparkSession.builder().master("local[8]"), "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val md = MessageDigest.getInstance("MD5")
-    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val dg = try {
-          val p = normalize(fn(spark, d).queryExecution.executedPlan.toString)
-          md.reset()
-          md.digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        } catch { case _: Throwable => "ERROR" }
-        s""""$name": "$dg""""
+    val entries = digestMap(spark, d).map {
+      case (name, dg) => s""""$name": "$dg""""
     }
     val json = entries.mkString("{\n  ", ",\n  ", "\n}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

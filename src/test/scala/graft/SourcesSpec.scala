@@ -227,5 +227,9 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.writeAuditPublish(v3, pub, audit))
     assert(spark.read.parquet(pub).count() === v3.count())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(pub + ".staging")))
+    // retire-then-swap: the successful re-publish over an existing
+    // version leaves no .prev residue (retired copy deleted only AFTER
+    // the swap landed) — the delete-then-rename window is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pub + ".prev")))
   }
 }
