@@ -487,31 +487,55 @@ object Curation {
     * ordered arithmetic and is rounded to 6 decimals into DECIMAL(24,6)
     * BEFORE the exact per-doc sum (the q_quality_unigram_lp rule), so
     * partitioning can never flip a hash. */
-  val qDsirWeights: (SparkSession, String) => DataFrame = (s, d) => {
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
-      .repartition(parts)
-    val feats = docs.select(col("doc_id"), col("lang"),
+  /** (doc_id, lang, b): one row per hashed feature OCCURRENCE
+    * (unigrams + bigrams → 256 buckets via the cross-engine md5
+    * hex-pair decode). Shared by the batch weights and the streaming
+    * ingest gate, which must bucket IDENTICALLY for the additive
+    * count merge to reproduce the batch ratio table. */
+  private[graft] def dsirFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
         explode(concat(col("t"), ngramsFromToks(col("t"), 2))).as("f"))
       .withColumn("b",
         (expr("instr('0123456789abcdef', substring(md5(f), 1, 1))") - 1)
           * 16 +
         (expr("instr('0123456789abcdef', substring(md5(f), 2, 1))") - 1))
       .select("doc_id", "lang", "b")
-    val srcCnt = feats.groupBy("b").agg(count(lit(1)).as("c_s"))
-    val tgtCnt = feats.filter(col("lang") === "en")
-      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))
-    val totals = srcCnt.agg(sum(col("c_s")).as("n_s"))
-      .crossJoin(tgtCnt.agg(sum(col("c_t")).as("n_t")))
-    val ratio = srcCnt
-      .join(tgtCnt, col("b") === col("tb"), "left_outer")
-      .na.fill(0L, Seq("c_t"))
-      .crossJoin(broadcast(totals))
+
+  /** Smoothed log-ratio table from merged bucket counts (b, c_s, c_t):
+    * ≤256 rows, the broadcast side of every DSIR scoring join. The
+    * arithmetic ORDER is the cross-engine contract (ln on identically
+    * ordered ops, rounded to 6 into DECIMAL(24,6) before any sum) —
+    * streaming refreshes MUST route through this same expression. */
+  private[graft] def dsirRatioFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(sum(col("c_s")).as("n_s"),
+      sum(col("c_t")).as("n_t"))
+    counts.crossJoin(broadcast(totals))
       .select(col("b"),
         round(log(((col("c_t") + 1).cast("double") * (col("n_s") + 256)) /
           ((col("c_s") + 1).cast("double") * (col("n_t") + 256))), 6)
           .cast("decimal(24,6)").as("lr"))
+  }
+
+  /** Per-bucket source/target counts over a feature frame — additive
+    * over disjoint document batches, which is what makes the streaming
+    * per-batch refresh exact (merged counts ≡ full-corpus counts). */
+  private[graft] def dsirCounts(feats: DataFrame): DataFrame =
+    feats.groupBy("b").agg(count(lit(1)).as("c_s"),
+      count(when(col("lang") === "en", 1)).as("c_t"))
+
+  /** DuckDB twin of the full DSIR weight computation — shared BY
+    * REFERENCE with q_stream_dsir_gate: the streaming ingest's additive
+    * count merge plus final-table scoring must reproduce the batch
+    * weights bit-for-bit, and the driver hash-proves it. */
+  private[graft] val dsirOracle: String =
+    "WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents), f0 AS (SELECT doc_id, lang, unnest(t) AS f FROM t UNION ALL SELECT doc_id, lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f FROM t WHERE len(t) >= 2), fb AS (SELECT doc_id, lang, (instr('0123456789abcdef', substring(md5(f), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(f), 2, 1)) - 1) AS b FROM f0), sc AS (SELECT b, COUNT(*) AS c_s FROM fb GROUP BY b), tc AS (SELECT b AS tb, COUNT(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY 1), tot AS (SELECT (SELECT SUM(c_s) FROM sc) AS n_s, (SELECT COALESCE(SUM(c_t), 0) FROM tc) AS n_t), r AS (SELECT b, CAST(round(ln((CAST(c_t + 1 AS DOUBLE) * (n_s + 256)) / (CAST(c_s + 1 AS DOUBLE) * (n_t + 256))), 6) AS DECIMAL(24,6)) AS lr FROM (SELECT sc.b, c_s, COALESCE(c_t, 0) AS c_t FROM sc LEFT JOIN tc ON sc.b = tc.tb) CROSS JOIN tot) SELECT doc_id, CAST(SUM(lr) AS DOUBLE) AS dsir_lw, COUNT(*) AS n_feats FROM fb JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id"
+
+  val qDsirWeights: (SparkSession, String) => DataFrame = (s, d) => {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val feats = dsirFeatures(
+      Tables.documents(s, d).repartition(parts))
+    val ratio = dsirRatioFromCounts(dsirCounts(feats))
     feats.join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(sum(col("lr")).cast("double").as("dsir_lw"),
@@ -593,8 +617,7 @@ object Curation {
       "SELECT doc_id, source, n_chars, round(POWER((((((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substring(h, 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)) + 0.5) / 65536.0, 1.0 / n_chars), 8) AS wkey FROM (SELECT doc_id, source, n_chars, md5('graft_wrs' || CAST(doc_id AS VARCHAR)) AS h FROM documents) ORDER BY wkey DESC, doc_id ASC LIMIT 100")),
     QueryDef("q_corpus_diff", qCorpusDiff, Some(
       "WITH cur AS (SELECT doc_id, source, md5(text) AS dg FROM documents), nxt AS (SELECT doc_id AS n_id, source AS n_src, md5(CASE WHEN doc_id % 31 = 3 THEN text || ' rev2' ELSE text END) AS n_dg FROM documents WHERE doc_id % 50 <> 7 UNION ALL SELECT doc_id + 1000000, source, md5(text) FROM documents WHERE doc_id % 97 = 5) SELECT COALESCE(c.source, n.n_src) AS src, CASE WHEN c.doc_id IS NULL THEN 'added' WHEN n.n_id IS NULL THEN 'removed' WHEN c.dg <> n.n_dg THEN 'changed' ELSE 'unchanged' END AS status, COUNT(*) AS n FROM cur c FULL OUTER JOIN nxt n ON c.doc_id = n.n_id GROUP BY 1, 2 ORDER BY 1, 2")),
-    QueryDef("q_dsir_weights", qDsirWeights, Some(
-      "WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents), f0 AS (SELECT doc_id, lang, unnest(t) AS f FROM t UNION ALL SELECT doc_id, lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f FROM t WHERE len(t) >= 2), fb AS (SELECT doc_id, lang, (instr('0123456789abcdef', substring(md5(f), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(f), 2, 1)) - 1) AS b FROM f0), sc AS (SELECT b, COUNT(*) AS c_s FROM fb GROUP BY b), tc AS (SELECT b AS tb, COUNT(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY 1), tot AS (SELECT (SELECT SUM(c_s) FROM sc) AS n_s, (SELECT COALESCE(SUM(c_t), 0) FROM tc) AS n_t), r AS (SELECT b, CAST(round(ln((CAST(c_t + 1 AS DOUBLE) * (n_s + 256)) / (CAST(c_s + 1 AS DOUBLE) * (n_t + 256))), 6) AS DECIMAL(24,6)) AS lr FROM (SELECT sc.b, c_s, COALESCE(c_t, 0) AS c_t FROM sc LEFT JOIN tc ON sc.b = tc.tb) CROSS JOIN tot) SELECT doc_id, CAST(SUM(lr) AS DOUBLE) AS dsir_lw, COUNT(*) AS n_feats FROM fb JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id")),
+    QueryDef("q_dsir_weights", qDsirWeights, Some(dsirOracle)),
     QueryDef("q_equidepth_bins", qEquidepthBins, Some(
       "WITH c AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM orders) SELECT CAST(len(list_filter(c.cuts, x -> o.o_totalprice >= x)) AS INT) AS bin, COUNT(*) AS cnt, MIN(o.o_totalprice) AS lo, MAX(o.o_totalprice) AS hi FROM orders o CROSS JOIN c GROUP BY 1 ORDER BY 1")),
     QueryDef("q_pack_sequences", qPackSequences, Some(

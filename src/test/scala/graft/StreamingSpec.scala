@@ -500,4 +500,34 @@ class StreamingSpec extends SparkSpec {
       col("total_value").cast("decimal(18,2)") =!=
         col("sum_value").cast("decimal(18,2)")).count() === 0)
   }
+
+  test("streaming DSIR gate refreshes the ratio table per batch and " +
+      "converges to the batch table") {
+    import graft.operators.Curation
+    val out = EventsStreaming.qStreamDsirGate(spark, sf)
+    assert(out.count() === Tables.documents(spark, sf).count())
+    // locate this invocation's snapshot dirs (latest for this app)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val app = spark.sparkContext.applicationId
+    val base = tmp.listFiles()
+      .filter(_.getName.startsWith(s"graft_stream_dsirgate_${app}_"))
+      .maxBy(_.getName.stripPrefix(s"graft_stream_dsirgate_${app}_").toInt)
+    val epochs = new java.io.File(base, "ratio").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).sorted
+    // the 3-file staging must have produced one refresh per micro-batch
+    assert(epochs.length === 3, epochs.mkString(","))
+    def snap(e: Long): Map[Int, java.math.BigDecimal] =
+      spark.read.parquet(s"$base/ratio/epoch=$e").collect()
+        .map(r => r.getInt(0) ->
+          r.getDecimal(r.fieldIndex("lr"))).toMap
+    // an early snapshot gates with partial-corpus statistics — it must
+    // genuinely differ from the final table (refresh is not a no-op)
+    assert(snap(epochs.head) !== snap(epochs.last))
+    // and the final refreshed table equals the batch-computed one
+    val batchRatio = Curation.dsirRatioFromCounts(Curation.dsirCounts(
+      Curation.dsirFeatures(Tables.documents(spark, sf)))).collect()
+      .map(r => r.getInt(0) -> r.getDecimal(r.fieldIndex("lr"))).toMap
+    assert(snap(epochs.last) === batchRatio)
+  }
 }
