@@ -863,6 +863,212 @@ object Similarity {
         col("rerank_hits").cast("double") / col("brute_k"))
   }
 
+  // --- OPQ: optimized product quantization (Ge et al., CVPR 2013 —
+  // the parametric / eigenvalue-allocation variant): PQ quantizes M
+  // fixed coordinate blocks independently, so its error depends on how
+  // variance and correlation happen to fall across blocks. An
+  // orthonormal rotation R applied before PQ decorrelates coordinates
+  // (PCA basis) and BALANCES variance across the M blocks — greedy
+  // eigenvalue allocation assigns each eigenvector, in descending-λ
+  // order, to the block with the smallest current λ product — after
+  // which the unchanged pqCodebook/pqEncode machinery quantizes a
+  // strictly easier distribution (IvfPqSpec measures the
+  // reconstruction-error gap on anisotropic data). Rotation preserves
+  // dot products and norms, so ADC in rotated space approximates the
+  // SAME cosine (the query rotates once, on the driver) and the exact
+  // re-rank runs untouched in the original space. Scale shape: the
+  // covariance is one dim²-row partial-aggregated shuffle with
+  // exact-decimal sums; the eigendecomposition is driver math on a
+  // dim×dim matrix (index metadata, same class as the collected
+  // codebook); the rotation itself is a codegen'd dim² fused map pass —
+  // no extra shuffle anywhere.
+
+  private val OpqDim = 64
+
+  /** Covariance of the corpus embeddings, row-major flattened dim².
+    * Mean and products use exact DECIMAL sums — bit-stable across
+    * partition layouts (the kmeansCentroids discipline). */
+  def covarianceMatrix(e: DataFrame, dim: Int): Array[Double] = {
+    val n = e.count().toDouble
+    val mean = e.select(posexplode(col("ce")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((sum(col("x").cast("decimal(30,12)")).cast("double") / n)
+        .as("mu"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    val muCol = typedlit(mean.toSeq)
+    val centered = e.select(
+      zip_with(col("ce"), muCol, (a, b) => a - b).as("cx"))
+    val upper = centered
+      .select(posexplode(col("cx")).as(Seq("i", "xi")), col("cx"))
+      .select(col("i"), col("xi"),
+        posexplode(col("cx")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg((sum((col("xi") * col("xj")).cast("decimal(30,12)"))
+        .cast("double") / n).as("c"))
+      .collect()
+    val cov = Array.fill(dim * dim)(0.0)
+    upper.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
+      cov(i * dim + j) = v; cov(j * dim + i) = v
+    }
+    cov
+  }
+
+  /** Orthonormal OPQ rotation (row-major dim²) from a covariance
+    * matrix: PCA basis + greedy balanced eigenvalue allocation to the
+    * M blocks. Deterministic: eigenpairs sorted by λ descending,
+    * eigenvector signs canonicalized (largest-|component| entry made
+    * positive), allocation ties broken by lowest block id. */
+  def opqRotation(cov: Array[Double], dim: Int, m: Int): Array[Double] = {
+    val subDim = dim / m
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(dim, dim, cov))
+    val pairs = (0 until dim).map { c =>
+      val v = Array.tabulate(dim)(r => es.eigenvectors(r, c))
+      val mi = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val canon = if (v(mi) < 0) v.map(-_) else v
+      (es.eigenvalues(c), canon)
+    }.sortBy { case (l, _) => -l }
+    val logProd = Array.fill(m)(0.0)
+    val fill = Array.fill(m)(0)
+    val rot = Array.fill(dim * dim)(0.0)
+    pairs.foreach { case (l, v) =>
+      val b = (0 until m).filter(fill(_) < subDim)
+        .minBy(b => (logProd(b), b))
+      val row = b * subDim + fill(b)
+      System.arraycopy(v, 0, rot, row * dim, dim)
+      logProd(b) += math.log(math.max(l, 1e-12))
+      fill(b) += 1
+    }
+    rot
+  }
+
+  /** R·x as a codegen'd HOF pass over a literal row-major rotation —
+    * dim² multiplies per row, fused into the scan stage. */
+  def rotated(e: DataFrame, rot: Array[Double], dim: Int): DataFrame = {
+    val rCol = typedlit(rot.toSeq)
+    e.select(col("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        aggregate(zip_with(slice(rCol, i * dim + 1, lit(dim)), col("ce"),
+          (r, v) => r * v), lit(0.0), (a, p) => a + p)).as("ce"))
+  }
+
+  /** Mean (per-vector) squared quantization error of a PQ codebook over
+    * a corpus — the objective OPQ's rotation lowers. */
+  def pqReconstructionMse(e: DataFrame, cents: DataFrame, m: Int,
+      subDim: Int): Double =
+    pqSubvectors(e, m, subDim).join(broadcast(cents), "m")
+      .withColumn("d2", dotd(col("sv"), col("sv")) + col("cn2")
+        - lit(2.0) * dotd(col("sv"), col("centroid")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d2")).as("d2"))
+      .groupBy("vec_id").agg(sum(col("d2")).as("e2"))
+      .agg(avg(col("e2"))).head().getDouble(0)
+
+  private val opqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Double], DataFrame, DataFrame)]
+
+  /** (rotation, codebook over the rotated space, codes table). */
+  private def opqIndex(s: SparkSession, d: String)
+      : (Array[Double], DataFrame, DataFrame) =
+    opqCache.getOrElseUpdate((s, d), {
+      val subDim = OpqDim / PqM
+      val e = prepared(s, d).filter(col("vec_id") =!= 0L)
+      val rot = opqRotation(covarianceMatrix(e, OpqDim), OpqDim, PqM)
+      val er = rotated(e, rot, OpqDim).localCheckpoint()
+      val cb = pqCodebook(er, PqM, PqKsub, subDim, iters = 3)
+        .localCheckpoint()
+      val codes = pqEncode(er, cb, PqM, subDim).localCheckpoint()
+      (rot, cb, codes)
+    })
+
+  /** ADC scores in the rotated space: the query rotates ON THE DRIVER
+    * (dim² flops on one vector), then the LUT scan is identical to
+    * plain PQ. |q| and the re-rank stay in the original space —
+    * rotation preserves both. */
+  private def opqAdcScores(s: SparkSession, d: String): DataFrame = {
+    val (rot, cents, codes) = opqIndex(s, d)
+    val subDim = OpqDim / PqM
+    val q = prepared(s, d).filter(col("vec_id") === 0L)
+      .select(col("ce"), col("n2")).head()
+    val qv0 = q.getSeq[Double](0)
+    val qn = math.sqrt(q.getDouble(1))
+    val qv = Array.tabulate(OpqDim) { i =>
+      var acc = 0.0; var j = 0
+      while (j < OpqDim) { acc += rot(i * OpqDim + j) * qv0(j); j += 1 }
+      acc
+    }
+    val lut = Array.fill(PqM * PqKsub)(0.0)
+    cents.select("m", "c_id", "centroid").collect().foreach { r =>
+      val m = r.getInt(0)
+      val cv = r.getSeq[Double](2)
+      var acc = 0.0; var i = 0
+      while (i < subDim) { acc += qv(m * subDim + i) * cv(i); i += 1 }
+      lut(m * PqKsub + r.getInt(1)) = acc
+    }
+    val lutCol = typedlit(lut.toSeq)
+    val ip = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+        (c, m) => element_at(lutCol, m * PqKsub + c + 1)),
+      lit(0.0), (a, x) => a + x)
+    codes.withColumn("adc_sim", ip / (lit(qn) * sqrt(col("rn2"))))
+  }
+
+  /** OPQ search: rotated-space ADC shortlist, exact original-space
+    * re-rank (shortlist ≥ corpus ⇒ exactly brute force — the hard
+    * oracle twin q_ann_opq_exhaustive). */
+  def opqSearch(s: SparkSession, d: String, k: Int, shortlist: Int)
+      : DataFrame = {
+    val cand = opqAdcScores(s, d)
+      .orderBy(col("adc_sim").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select("vec_id")
+    val e = prepared(s, d)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(col("ce").as("qe"), col("n2").as("qn2"))
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // --- q_ann_opq: the serving configuration — rotated-space ADC
+  // shortlist 50, exact re-rank to top-10. Rows-only; IvfPqSpec pins
+  // the reconstruction-error win and q_ann_opq_recall self-validates.
+  val qAnnOpq: (SparkSession, String) => DataFrame = (s, d) =>
+    opqSearch(s, d, k = 10, shortlist = 50)
+
+  // --- q_ann_opq_exhaustive: corpus-wide shortlist ⇒ the exact
+  // re-rank IS brute force — the OPQ plumbing (covariance, rotation,
+  // rotated codebook, rotated-query LUT, refine) under the SAME hard
+  // oracle as q_cosine_topk.
+  val qAnnOpqExhaustive: (SparkSession, String) => DataFrame = (s, d) =>
+    opqSearch(s, d, k = 10, shortlist = Int.MaxValue)
+
+  // --- q_ann_opq_recall: one self-validating row — brute-force truth
+  // size, plain-PQ-rerank hits, OPQ-rerank hits, both recalls. The
+  // "rotation does not lose recall" claim is in the output itself.
+  val qAnnOpqRecall: (SparkSession, String) => DataFrame = (s, d) => {
+    val brute = qCosineTopk(s, d).select(col("vec_id"))
+    val pq = qAnnPqRerank(s, d).select(col("vec_id"))
+      .withColumn("hit_pq", lit(1))
+    val opq = qAnnOpq(s, d).select(col("vec_id"))
+      .withColumn("hit_opq", lit(1))
+    brute.join(pq, Seq("vec_id"), "left")
+      .join(opq, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("brute_k"),
+        count(col("hit_pq")).as("pq_hits"),
+        count(col("hit_opq")).as("opq_hits"))
+      .withColumn("recall_pq",
+        col("pq_hits").cast("double") / col("brute_k"))
+      .withColumn("recall_opq",
+        col("opq_hits").cast("double") / col("brute_k"))
+  }
+
   // --- persisted IVF index: the on-disk form of the 100 TB design ---
   // "The corpus is bucketed by centroid id so a probe reads one partition"
   // is not prose here: writeIvfIndex lays the assigned corpus out as
@@ -1064,6 +1270,12 @@ object Similarity {
       // oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_pq_recall", qAnnPqRecall, None),
+    QueryDef("q_ann_opq", qAnnOpq, None),
+    QueryDef("q_ann_opq_exhaustive", qAnnOpqExhaustive, Some(
+      // exhaustive shortlist ⇒ the exact re-rank is brute force: the
+      // SAME oracle as q_cosine_topk
+      s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    QueryDef("q_ann_opq_recall", qAnnOpqRecall, None),
     QueryDef("q_ann_ivfpq", qAnnIvfPq, None),
     QueryDef("q_ann_ivfpq_exhaustive", qAnnIvfPqExhaustive, Some(
       // all lists probed + corpus shortlist + exact re-rank ≡ brute

@@ -142,4 +142,86 @@ class IvfPqSpec extends SparkSpec {
     // and the refine step is genuinely effective, not vacuous
     assert(recallRerank >= 0.9, s"rerank recall $recallRerank")
   }
+
+  test("OPQ rotation is orthonormal and lowers reconstruction error on " +
+      "anisotropic data") {
+    import spark.implicits._
+    val dim = 16; val m = 4; val subDim = 4; val ksub = 8
+    val rnd = new scala.util.Random(42)
+    // adversarial-for-plain-PQ geometry: ALL the variance lives in the
+    // first coordinate block, so plain PQ spends one block's ksub
+    // centroids on everything that matters and wastes the other three.
+    // OPQ's eigenvalue allocation spreads the high-variance directions
+    // one per block.
+    val rows = (1L to 512L).map { id =>
+      (id, Array.tabulate(dim)(i =>
+        (if (i < subDim) 10.0 else 0.1) * rnd.nextGaussian()).toSeq)
+    }
+    val e = rows.toDF("vec_id", "ce")
+    val cov = Similarity.covarianceMatrix(e, dim)
+    val rot = Similarity.opqRotation(cov, dim, m)
+    // R·Rᵀ = I — rotation preserves dot products and norms
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var acc = 0.0
+      for (k2 <- 0 until dim) acc += rot(i * dim + k2) * rot(j * dim + k2)
+      assert(math.abs(acc - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRt($i,$j)=$acc")
+    }
+    val er = Similarity.rotated(e, rot, dim)
+    val cbP = Similarity.pqCodebook(e, m, ksub, subDim, iters = 2)
+    val cbO = Similarity.pqCodebook(er, m, ksub, subDim, iters = 2)
+    val msePq = Similarity.pqReconstructionMse(e, cbP, m, subDim)
+    val mseOpq = Similarity.pqReconstructionMse(er, cbO, m, subDim)
+    assert(mseOpq < msePq, s"opq mse $mseOpq !< pq mse $msePq")
+  }
+
+  test("OPQ on the corpus: exhaustive equals brute force; recall row " +
+      "does not lose to plain PQ") {
+    val brute = Similarity.qCosineTopk(spark, sf).collect().map(_.toSeq)
+    val got = Similarity.qAnnOpqExhaustive(spark, sf).collect()
+      .map(_.toSeq)
+    assert(got.toSeq === brute.toSeq)
+    val r = Similarity.qAnnOpqRecall(spark, sf).head()
+    assert(r.getAs[Long]("brute_k") === 10L)
+    assert(r.getAs[Double]("recall_opq") >= r.getAs[Double]("recall_pq"),
+      r.toString)
+  }
+
+  test("IVF list rebalance: splitting hot lists bounds imbalance and " +
+      "preserves membership (skewed list distribution probe)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    // skewed list distribution: 80% of the corpus in one tight blob
+    val hub = Array.fill(dims)(rnd.nextGaussian())
+    val vecs = (0L until 400L).map { i =>
+      if (i < 320) (i, hub.map(x => x + rnd.nextGaussian() * 0.05))
+      else (i, Array.fill(dims)(rnd.nextGaussian() * 2))
+    }
+    val df = vecs.map { case (id, v) => (id, "x", v.map(_.toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    def imbalance(a: org.apache.spark.sql.DataFrame): Double = {
+      val pops = a.groupBy("c_id").count().select("count")
+        .collect().map(_.getLong(0))
+      pops.max.toDouble / (pops.sum.toDouble / pops.length)
+    }
+    val (a0, _) = Similarity.quantizeCapped(df, k = 8, iters = 2,
+      cap = Int.MaxValue)
+    val (a1, c1) = Similarity.quantizeCapped(df, k = 8, iters = 2,
+      cap = 80)
+    val imb0 = imbalance(a0); val imb1 = imbalance(a1)
+    assert(imb0 > 2.0, s"fixture not skewed: imbalance $imb0")
+    assert(imb1 < imb0, s"rebalance ineffective: $imb0 -> $imb1")
+    // the hot list is genuinely split and the new max is cap-bounded
+    // (2× slack: sub-k-means balances approximately, not perfectly)
+    val maxPop = a1.groupBy("c_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxPop < 320, s"hot list survived: max $maxPop")
+    assert(maxPop <= 160, s"split max $maxPop exceeds 2x cap")
+    assert(c1.count() > 8, "splitting must add sub-centroids")
+    // rebalancing re-partitions the corpus — it must never lose or
+    // duplicate a vector (search over the probed union stays exact)
+    assert(a1.count() === 400)
+    assert(a1.select("vec_id").distinct().count() === 400)
+  }
 }
