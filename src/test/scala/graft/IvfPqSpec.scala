@@ -182,7 +182,8 @@ class IvfPqSpec extends SparkSpec {
       .map(_.toSeq)
     assert(got.toSeq === brute.toSeq)
     val r = Similarity.qAnnOpqRecall(spark, sf).head()
-    assert(r.getAs[Long]("brute_k") === 10L)
+    // 16-query batch × top-10 truth rows
+    assert(r.getAs[Long]("brute_k") === 160L)
     assert(r.getAs[Double]("recall_opq") >= r.getAs[Double]("recall_pq"),
       r.toString)
   }
