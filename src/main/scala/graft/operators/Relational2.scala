@@ -535,6 +535,64 @@ object Relational2 {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")
 
+  // --- partition evolution: day → hour granularity with BOTH layouts
+  // serving during the transition (VERDICT r8 item 5). The cutover is a
+  // DATE, not a rewrite: history before it stays in the day layout
+  // untouched (at 100 TB, rewriting history for a partitioning change
+  // is exactly what a migration must avoid), and data from the cutover
+  // on lands hive-partitioned by (day, hour). A reader during the
+  // transition is the UNION of the two layouts — its correctness is
+  // oracle-proven against the plain day-granularity query over raw
+  // events, and SourcesSpec locks that an hour-range query against the
+  // new layout prunes at HOUR granularity (PartitionFilters on hour,
+  // not a day-directory scan).
+  private val stagedEvolved = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private[graft] val evolutionCutover = "2024-01-20"
+
+  private[graft] def eventsEvolvedDir(s: SparkSession, d: String): String =
+    stagedEvolved.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_events_evolved_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val ev = Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      graft.sources.Sources.writePartitioned(
+        ev.filter(col("day") < evolutionCutover),
+        s"$dir/day_layout", "day")
+      ev.filter(col("day") >= evolutionCutover)
+        .withColumn("hour", date_format(col("ts"), "HH"))
+        .repartition(col("day"), col("hour"))
+        .write.mode("overwrite").partitionBy("day", "hour")
+        .parquet(s"$dir/hour_layout")
+      dir
+    })
+
+  /** The transition reader: both layouts behind one logical table. The
+    * hour column is layout metadata, not schema — it drops so old and
+    * new rows are indistinguishable to consumers. */
+  def evolvedEvents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/day_layout")
+      .unionByName(s.read.parquet(s"$dir/hour_layout").drop("hour"))
+
+  /** Hour-range read against the NEW layout — the query granularity the
+    * migration buys. Both predicates are partition filters: the scan
+    * opens only the matching day=... /hour=... directories. */
+  def evolvedHourRange(s: SparkSession, dir: String, day: String,
+      fromHour: String, toHour: String): DataFrame =
+    s.read.parquet(s"$dir/hour_layout")
+      .filter(col("day") === day &&
+        col("hour") >= fromHour && col("hour") <= toHour)
+
+  val qPartitionEvolution: (SparkSession, String) => DataFrame = (s, d) =>
+    evolvedEvents(s, eventsEvolvedDir(s, d))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("day")
+
   // The bloom-indexed point-lookup layout is likewise staged once per
   // (session, sf dir) — the layout is the artifact a deployment
   // maintains; the declared query times the LOOKUP, not the build.
@@ -946,6 +1004,11 @@ object Relational2 {
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14' GROUP BY 1 ORDER BY 1")),
     QueryDef("q_landing_partitioned", qLandingPartitioned, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1")),
+    // oracle = the DAY-layout query over raw events: the union of the
+    // two serving layouts must be indistinguishable from the
+    // pre-migration table
+    QueryDef("q_partition_evolution", qPartitionEvolution, Some(
+      "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("q_landing_overwrite", qLandingOverwrite, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(SUM(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-10' THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("q_scan_json", qScanJson, Some(

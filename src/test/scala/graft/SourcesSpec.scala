@@ -86,6 +86,52 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
   }
 
+  test("partition evolution: hour layout prunes at hour granularity; " +
+      "both layouts serve the transition union exactly") {
+    import graft.operators.Relational2
+    val sf = "/root/testdata/sf0.001"
+    val dir = Relational2.eventsEvolvedDir(spark, sf)
+    // both layouts exist and split at the cutover
+    val days = new java.io.File(s"$dir/day_layout").listFiles()
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    val newDays = new java.io.File(s"$dir/hour_layout").listFiles()
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(days.nonEmpty && days.last < s"day=${Relational2.evolutionCutover}")
+    assert(newDays.nonEmpty &&
+      newDays.head >= s"day=${Relational2.evolutionCutover}")
+    // hour dirs exist under the new layout
+    assert(new java.io.File(s"$dir/hour_layout/${newDays.head}")
+      .listFiles().exists(_.getName.startsWith("hour=")))
+    // the union serves the whole table exactly (per-row, not just counts)
+    val union = Relational2.evolvedEvents(spark, dir)
+    val raw = Tables.events(spark, sf)
+    assert(union.count() === raw.count())
+    assert(union.select("event_id").distinct().count() === raw.count())
+    // hour-range query prunes at HOUR granularity: PartitionFilters
+    // carries the hour bounds, and only the matching dirs are read
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val hq = Relational2.evolvedHourRange(spark, dir,
+        "2024-01-25", "06", "11")
+      val p = hq.queryExecution.executedPlan.toString
+      val scanLine = p.linesIterator
+        .find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(scanLine.contains("hour"), p.take(2000))
+      assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*>=[^\\]]*\\].*"),
+        scanLine)
+      // row-level truth: equals the raw-events hour filter
+      val expected = raw
+        .filter(org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd") ===
+          "2024-01-25")
+        .filter(org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "HH")
+          .between("06", "11"))
+        .count()
+      assert(hq.count() === expected)
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
   test("malformed JSON rows: PERMISSIVE nulls + captures, DROPMALFORMED " +
       "skips, FAILFAST throws") {
     // Robustness contract for dirty landings — a 100 TB ingest ALWAYS
