@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables}
+import graft.operators.Dedup
+
+/** ORGANIC ×10 scale probe for the heavy dedup paths (VERDICT r8 item
+  * 1). ScaleProbe replicates the corpus, which makes every LSH bucket
+  * uniformly hot and every 50-token window an exact n-way duplicate —
+  * the worst case for the cap path but the WRONG distribution for the
+  * long tail. This probe instead grows the corpus organically:
+  * generation g (1..9) rewrites each base document with
+  *   - per-position token substitution at rate 5·g% (substitutes drawn
+  *     from the SAME document by salted hash — natural token stats, no
+  *     synthetic marker tokens), and
+  *   - a 60% prefix slice for every third generation (true containment
+  *     shapes).
+  * The result is a 50k-doc corpus whose pairwise similarity spans
+  * ~0.3–0.95: LSH buckets get a realistic occupancy long tail (some
+  * over the cap, most under), substring dedup sees partially-shared
+  * windows instead of whole-doc copies, and containment's rarest-gram
+  * prefilter faces organic gram frequencies. Deterministic end to end —
+  * every random draw is a salted xxhash64 of (generation, doc, pos).
+  *
+  * Reported per op: 1× wall-clock, ×10 wall-clock, the ratio, and the
+  * hot-bucket-cap engagement count (nHotBuckets) for the LSH paths.
+  */
+object OrganicProbe {
+
+  /** Generation g of the organic corpus: mutated (and for g % 3 == 2,
+    * prefix-sliced) copies of the base docs, ids offset by g·10⁷. */
+  def generation(base: DataFrame, g: Int): DataFrame = {
+    val rate = 5 * g // percent
+    val t0 = split(trim(col("text")), "\\s+")
+    val t = if (g % 3 == 2)
+      slice(t0, lit(1), greatest(lit(1), (size(t0) * 6) / 10)) else t0
+    val sub = transform(col("t"), (x, i) => {
+      val h = xxhash64(lit(g), col("doc_id"), i)
+      val pick = element_at(col("t"),
+        (pmod(xxhash64(lit(g + 101), col("doc_id"), i), size(col("t")))
+          + 1).cast("int"))
+      when(pmod(h, lit(100)) < rate, pick).otherwise(x)
+    })
+    base
+      .withColumn("t", t)
+      .withColumn("text", array_join(sub, " "))
+      .withColumn("doc_id", col("doc_id") + lit(g.toLong * 10_000_000L))
+      .drop("t")
+  }
+
+  def organicCorpus(base: DataFrame, generations: Int): DataFrame =
+    (1 to generations).map(generation(base, _))
+      .foldLeft(base)(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkEntry.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probeFilter = sys.env.get("SPARK_GRAFT_PROBE_FILTER")
+
+    val base = Tables.documents(spark, d).localCheckpoint()
+    // materialize the generated corpus so generation cost never lands
+    // inside a probed op's timing
+    val organic = organicCorpus(base, 9).localCheckpoint()
+    println(s"== organic probe: base=${base.count()} docs, " +
+      s"organic=${organic.count()} docs ==")
+
+    def time(label: String)(f: => Long): Unit =
+      if (probeFilter.forall(label.contains)) {
+        System.gc()
+        val t0 = System.nanoTime()
+        val rows = f
+        println(
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $label ($rows rows)")
+      }
+
+    // untimed warmup: codegen + C2 compilation of the shared kernels,
+    // so the 1x numbers measure the op, not first-iteration JIT
+    Dedup.substringDedup(base, 50).count()
+    Dedup.minhashPairsWithStats(base).pairs.count()
+    Dedup.containmentPairs(base).count()
+
+    // 1. exact-substring dedup (w=50)
+    time("substring dedup w=50 1x organic-base")(
+      Dedup.substringDedup(base, 50).count())
+    time("substring dedup w=50 10x organic")(
+      Dedup.substringDedup(organic, 50).count())
+
+    // 2. MinHash/LSH clustering, with cap-engagement counts
+    time("LSH pairs + clusters 1x organic-base") {
+      val pt = Dedup.minhashPairsWithStats(base)
+      val n = Dedup.connectedComponents(pt.pairs, localMaxPairs = 0L)
+        .count()
+      println(s"          1x hot-bucket engagements: ${pt.nHotBuckets}")
+      n
+    }
+    time("LSH pairs + clusters 10x organic") {
+      val pt = Dedup.minhashPairsWithStats(organic)
+      val n = Dedup.connectedComponents(pt.pairs, localMaxPairs = 0L)
+        .count()
+      println(s"          10x hot-bucket engagements: ${pt.nHotBuckets}")
+      n
+    }
+
+    // 3. containment (rarest-gram prefix filtering)
+    time("containment pairs 1x organic-base")(
+      Dedup.containmentPairs(base).count())
+    time("containment pairs 10x organic")(
+      Dedup.containmentPairs(organic).count())
+
+    spark.stop()
+  }
+}

@@ -286,6 +286,25 @@ object ScaleProbe {
           .otherwise("unchanged").as("status"))
         .groupBy("status").count().count()
     }
+    // Round-9 probe: BPE merge-round scaling (VERDICT r8 item 6). The
+    // 1-job-per-merge greedy loop is linear in MERGE COUNT, not corpus
+    // size — a 32k-merge vocab means 32k sequential vocab-sized jobs.
+    // Frequency-ordered batched merges (symbol-disjoint batches applied
+    // in one fold) divide the round count by the batch cap; this probe
+    // measures both at 256 merges over the sf0.1 vocabulary.
+    time("BPE pure-greedy 256 merges over sf0.1 vocab") {
+      val words = Tables.documents(spark, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.TextAnalysis.bpeTrainFull(words, 256)._2.count()
+    }
+    time("BPE batched 256 merges (cap=32) over sf0.1 vocab") {
+      val words = Tables.documents(spark, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.TextAnalysis
+        .bpeTrainBatched(words, 256, 32)._2.count()
+    }
     spark.stop()
   }
 }

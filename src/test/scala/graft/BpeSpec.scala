@@ -95,6 +95,49 @@ class BpeSpec extends SparkSpec {
     assert(rows2.toSeq === rows.toSeq)
   }
 
+  test("batched BPE with batchCap=1 is exactly pure greedy") {
+    import spark.implicits._
+    val words = Seq(("ab", 4L), ("abc", 3L), ("bcd", 2L), ("dd", 5L))
+      .toDF("word", "freq")
+    val (g, gs) = operators.TextAnalysis.bpeTrainFull(words, rounds = 6)
+    val (b, bs) = operators.TextAnalysis.bpeTrainBatched(words,
+      totalMerges = 6, batchCap = 1)
+    assert(b.map(x => (x._2, x._3)).toSeq ===
+      g.map(x => (x._2, x._3)).toSeq)
+    assert(bs.orderBy("word").collect().map(_.toSeq).toSeq ===
+      gs.orderBy("word").collect().map(_.toSeq).toSeq)
+  }
+
+  test("batched BPE: deterministic, symbol-disjoint batches, and " +
+      "compression within 10% of pure greedy at equal merge count") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val merges = 24
+    val (b1, syms1) = operators.TextAnalysis.bpeTrainBatched(words,
+      merges, batchCap = 8)
+    val (b2, _) = operators.TextAnalysis.bpeTrainBatched(words,
+      merges, batchCap = 8)
+    assert(b1 === b2) // two builds learn the identical trace
+    assert(b1.size === merges)
+    // within every applied batch (same round index), symbols — incl.
+    // merged outputs — are disjoint: the property that makes one-fold
+    // application exact
+    b1.groupBy(_._1).values.foreach { batch =>
+      val symsOf = batch.flatMap { case (_, pair, _) =>
+        val Array(a, b) = pair.split(" ", 2); Seq(a, b, a + b)
+      }
+      assert(symsOf.distinct.size === symsOf.size, batch.toString)
+    }
+    val (_, symsG) = operators.TextAnalysis.bpeTrainFull(words, merges)
+    def totalSymbols(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(size(col("sym")) * col("freq"))).head().getLong(0)
+    val tb = totalSymbols(syms1); val tg = totalSymbols(symsG)
+    assert(tb <= tg * 1.10,
+      s"batched compression $tb vs greedy $tg exceeds 10% gap")
+  }
+
   test("rollup reuse: monthly answer from the daily rollup is " +
       "bit-identical to the direct fact scan") {
     val fromRollup = SparkEntry.queries("q_rollup_reuse")(spark, sf)
