@@ -1144,6 +1144,71 @@ object Similarity {
         col("opq_hits").cast("double") / col("brute_k"))
   }
 
+  // --- rebalanced IVF: the hot-list-splitting quantizer SERVING search
+  // (the IvfPqSpec rebalance probe promoted to the declared surface).
+  // The coarse quantizer runs with a per-list cap deliberately below
+  // the uniform list size, so splitting GENUINELY engages on the
+  // fixture: over-cap lists re-cluster into sub-lists (quantizeCapped)
+  // and the centroid table grows finer where the data is dense — the
+  // maintenance move a skewed 100 TB index needs. Search is unchanged
+  // in shape: rank the (rebalanced) centroids against the query on the
+  // driver (metadata), read the probed lists, exact-score, top-k.
+  // Probing ALL lists must reproduce brute force exactly — membership
+  // survives split/reassign — which q_ann_ivf_rebalanced_exhaustive
+  // hash-proves under q_cosine_topk's oracle.
+  private val rebalancedIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def rebalancedIvfIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    rebalancedIvfCache.getOrElseUpdate((s, d), {
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
+      // half the uniform list size: forces the split path to engage
+      val cap = math.max(2, (embs.count() / 20L).toInt)
+      val (assigned, cents) =
+        quantizeCapped(embs, k = 10, iters = 3, cap = cap)
+      (assigned.localCheckpoint(), cents.localCheckpoint())
+    })
+
+  def ivfRebalancedSearch(s: SparkSession, d: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val (assigned, cents) = rebalancedIvfIndex(s, d)
+    val e = prepared(s, d)
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("ce"), col("n2")).head()
+    val qv = q.getSeq[Double](0)
+    val qn = math.sqrt(q.getDouble(1))
+    // probed lists: nearest rebalanced centroids by cosine — driver
+    // math over the metadata-sized centroid table
+    val lists = cents.select("c_id", "centroid", "cn2").collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        var acc = 0.0; var i = 0
+        while (i < c.length) { acc += qv(i) * c(i); i += 1 }
+        (r.getInt(0), acc / (qn * math.sqrt(r.getDouble(2))))
+      }
+      .sortBy { case (cid, csim) => (-csim, cid) }
+      .take(nprobe).map(_._1).toIndexedSeq
+    val qvDf = e.filter(col("vec_id") === 0L)
+      .select(col("ce").as("qe"), col("n2").as("qn2"))
+    assigned.filter(col("c_id").isin(lists: _*))
+      .select(col("vec_id"), col("ce"), col("n2"))
+      .crossJoin(broadcast(qvDf))
+      .select(col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // serving config: 3 of the rebalanced lists — rows-only (recall is an
+  // index property; the exhaustive twin is the hard oracle)
+  val qAnnIvfRebalanced: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfRebalancedSearch(s, d, k = 10, nprobe = 3)
+
+  val qAnnIvfRebalancedExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => ivfRebalancedSearch(s, d, k = 10, nprobe = Int.MaxValue)
+
   // --- persisted IVF index: the on-disk form of the 100 TB design ---
   // "The corpus is bucketed by centroid id so a probe reads one partition"
   // is not prose here: writeIvfIndex lays the assigned corpus out as
@@ -1345,6 +1410,12 @@ object Similarity {
       // oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_pq_recall", qAnnPqRecall, None),
+    QueryDef("q_ann_ivf_rebalanced", qAnnIvfRebalanced, None),
+    QueryDef("q_ann_ivf_rebalanced_exhaustive",
+      qAnnIvfRebalancedExhaustive, Some(
+        // probing every rebalanced list ≡ brute force: membership
+        // survives split/reassign — the SAME oracle as q_cosine_topk
+        s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_opq", qAnnOpq, None),
     QueryDef("q_ann_opq_exhaustive", qAnnOpqExhaustive, Some(
       // exhaustive shortlist ⇒ the exact re-rank is brute force: the

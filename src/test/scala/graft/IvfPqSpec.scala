@@ -188,6 +188,23 @@ class IvfPqSpec extends SparkSpec {
       r.toString)
   }
 
+  test("declared rebalanced IVF: the split path genuinely engages on " +
+      "the corpus and exhaustive probing is exactly brute force") {
+    val (assigned, cents) = Similarity.rebalancedIvfIndex(spark, sf)
+    // cap = n/20 with k=10 forces over-cap lists to split: the centroid
+    // table must be finer than the base quantizer's k
+    assert(cents.count() > 10, "split path never engaged")
+    // membership preserved exactly through split/reassign
+    val n = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0L).count()
+    assert(assigned.count() === n)
+    assert(assigned.select("vec_id").distinct().count() === n)
+    val brute = Similarity.qCosineTopk(spark, sf).collect().map(_.toSeq)
+    val got = Similarity.qAnnIvfRebalancedExhaustive(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.toSeq === brute.toSeq)
+  }
+
   test("IVF list rebalance: splitting hot lists bounds imbalance and " +
       "preserves membership (skewed list distribution probe)") {
     import spark.implicits._
