@@ -4,6 +4,8 @@ object DumpOne {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEntry.configure(SparkSession.builder().master("local[8]"), "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // match digestMap: no metadata truncation (see PlanDigest.digestMap)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     val p = PlanDigest.normalize(
       graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.01")
         .queryExecution.executedPlan.toString)

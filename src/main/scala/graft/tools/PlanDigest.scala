@@ -56,14 +56,25 @@ object PlanDigest {
   }
 
   /** (name → digest) for every declared query, sorted by name.
-    * Also the bench artifact's plan-drift source (Bench.rollupDigest). */
-  def digestMap(spark: SparkSession, dir: String): Seq[(String, String)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    * Also the bench artifact's plan-drift source (Bench.rollupDigest).
+    *
+    * Metadata truncation MUST be effectively disabled while digesting:
+    * Spark cuts DataFilters/Location strings at
+    * spark.sql.maxMetadataStringLength (default 100) BEFORE our
+    * normalization runs, and the cut offset shifts with raw expr-id
+    * widths — so a session that has planned more queries (wider #ids)
+    * truncates at a different token and the digest drifts with session
+    * HISTORY, not plan shape (found via q_funnel in round 9). */
+  def digestMap(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dg = try
         md5(normalize(fn(spark, dir).queryExecution.executedPlan.toString))
       catch { case _: Throwable => "ERROR" }
       name -> dg
-    }
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
 
   /** One hash over the whole (name, digest) map — compact enough for the
     * one-line bench JSON; any plan change anywhere changes it. */

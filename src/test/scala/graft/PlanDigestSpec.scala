@@ -40,6 +40,29 @@ class PlanDigestSpec extends SparkSpec {
     assert(!json.contains("\"ERROR\""), "a digest recorded ERROR")
   }
 
+  test("metadata truncation is disabled while digesting: a truncation-" +
+      "prone plan digests identically before and after other planning") {
+    // q_funnel's events FileScan carries DataFilters longer than the
+    // 100-char default cut; with truncation on, the cut offset shifts
+    // with raw expr-id widths and the digest drifts with session
+    // HISTORY (the round-9 finding). digestMap raises the limit — this
+    // pins the before/after-planning equality under that setting.
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try {
+      def dg() = tools.PlanDigest.normalize(
+        SparkEntry.queries("q_funnel")(spark, sf)
+          .queryExecution.executedPlan.toString)
+      val before = dg()
+      // widen the session's expr-id counter substantially
+      for (q <- Seq("q_agg_groupby_sum", "q_join_equi_inner", "q_funnel"))
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      assert(dg() === before)
+      assert(!before.contains("..."), "plan still truncated")
+    } finally
+      spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
   test("the historically-unstable plans digest identically across two " +
       "in-session builds") {
     for (q <- Seq("q_minhash_source_sketch", "q_multimodal_features")) {
