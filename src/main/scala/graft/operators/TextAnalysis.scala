@@ -611,6 +611,23 @@ object TextAnalysis {
         .groupBy("word").agg(count(lit(1)).as("freq")),
       rounds = 8)
 
+  /** Declared batched-BPE training query: the first 8 merges learned by
+    * [[bpeTrainBatched]] at cap=4 (two rounds instead of eight), with
+    * each merge's batch round — the trace a production trainer emits.
+    * Iterative fixpoint semantics → rows-only; BpeSpec locks the cap=1
+    * ≡ greedy equivalence, per-batch symbol disjointness, and rerun
+    * determinism. */
+  val qBpeEncodeBatched: (SparkSession, String) => DataFrame = (s, d) => {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(wsTokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (trace, _) = bpeTrainBatched(words, totalMerges = 8, batchCap = 4)
+    trace.zipWithIndex.map { case ((r, p, c), i) => (i + 1, r, p, c) }
+      .toDF("merge_rank", "batch_round", "pair", "weighted_cnt")
+      .orderBy("merge_rank")
+  }
+
   /** Token counting under the TRAINED tokenizer — the token-budgeting
     * pass a pipeline runs before sequence packing: per-doc whitespace
     * token count and BPE symbol count after the 8 learned merges.
@@ -639,6 +656,7 @@ object TextAnalysis {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_topk", qApproxTopk, None),
     QueryDef("q_bpe_encode", qBpeEncode, None),
+    QueryDef("q_bpe_encode_batched", qBpeEncodeBatched, None),
     QueryDef("q_bpe_apply", qBpeApply, None),
     QueryDef("q_quality_unigram_lp", qQualityUnigramLp, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2), cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt) SELECT doc_id, round(CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(24,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")),

@@ -31,7 +31,8 @@ object OrganicProbe {
 
   /** Generation g of the organic corpus: mutated (and for g % 3 == 2,
     * prefix-sliced) copies of the base docs, ids offset by g·10⁷. */
-  def generation(base: DataFrame, g: Int): DataFrame = {
+  def generation(base: DataFrame, g: Int,
+      idOffsetUnit: Long = 10_000_000L): DataFrame = {
     val rate = 5 * g // percent
     val t0 = split(trim(col("text")), "\\s+")
     val t = if (g % 3 == 2)
@@ -46,12 +47,13 @@ object OrganicProbe {
     base
       .withColumn("t", t)
       .withColumn("text", array_join(sub, " "))
-      .withColumn("doc_id", col("doc_id") + lit(g.toLong * 10_000_000L))
+      .withColumn("doc_id", col("doc_id") + lit(g * idOffsetUnit))
       .drop("t")
   }
 
-  def organicCorpus(base: DataFrame, generations: Int): DataFrame =
-    (1 to generations).map(generation(base, _))
+  def organicCorpus(base: DataFrame, generations: Int,
+      idOffsetUnit: Long = 10_000_000L): DataFrame =
+    (1 to generations).map(generation(base, _, idOffsetUnit))
       .foldLeft(base)(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -111,6 +113,28 @@ object OrganicProbe {
       Dedup.containmentPairs(base).count())
     time("containment pairs 10x organic")(
       Dedup.containmentPairs(organic).count())
+
+    // ×100: a SECOND wave of 9 mutation generations over the ×10
+    // corpus (distinct id stratum) — mutations compound, so the
+    // similarity structure is hierarchical near-dup families, the way
+    // real web boilerplate drifts. Opt-in: SPARK_GRAFT_ORGANIC_X100=1.
+    if (sys.env.get("SPARK_GRAFT_ORGANIC_X100").contains("1")) {
+      val organic100 =
+        organicCorpus(organic, 9, idOffsetUnit = 1_000_000_000L)
+          .localCheckpoint()
+      println(s"== x100 wave: ${organic100.count()} docs ==")
+      time("substring dedup w=50 100x organic")(
+        Dedup.substringDedup(organic100, 50).count())
+      time("LSH pairs + clusters 100x organic") {
+        val pt = Dedup.minhashPairsWithStats(organic100)
+        val n = Dedup.connectedComponents(pt.pairs, localMaxPairs = 0L)
+          .count()
+        println(s"          100x hot-bucket engagements: ${pt.nHotBuckets}")
+        n
+      }
+      time("containment pairs 100x organic")(
+        Dedup.containmentPairs(organic100).count())
+    }
 
     spark.stop()
   }

@@ -138,6 +138,26 @@ class BpeSpec extends SparkSpec {
       s"batched compression $tb vs greedy $tg exceeds 10% gap")
   }
 
+  test("q_bpe_encode_batched: 8 merges in 2 cap-4 rounds, " +
+      "count-ordered within each batch, rerun-deterministic") {
+    val rows = SparkEntry.queries("q_bpe_encode_batched")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.length === 8)
+    assert(rows.map(_._1).toSeq === (1 to 8))
+    // cap=4 → the 8 merges span exactly 2 batch rounds
+    assert(rows.map(_._2).distinct.toSeq === Seq(1, 2))
+    // within a batch, admission order is (count desc, pair asc)
+    rows.groupBy(_._2).values.foreach { b =>
+      val cnts = b.map(_._4).toSeq
+      assert(cnts === cnts.sorted.reverse, b.toString)
+    }
+    val again = SparkEntry.queries("q_bpe_encode_batched")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("rollup reuse: monthly answer from the daily rollup is " +
       "bit-identical to the direct fact scan") {
     val fromRollup = SparkEntry.queries("q_rollup_reuse")(spark, sf)

@@ -406,4 +406,31 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
       l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), p.take(1200))
   }
+
+  test("OPQ search: top-k is TakeOrdered, only shortlist/query broadcast") {
+    val p = plan("q_ann_opq")
+    // both the ADC shortlist selection and the final top-k must plan as
+    // TakeOrderedAndProject — never a global sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1500))
+    // broadcasts: the 50-row candidate list and the 1-row query vector —
+    // the codes/corpus scans must never broadcast
+    val be = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(be <= 2, s"$be broadcasts\n${p.take(1500)}")
+  }
+
+  test("partition evolution: the transition union reads BOTH layouts " +
+      "and nothing else") {
+    val p = plan("q_partition_evolution")
+    assert(p.contains("day_layout") && p.contains("hour_layout"),
+      p.take(1500))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 2, s"$scans scans\n${p.take(2000)}")
+  }
+
+  test("streaming DSIR gate final scoring joins the landed counts " +
+      "against a BROADCAST ratio table") {
+    val p = plan("q_stream_dsir_gate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
