@@ -381,6 +381,62 @@ object Dedup {
   val qDedupContainment: (SparkSession, String) => DataFrame = (s, d) =>
     containmentPairs(Tables.documents(s, d))
 
+  /** [[containmentPairs]] with an explicit df-cap degrade path — the
+    * HotBucketCap discipline applied to prefix filtering. Exact
+    * containment's cost is governed by the document-frequency of each
+    * probe doc's RAREST prefix gram: the probe fan-out is
+    * Σ_{g∈prefix(A)} df(g), so a corpus whose gram rarity collapses
+    * (boilerplate-heavy, tiny vocabulary — measured at ×100 organic:
+    * >78 GB of shuffle spill from ~10⁹ candidates) makes the exact
+    * join unbounded. Here a doc whose rarest gram is hotter than
+    * `dfCap` routes OUT of the PROBE side into the returned overflow
+    * frame (callers send those through the LSH family); as INDEX-side
+    * docs they still participate, so every returned pair is exact and
+    * every pair whose contained side is prunable IS returned. Candidate
+    * volume is then ≤ n · prefixLen · dfCap — linear in the corpus at
+    * fixed cap, the contract the uncapped exact join cannot give.
+    * Returns (pairs, overflow docs (doc_id, min_df)). */
+  def containmentPairsCapped(docsIn: DataFrame, tauPct: Int = 90,
+      dfCap: Int = 64): (DataFrame, DataFrame) = {
+    val docs = shingleDocs(docsIn).localCheckpoint()
+    val grams = docs.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val t = floor((col("n") * tauPct + lit(99)) / lit(100))
+    val ranked = grams.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gdf").asc, col("g").asc)))
+    // prunability is decided by the rarest gram alone: if even it is
+    // hotter than the cap, every prefix choice fans out ≥ dfCap
+    val overflow = ranked.filter(col("rk") === 1 && col("gdf") > dfCap)
+      .select(col("doc_id"), col("gdf").as("min_df"))
+      .localCheckpoint()
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - t + 1)
+      .join(overflow.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("g").as("pg"))
+    val index = grams.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("g"))
+    val cand = prefix.join(index,
+        col("pg") === col("g") &&
+          col("n_b") * 100 >= col("n_a") * tauPct &&
+          (col("n_a") < col("n_b") ||
+            (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+      .select("doc_a", "doc_b", "n_a").distinct()
+    val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val pairs = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .filter(inter * 100 >= col("n_a") * tauPct)
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / col("n_a"), 4).as("cont"))
+      .orderBy("doc_a", "doc_b")
+    (pairs, overflow)
+  }
+
   // --- MinHash + LSH (the scale path; verified against true Jaccard) ---
   val NumHashes = 32
   private val Bands = 8

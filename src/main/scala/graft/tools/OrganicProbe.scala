@@ -113,6 +113,13 @@ object OrganicProbe {
       Dedup.containmentPairs(base).count())
     time("containment pairs 10x organic")(
       Dedup.containmentPairs(organic).count())
+    time("containment pairs 10x organic DF-CAPPED (cap=64)") {
+      val (pairs, overflow) =
+        Dedup.containmentPairsCapped(organic, 90, dfCap = 64)
+      val n = pairs.count()
+      println(s"          overflow (unprunable) docs: ${overflow.count()}")
+      n
+    }
 
     // ×100: a SECOND wave of 9 mutation generations over the ×10
     // corpus (distinct id stratum) — mutations compound, so the
@@ -134,6 +141,36 @@ object OrganicProbe {
       }
       time("containment pairs 100x organic")(
         Dedup.containmentPairs(organic100).count())
+      // The bounded exact path: df-capped prefix filtering — docs whose
+      // rarest gram is hotter than the cap route to overflow (→ LSH),
+      // everything prunable stays exact, and candidate volume is
+      // ≤ n·prefixLen·dfCap by construction.
+      time("containment pairs 100x organic DF-CAPPED (cap=64)") {
+        val (pairs, overflow) =
+          Dedup.containmentPairsCapped(organic100, 90, dfCap = 64)
+        val n = pairs.count()
+        println(s"          overflow (unprunable) docs: ${overflow.count()}")
+        n
+      }
+      // Dedup-first composition, measured for completeness: collapsing
+      // LSH clusters to canonicals first removes only the high-sim
+      // family members (~18% here — compounded mutations put most pairs
+      // under the LSH threshold), so the survivor set ALSO exceeded
+      // this box's disk in the exact join. The df cap above is the
+      // load-bearing guard; this probe documents that composition
+      // alone is not.
+      time("containment 100x AFTER LSH dedup (survivors)") {
+        val cc = Dedup.connectedComponents(
+          Dedup.minhashPairsWithStats(organic100).pairs,
+          localMaxPairs = 0L)
+        val nonCanon = cc.filter(col("doc_id") =!= col("canonical"))
+          .select("doc_id")
+        val survivors = organic100
+          .join(nonCanon, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        println(s"          survivors: ${survivors.count()}")
+        Dedup.containmentPairs(survivors).count()
+      }
     }
 
     spark.stop()

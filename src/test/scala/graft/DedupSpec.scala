@@ -190,6 +190,45 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("df-capped containment: huge cap is exactly the uncapped join; " +
+      "a tight cap routes only hot-rarest-gram docs to overflow and " +
+      "keeps every prunable-probe pair exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def words(n: Int, tag: String) =
+      (0 until n).map(_ => s"$tag${rnd.nextInt(400)}").mkString(" ")
+    val boiler = words(30, "b") // shared boilerplate: hot grams
+    val docs = (Seq(
+      (1L, words(30, "w")),
+      (2L, words(300, "w") + " " + words(30, "w"))) ++
+      // 12 PURE-boilerplate docs (identical text, distinct ids): every
+      // shingle they own has df = 12, so their rarest gram is hot —
+      // the exact-duplicate/template regime the df cap exists for
+      (10L to 21L).map(i => (i, boiler)) ++
+      (30L to 50L).map(i => (i, words(25 + rnd.nextInt(60), s"t$i"))))
+      .toDF("doc_id", "text")
+    val exact = operators.Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (pAll, oAll) =
+      operators.Dedup.containmentPairsCapped(docs, 90, dfCap = 100000)
+    assert(oAll.count() === 0L)
+    assert(pAll.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      exact.toSet)
+    val (pCap, oCap) =
+      operators.Dedup.containmentPairsCapped(docs, 90, dfCap = 6)
+    val over = oCap.collect().map(_.getLong(0)).toSet
+    // only the boilerplate family's docs can overflow (their rarest
+    // gram is shared by 12+ docs); the organic docs stay prunable
+    assert(over.nonEmpty && over.forall(id => id >= 10L && id <= 21L),
+      over.toString)
+    // capped result = exact result restricted to prunable probe sides
+    val expected = exact.filter { case (a, _, _) => !over.contains(a) }
+    assert(pCap.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      expected.toSet)
+  }
+
   test("hot-bucket cap bounds candidates on an all-identical corpus") {
     // Adversarial: m identical one-sentence docs collide into ONE bucket
     // per band. Uncapped that is m·(m−1)/2 candidate pairs (m=2000 →
