@@ -569,12 +569,136 @@ object Relational2 {
       dir
     })
 
-  /** The transition reader: both layouts behind one logical table. The
-    * hour column is layout metadata, not schema — it drops so old and
-    * new rows are indistinguishable to consumers. */
-  def evolvedEvents(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/day_layout")
-      .unionByName(s.read.parquet(s"$dir/hour_layout").drop("hour"))
+  /** The transition reader: both layouts behind one logical table, with
+    * the NEW layout taking precedence per day — a day present in the
+    * hour layout is excluded from the day layout's contribution. That
+    * precedence rule is what makes per-day migration crash-safe: the
+    * migrator lands a day into the hour layout (one atomic rename)
+    * BEFORE deleting it from the day layout, and a crash in between
+    * leaves the day in both — served exactly once, from the new layout.
+    * The exclusion list is partition metadata (a distinct over the hour
+    * layout's partition column — no data columns read), broadcast into
+    * an anti-join. The hour column itself is layout metadata, not
+    * schema — it drops so old and new rows are indistinguishable. */
+  def evolvedEvents(s: SparkSession, dir: String): DataFrame = {
+    // one driver metadata listing: does the hour layout hold any day
+    // yet? Before the first migration it is an empty directory (no
+    // partition dirs, no schema) and the reader is just the day layout.
+    val hourPath = new org.apache.hadoop.fs.Path(s"$dir/hour_layout")
+    val fs = hourPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasHourData = fs.exists(hourPath) && fs.listStatus(hourPath)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+    val old = s.read.parquet(s"$dir/day_layout")
+    if (!hasHourData) old
+    else {
+      val hour = s.read.parquet(s"$dir/hour_layout")
+      val hourDays = hour.select(col("day")).distinct()
+      old.join(broadcast(hourDays), Seq("day"), "left_anti")
+        .unionByName(hour.drop("hour"))
+    }
+  }
+
+  /** Migrate ONE day of history from the day layout to the hour layout
+    * under the audit-then-swap discipline: stage the day re-partitioned
+    * by hour, audit the staged copy against the source (row count),
+    * RENAME the staged directory into the hour layout (one atomic
+    * metadata op), and only then delete the day from the day layout.
+    * Crash-window analysis against [[evolvedEvents]]' precedence rule:
+    * before the rename → the day serves from the day layout, staging is
+    * invisible; between rename and delete → the day exists in BOTH
+    * layouts and serves once, from the hour layout; after → migrated.
+    * No reader at any point sees a partial or doubled day. Re-running
+    * the migrator inside the rename/delete window RECOVERS: the
+    * already-published day is detected and only the retire step
+    * completes. Cost is one day, never the table. Returns false (and
+    * leaves everything untouched) if the audit fails or the day is
+    * absent from both layouts. */
+  def migrateDayToHourly(s: SparkSession, dir: String, day: String)
+      : Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(
+      s"$dir/day_layout/day=$day")
+    val fs = srcPath.getFileSystem(conf)
+    val dest = new org.apache.hadoop.fs.Path(
+      s"$dir/hour_layout/day=$day")
+    if (fs.exists(dest)) {
+      // the day is already published on the hour side — the rename is
+      // atomic and only ever happens after the audit, so this is an
+      // INTERRUPTED earlier migration (crashed between rename and
+      // delete). Complete its final step instead of double-publishing;
+      // the precedence reader was serving the day correctly throughout.
+      if (fs.exists(srcPath) && !fs.delete(srcPath, true))
+        throw new java.io.IOException(
+          s"migrateDayToHourly: recovery failed to retire $srcPath")
+      true
+    } else if (!fs.exists(srcPath)) false
+    else {
+      val source = s.read.parquet(s"$dir/day_layout")
+        .filter(col("day") === day)
+      val staging = s"$dir/migrate_staging_day_$day"
+      source
+        .withColumn("hour", date_format(col("ts"), "HH"))
+        // day becomes a partition DIRECTORY after the rename — keeping
+        // it as a data column too would collide with partition
+        // discovery ("duplicate column in data and partition schema")
+        .drop("day")
+        .repartition(col("hour"))
+        .write.mode("overwrite").partitionBy("hour").parquet(staging)
+      val staged = s.read.parquet(staging)
+      if (staged.count() != source.count()) false
+      else {
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dest))
+          throw new java.io.IOException(
+            s"migrateDayToHourly: failed to publish $staging to $dest")
+        if (!fs.delete(srcPath, true))
+          throw new java.io.IOException(
+            s"migrateDayToHourly: failed to retire $srcPath")
+        true
+      }
+    }
+  }
+
+  private val migrateRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  // the day-granularity profile over raw events — shared by the
+  // evolution and migration keys (both must be indistinguishable from
+  // the pre-migration table)
+  private val dayProfileOracle =
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
+  /** Declared migration query: stage a FRESH fully-day-partitioned
+    * layout (every call re-lands it — the row times the migration job,
+    * the qLandingOverwrite discipline), create an empty hour layout,
+    * migrate one day under audit-then-swap, and profile the transition
+    * union. Shares the day-granularity oracle over raw events BY
+    * REFERENCE with q_partition_evolution: the migrated table must be
+    * indistinguishable from the unmigrated one. */
+  val qPartitionMigrate: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_migrate_" +
+      s.sparkContext.applicationId + "_" + migrateRuns.incrementAndGet()
+    val ev = Tables.events(s, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    graft.sources.Sources.writePartitioned(ev, s"$dir/day_layout", "day")
+    // an empty but discoverable hour layout: the migration target
+    ev.filter(lit(false))
+      .withColumn("hour", date_format(col("ts"), "HH"))
+      .write.mode("overwrite").partitionBy("day", "hour")
+      .parquet(s"$dir/hour_layout")
+    require(migrateDayToHourly(s, dir, "2024-01-10"),
+      "migration of 2024-01-10 failed its audit")
+    val out = evolvedEvents(s, dir)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("day")
+      .localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
 
   /** Hour-range read against the NEW layout — the query granularity the
     * migration buys. Both predicates are partition filters: the scan
@@ -1007,8 +1131,13 @@ object Relational2 {
     // oracle = the DAY-layout query over raw events: the union of the
     // two serving layouts must be indistinguishable from the
     // pre-migration table
-    QueryDef("q_partition_evolution", qPartitionEvolution, Some(
-      "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1")),
+    QueryDef("q_partition_evolution", qPartitionEvolution,
+      Some(dayProfileOracle)),
+    // same oracle BY REFERENCE: after migrating one day of history into
+    // the hour layout under audit-then-swap, the transition union must
+    // STILL be indistinguishable from the raw table
+    QueryDef("q_partition_migrate", qPartitionMigrate,
+      Some(dayProfileOracle)),
     QueryDef("q_landing_overwrite", qLandingOverwrite, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(SUM(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-10' THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("q_scan_json", qScanJson, Some(

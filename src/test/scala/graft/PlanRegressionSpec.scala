@@ -419,13 +419,20 @@ class PlanRegressionSpec extends SparkSpec {
     assert(be <= 2, s"$be broadcasts\n${p.take(1500)}")
   }
 
-  test("partition evolution: the transition union reads BOTH layouts " +
-      "and nothing else") {
+  test("partition evolution: the transition union reads BOTH layouts, " +
+      "plus one partitions-only scan for the precedence list") {
     val p = plan("q_partition_evolution")
     assert(p.contains("day_layout") && p.contains("hour_layout"),
       p.take(1500))
-    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
-    assert(scans === 2, s"$scans scans\n${p.take(2000)}")
+    // two data scans + the hour layout's day-list scan (precedence
+    // anti-join side) — which must read NO data columns
+    val scanLines = p.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(scanLines.length === 3, s"${scanLines.length} scans\n" +
+      p.take(2000))
+    assert(scanLines.exists(_.contains("ReadSchema: struct<>")),
+      "precedence-list scan reads data columns:\n" +
+        scanLines.mkString("\n"))
   }
 
   test("streaming DSIR gate final scoring joins the landed counts " +

@@ -132,6 +132,62 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
   }
 
+  test("day-to-hour migration is crash-safe: every crash-window state " +
+      "serves the table exactly once through the precedence reader") {
+    import graft.operators.Relational2
+    import org.apache.spark.sql.functions.{col, date_format, lit}
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_migrate_spec").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Sources.writePartitioned(ev, s"$dir/day_layout", "day")
+    ev.filter(lit(false))
+      .withColumn("hour", date_format(col("ts"), "HH"))
+      .write.mode("overwrite").partitionBy("day", "hour")
+      .parquet(s"$dir/hour_layout")
+    val total = ev.count()
+    val day = "2024-01-10"
+    def served(): Long = Relational2.evolvedEvents(spark, dir).count()
+    // pre-migration baseline
+    assert(served() === total)
+    // keep a copy of the day's old-layout dir to recreate the
+    // "renamed but not yet deleted" crash window afterwards
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+        ()
+      }
+    }
+    val dayDir = java.nio.file.Paths.get(s"$dir/day_layout/day=$day")
+    val snapshot = java.nio.file.Paths.get(s"$dir/day_snapshot")
+    copyTree(dayDir, snapshot)
+    // full migration (stage → audit → rename → delete)
+    assert(Relational2.migrateDayToHourly(spark, dir, day))
+    assert(served() === total) // post-migration: still exactly once
+    // the migrated day prunes at hour granularity
+    val hq = Relational2.evolvedHourRange(spark, dir, day, "06", "11")
+    val expect = ev.filter(col("day") === day)
+      .filter(date_format(col("ts"), "HH").between("06", "11")).count()
+    assert(hq.count() === expect && expect > 0)
+    // CRASH WINDOW: the day exists in BOTH layouts (rename done, delete
+    // not yet) — the precedence rule must serve it once, from the hour
+    // layout
+    copyTree(snapshot, dayDir)
+    assert(served() === total)
+    // re-running the migrator in this state RECOVERS the interrupted
+    // migration: it detects the already-published day and completes
+    // only the retire step — never a double-publish
+    assert(Relational2.migrateDayToHourly(spark, dir, day))
+    assert(!java.nio.file.Files.exists(dayDir))
+    assert(served() === total)
+    // a day that was never in either layout is a no-op false
+    assert(!Relational2.migrateDayToHourly(spark, dir, "1999-01-01"))
+  }
+
   test("malformed JSON rows: PERMISSIVE nulls + captures, DROPMALFORMED " +
       "skips, FAILFAST throws") {
     // Robustness contract for dirty landings — a 100 TB ingest ALWAYS
