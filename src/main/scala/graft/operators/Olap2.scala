@@ -174,9 +174,22 @@ object Olap2 {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
           .as("late"))
+      // level 1: one row per (order, supplier) with an any-late flag.
+      // An EXPLICIT two-level aggregation instead of two countDistincts:
+      // RewriteDistinctAggregates' Expand would triple the pre-shuffle
+      // rows AND permute its gid layout with session state (a HashMap
+      // iteration order), which made this plan's digest bistable across
+      // sessions. The two-level form partial-combines map-side, carries
+      // a third of the rows into the first exchange, and its plan is a
+      // deterministic function of the query alone.
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("late"))
+      // level 2: per order — n_supp ≥ 2 encodes the EXISTS, exactly one
+      // late supplier encodes the NOT EXISTS, and that supplier is
+      // recovered as MIN under the condition
       .groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("late"), 1)).as("n_late_supp"),
         min(when(col("late"), col("l_suppkey"))).as("waiting_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
 

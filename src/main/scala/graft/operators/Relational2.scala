@@ -912,7 +912,13 @@ object Relational2 {
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        // size(collect_set) rather than a second countDistinct: status
+        // is a 3-value domain (bounded partial state), and TWO distinct
+        // groups in one aggregate trigger RewriteDistinctAggregates'
+        // Expand whose gid layout permutes with session state — the
+        // q_tpch_q21 digest-bistability fix applied here
+        size(collect_set(col("o_orderstatus"))).cast("long")
+          .as("n_statuses"),
         date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"),
