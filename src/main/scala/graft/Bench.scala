@@ -124,9 +124,14 @@ object Bench {
     // digest (tools/PlanDigest): the per-round bench artifact carries it
     // so the driver can detect plan drift mechanically — a changed
     // plans_digest with unchanged queries means a PLAN changed even when
-    // timing noise masks it (VERDICT r8 item 7). Planning only — no
-    // execution — so it costs seconds and never pollutes the timings
-    // above (it runs after the last timed pass).
+    // timing noise masks it (VERDICT r8 item 7). NOT free: digestMap
+    // invokes every declared builder, and a handful execute real jobs on
+    // CONSTRUCTION (the streaming replays, the landing-overwrite /
+    // shard-compaction / partition-migration staging writes) — most
+    // reuse per-app staged artifacts already built during the timed
+    // passes, so the tail costs well under one timed pass. It runs
+    // AFTER the last timed pass, so the timings above are unaffected
+    // either way (ADVICE r9).
     val plansDigest = filter match {
       case Some(_) => "filtered" // partial surface must not look whole
       case None => tools.PlanDigest.rollupDigest(spark, sfDir)

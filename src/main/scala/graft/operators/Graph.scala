@@ -68,18 +68,12 @@ object Graph {
   // colliding with — and stop pinning checkpoint blocks for — the next
   // session in the same JVM, because the next app's id differs and a
   // same-key overwrite replaces the dead frame.
-  private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
+  private val edgeCache = graft.AppCache[DataFrame]()
 
-  private def cachedEdges(s: SparkSession, d: String): DataFrame = {
-    val app = s.sparkContext.applicationId
-    // evict entries from previous (stopped) applications so their
-    // checkpointed frames are not retained for the JVM lifetime
-    edgeCache.keySet.filter(_._1 != app).foreach(edgeCache.remove)
-    edgeCache.getOrElseUpdate((app, d),
+  private def cachedEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.get(s, d)(
       significantEdges(coSupplierCooc(Tables.lineitem(s, d)))
         .localCheckpoint())
-  }
 
   /** Undirected degree per node: explode endpoints, one keyed agg. */
   def degrees(edges: DataFrame): DataFrame =
@@ -302,26 +296,41 @@ object Graph {
         "deg AS (SELECT node, COUNT(*) AS deg FROM dir GROUP BY 1), " +
         "c AS (SELECT l.node AS a, r.node AS b, COUNT(*) AS common FROM dir l JOIN dir r ON l.nbr = r.nbr AND l.node < r.node GROUP BY 1, 2) " +
         "SELECT a, b, common, round(CAST(common AS DOUBLE) / unions, 6) AS jac FROM (SELECT a, b, common, da.deg + db.deg - common AS unions FROM c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node) ORDER BY jac DESC, a ASC, b ASC LIMIT 100")),
-    // The peel fixpoint IS SQL-expressible: the removed set grows
-    // monotonically (R_{i+1} = R_i ∪ {x : deg(x) − |N(x) ∩ R_i| < k}),
-    // so a recursive UNION accumulates exactly the nodes the iterative
-    // peel deletes, and terminates at the same fixpoint — the recursive
-    // trick behind q_dedup_clusters' reachability oracle, applied to
-    // deletion instead of reachability. Survivors and their in-core
-    // degrees then follow non-recursively.
+    // The peel fixpoint IS SQL-expressible, but NOT as a plain UNION
+    // recursion: the recursive working table holds only the PREVIOUS
+    // iteration's rows, so counting removed neighbors against it misses
+    // cumulative peels (a degree-3 node whose neighbors die in different
+    // waves is never removed — the r9 ADVICE finding). Instead each
+    // iteration RE-EMITS the full cumulative removed set (prev ∪ newly
+    // dead, where "newly dead" counts removed neighbors against the
+    // cumulative prev), and recursion is gated on an EXISTS over genuinely
+    // new removals so it terminates exactly at the peel fixpoint. The
+    // final removed set is then the DISTINCT union over all iterations
+    // (monotone growth makes that the fixpoint set). Verified against a
+    // Python reference peel on multi-wave fixtures (triangle+tendril,
+    // path, bridged cycles) where the naive recursion provably diverges.
     QueryDef("q_graph_kcore", qGraphKcore, Some(
       edgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         ", sym AS (SELECT sa AS src, sb AS dst FROM e UNION ALL SELECT sb, sa FROM e)" +
         ", deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1)" +
-        ", removed(node) AS (" +
+        ", peel(node) AS (" +
         "SELECT node FROM deg WHERE deg < 2 " +
+        "UNION ALL " +
+        "SELECT u.node FROM (" +
+        "SELECT node FROM peel " +
         "UNION " +
-        "SELECT s.src FROM sym s JOIN removed r ON s.dst = r.node " +
+        "SELECT s.src FROM sym s JOIN peel r ON s.dst = r.node " +
         "JOIN deg d ON d.node = s.src " +
-        "GROUP BY s.src, d.deg HAVING d.deg - COUNT(*) < 2) " +
+        "GROUP BY s.src, d.deg HAVING d.deg - COUNT(*) < 2) u " +
+        "WHERE EXISTS (" +
+        "SELECT 1 FROM (" +
+        "SELECT s.src AS cand FROM sym s JOIN peel r ON s.dst = r.node " +
+        "JOIN deg d ON d.node = s.src " +
+        "GROUP BY s.src, d.deg HAVING d.deg - COUNT(*) < 2) c " +
+        "WHERE c.cand NOT IN (SELECT node FROM peel))) " +
         "SELECT s.src AS node, COUNT(*) AS core_deg FROM sym s " +
-        "WHERE s.src NOT IN (SELECT node FROM removed) " +
-        "AND s.dst NOT IN (SELECT node FROM removed) " +
+        "WHERE s.src NOT IN (SELECT node FROM peel) " +
+        "AND s.dst NOT IN (SELECT node FROM peel) " +
         "GROUP BY 1 ORDER BY 1")),
     QueryDef("q_graph_pagerank", qGraphPagerank, Some(
       edgeCte + ", dir AS (SELECT sa AS src, sb AS dst FROM e UNION ALL SELECT sb, sa FROM e), " +

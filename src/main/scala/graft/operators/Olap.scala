@@ -384,11 +384,10 @@ object Olap {
   // each query that reads the layout. Keyed by applicationId (sessions
   // never share) with a dir-hash table suffix (two sf dirs in one session
   // stay distinct).
-  private val stagedBuckets = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (String, String)]
+  private val stagedBuckets = graft.AppCache[(String, String)]()
 
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
-    stagedBuckets.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    stagedBuckets.get(s, d)({
       val sfx = java.lang.Integer.toHexString(d.hashCode)
       val ot = s"graft_b_orders_$sfx"
       val lt = s"graft_b_lineitem_$sfx"

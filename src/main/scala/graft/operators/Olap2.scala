@@ -235,11 +235,10 @@ object Olap2 {
   // same pay-once discipline as Olap.bucketedTables). Incremental
   // maintenance is appending the new day's partial — exact decimal
   // partials re-aggregate associatively, which is what the oracle proves.
-  private val stagedRollups = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
+  private val stagedRollups = graft.AppCache[String]()
 
   private def dailyRollupPath(s: SparkSession, d: String): String =
-    stagedRollups.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    stagedRollups.get(s, d)({
       val path = s"${sys.props("java.io.tmpdir")}/graft_rollup_" +
         s"${s.sparkContext.applicationId.hashCode.toHexString}_" +
         java.lang.Integer.toHexString(d.hashCode)

@@ -270,12 +270,11 @@ object Pipeline {
   // disk in deployment; the same precomputed-artifact pattern as the IVF
   // centroid cache). The increment query probes it instead of re-banding
   // the seen corpus per call.
-  private val seenIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val seenIndexCache = graft.AppCache[String]()
 
   private def seenLshIndex(s: SparkSession, d: String,
       old: DataFrame): String =
-    seenIndexCache.getOrElseUpdate((s, d), {
+    seenIndexCache.get(s, d)({
       val table = "graft_seen_lsh_" + Integer.toHexString(
         (s.sparkContext.applicationId + "|" + d).hashCode)
       Dedup.writeLshIndex(old.select(col("doc_id"), col("text")), table)

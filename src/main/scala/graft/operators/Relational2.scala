@@ -445,11 +445,10 @@ object Relational2 {
   // the layout it produced, so re-writing it inside each timed query would
   // charge the scan query for the landing. The landing job itself is
   // declared separately (q_landing_partitioned) so its cost stays visible.
-  private val stagedByDay = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
+  private val stagedByDay = graft.AppCache[String]()
 
   private def eventsByDayDir(s: SparkSession, d: String): String =
-    stagedByDay.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    stagedByDay.get(s, d)({
       val dir = s"${sys.props("java.io.tmpdir")}/graft_events_byday_" +
         s.sparkContext.applicationId + "_" +
         java.lang.Integer.toHexString(d.hashCode)
@@ -546,13 +545,12 @@ object Relational2 {
   // events, and SourcesSpec locks that an hour-range query against the
   // new layout prunes at HOUR granularity (PartitionFilters on hour,
   // not a day-directory scan).
-  private val stagedEvolved = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
+  private val stagedEvolved = graft.AppCache[String]()
 
   private[graft] val evolutionCutover = "2024-01-20"
 
   private[graft] def eventsEvolvedDir(s: SparkSession, d: String): String =
-    stagedEvolved.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    stagedEvolved.get(s, d)({
       val dir = s"${sys.props("java.io.tmpdir")}/graft_events_evolved_" +
         s.sparkContext.applicationId + "_" +
         java.lang.Integer.toHexString(d.hashCode)
@@ -720,11 +718,10 @@ object Relational2 {
   // The bloom-indexed point-lookup layout is likewise staged once per
   // (session, sf dir) — the layout is the artifact a deployment
   // maintains; the declared query times the LOOKUP, not the build.
-  private val stagedBloom = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
+  private val stagedBloom = graft.AppCache[String]()
 
   private def eventsBloomDir(s: SparkSession, d: String): String =
-    stagedBloom.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    stagedBloom.get(s, d)({
       val dir = s"${sys.props("java.io.tmpdir")}/graft_events_bloom_" +
         s.sparkContext.applicationId + "_" +
         java.lang.Integer.toHexString(d.hashCode)

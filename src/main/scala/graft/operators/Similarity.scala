@@ -190,12 +190,11 @@ object Similarity {
   // trains the coarse quantizer once and reuses it across every ε-join /
   // threshold sweep; k-means is deterministic so the cache is
   // semantics-free.
-  private val unitCentroidCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int), DataFrame]
+  private val unitCentroidCache = graft.AppCache[DataFrame]()
 
   private def unitCentroids(s: SparkSession, d: String, k: Int, iters: Int)
       : DataFrame =
-    unitCentroidCache.getOrElseUpdate((s, d, k, iters),
+    unitCentroidCache.get(s, s"$d|$k|$iters")(
       kmeansCentroids(unitPrepared(Tables.embeddings(s, d))
         .select(col("vec_id"), col("u").as("ce")), k, iters)
         .localCheckpoint())
@@ -204,11 +203,10 @@ object Similarity {
   // pair report and the cluster collapse) — computed once per (session,
   // corpus) and shared, the same persisted-artifact pattern as
   // Dedup.cachedMinhashPairs. Deterministic, so semantics-free.
-  private val embedPairsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val embedPairsCache = graft.AppCache[DataFrame]()
 
   private def cachedEmbedPairs(s: SparkSession, d: String): DataFrame =
-    embedPairsCache.getOrElseUpdate((s, d), {
+    embedPairsCache.get(s, d)({
       val threshold = 0.4
       val eps = math.sqrt(2.0 - 2.0 * threshold)
       val en = unitPrepared(Tables.embeddings(s, d))
@@ -334,14 +332,13 @@ object Similarity {
   // PRECOMPUTED and probed many times — rebuilding identical centroids on
   // every probe query would be repeated index construction. The k-means is
   // deterministic/bit-stable, so the cache is semantics-free (same rows
-  // with or without it); keyed on the session object itself (reference
-  // equality) so checkpointed RDDs never leak across sessions.
-  private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int), DataFrame]
+  // with or without it); keyed on (applicationId, params) via AppCache so
+  // checkpointed RDDs never leak across sessions.
+  private val centroidCache = graft.AppCache[DataFrame]()
 
   private def ivfCentroids(s: SparkSession, d: String, k: Int, iters: Int)
       : DataFrame =
-    centroidCache.getOrElseUpdate((s, d, k, iters),
+    centroidCache.get(s, s"$d|$k|$iters")(
       kmeansCentroids(prepared(s, d).filter(col("vec_id") =!= 0L), k, iters))
 
   /** IVF search: probe the `nprobe` nearest clusters' inverted lists for
@@ -619,11 +616,10 @@ object Similarity {
   // Build-once PQ index per (session, corpus dir): codebook + encoded
   // corpus, checkpointed — probed many times, deterministic, so the
   // cache is semantics-free (same discipline as centroidCache).
-  private val pqIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val pqIndexCache = graft.AppCache[(DataFrame, DataFrame)]()
 
   private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    pqIndexCache.getOrElseUpdate((s, d), {
+    pqIndexCache.get(s, d)({
       val e = prepared(s, d).filter(col("vec_id") =!= 0L)
       val subDim = 64 / PqM
       val cents = pqCodebook(e, PqM, PqKsub, subDim, iters = 3)
@@ -722,14 +718,13 @@ object Similarity {
   // probe reads nprobe partitions of 8 B codes — both pruning stories
   // (partition + compression) in one index.
 
-  private val ivfPqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  private val ivfPqCache = graft.AppCache[(DataFrame, DataFrame, DataFrame)]()
 
   /** (coarse centroids, residual PQ codebook, codes table
     * (vec_id, a_id, codes, rn2=|r̂|², n2=true |x|²)). */
   private def ivfPqIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) =
-    ivfPqCache.getOrElseUpdate((s, d), {
+    ivfPqCache.get(s, d)({
       val subDim = 64 / PqM
       val e = prepared(s, d).filter(col("vec_id") =!= 0L)
       val coarse = ivfCentroids(s, d, 10, 3)
@@ -966,13 +961,12 @@ object Similarity {
       .groupBy("vec_id").agg(sum(col("d2")).as("e2"))
       .agg(avg(col("e2"))).head().getDouble(0)
 
-  private val opqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Array[Double], DataFrame, DataFrame)]
+  private val opqCache = graft.AppCache[(Array[Double], DataFrame, DataFrame)]()
 
   /** (rotation, codebook over the rotated space, codes table). */
   private def opqIndex(s: SparkSession, d: String)
       : (Array[Double], DataFrame, DataFrame) =
-    opqCache.getOrElseUpdate((s, d), {
+    opqCache.get(s, d)({
       val subDim = OpqDim / PqM
       val e = prepared(s, d).filter(col("vec_id") =!= 0L)
       val rot = opqRotation(covarianceMatrix(e, OpqDim), OpqDim, PqM)
@@ -1156,12 +1150,11 @@ object Similarity {
   // Probing ALL lists must reproduce brute force exactly — membership
   // survives split/reassign — which q_ann_ivf_rebalanced_exhaustive
   // hash-proves under q_cosine_topk's oracle.
-  private val rebalancedIvfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val rebalancedIvfCache = graft.AppCache[(DataFrame, DataFrame)]()
 
   private[graft] def rebalancedIvfIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    rebalancedIvfCache.getOrElseUpdate((s, d), {
+    rebalancedIvfCache.get(s, d)({
       val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
       // half the uniform list size: forces the split path to engage
       val cap = math.max(2, (embs.count() / 20L).toInt)
@@ -1290,12 +1283,11 @@ object Similarity {
   // idempotent — no orphaned index and no path collision, unlike a
   // cache-size suffix. Construction is synchronized so concurrent first
   // probes do not launch duplicate index-build jobs.
-  private val ivfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val ivfIndexCache = graft.AppCache[String]()
 
   private def ivfIndexPath(s: SparkSession, d: String): String =
     ivfIndexCache.synchronized {
-      ivfIndexCache.getOrElseUpdate((s, d), {
+      ivfIndexCache.get(s, d)({
         val key = Integer.toHexString(
           (s.sparkContext.applicationId + "|" + d).hashCode)
         val path =

@@ -438,6 +438,25 @@ object TextAnalysis {
       .orderBy(col("exact_cnt").desc, col("tok").asc)
   }
 
+  /** The deterministic half of [[qApproxTopk]] split into its own
+    * oracled key (the q_approx_percentile_exact precedent, VERDICT r9
+    * item 5): exact top-20 token counts plus the ε·N error bound — both
+    * pure functions of the corpus, so DuckDB can replay them — leaving
+    * only the sketch-estimate columns on the rows-only key. Plan: one
+    * token-count groupBy, TakeOrderedAndProject(20), and a broadcast
+    * 1-row total for the bound. */
+  val qApproxTopkExact: (SparkSession, String) => DataFrame = (s, d) => {
+    val toks = Tables.documents(s, d).select(
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val tot = toks.agg(
+      ceil(count(lit(1)) * lit(0.001)).cast("long").as("err_bound"))
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(20)
+      .crossJoin(broadcast(tot))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+  }
+
   /** Full BPE training over a (word, freq) vocabulary: `rounds` greedy
     * merge rounds, each one Spark job over the VOCAB-SIZED symbol table —
     * the corpus is touched exactly once (the word-count shuffle the
@@ -600,10 +619,11 @@ object TextAnalysis {
 
   /** Declared BPE-training query: the first 8 learned merges over the
     * documents vocabulary, with the weighted pair count each merge saw
-    * when it won — the training trace a tokenizer build emits. Iterative
-    * fixpoint semantics DuckDB cannot express → rows-only; BpeSpec locks
-    * the merge sequence on a hand-computed vocabulary and character
-    * conservation on the fixture. */
+    * when it won — the training trace a tokenizer build emits. Oracled
+    * since r10 via the recursive-CTE greedy replay (see
+    * [[bpeTraceOracle]]); BpeSpec additionally locks the merge sequence
+    * on a hand-computed vocabulary and character conservation on the
+    * fixture. */
   val qBpeEncode: (SparkSession, String) => DataFrame = (s, d) =>
     bpeTrain(
       Tables.documents(s, d)
@@ -627,6 +647,24 @@ object TextAnalysis {
       .toDF("merge_rank", "batch_round", "pair", "weighted_cnt")
       .orderBy("merge_rank")
   }
+
+  /** [[bpeTrainBatched]] degenerated to `batchCap = 1` — pure greedy by
+    * construction — emitting exactly [[qBpeEncode]]'s trace schema and
+    * sharing its DuckDB oracle BY REFERENCE (the q_graph_increment
+    * discipline): the driver hash-match proves batched-at-cap-1 ≡ greedy
+    * on the live corpus, upgrading BpeSpec's fixture-only equivalence
+    * lock to a driver-verified one (VERDICT r9 item 7). */
+  val qBpeEncodeBatchedCap1: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(wsTokens).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (trace, _) = bpeTrainBatched(words, totalMerges = 8, batchCap = 1)
+      // at cap=1 every batch holds one merge, so batch round ≡ merge rank
+      trace.toDF("merge_rank", "pair", "weighted_cnt")
+        .orderBy("merge_rank")
+    }
 
   /** Token counting under the TRAINED tokenizer — the token-budgeting
     * pass a pipeline runs before sequence packing: per-doc whitespace
@@ -653,10 +691,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Greedy BPE IS DuckDB-expressible after all (r10; r9 said it was
+    * not): the recursion state is the full (word, freq, encoded-symbols)
+    * table re-emitted per round (UNION ALL + round tag — the k-core
+    * oracle's cumulative-recursion trick), the per-round argmax is a
+    * LIMIT 1 subquery over pairs unnested from the previous round, and
+    * the greedy left-to-right non-overlapping merge fold is a plain
+    * string `replace` over a sentinel-encoded symbol string (replace
+    * scans left-to-right and never rescans its own output — exactly the
+    * fold's semantics; chr(1)/chr(2) sentinels make symbol boundaries
+    * unambiguous, and the corpus is verified pure-ASCII so no token can
+    * contain them). Verified against an independent Python greedy BPE on
+    * the live corpus before declaring. */
+  private val bpeTraceOracle =
+    "WITH RECURSIVE words AS (SELECT tok AS word, COUNT(*) AS freq FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) GROUP BY tok), " +
+      "st(round, word, freq, enc, pair, cnt) AS (" +
+      "SELECT 0, word, freq, list_aggregate(list_transform(regexp_extract_all(word, '.'), c -> chr(1)||c||chr(2)), 'string_agg', '') || chr(1)||'</w>'||chr(2), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM words " +
+      "UNION ALL " +
+      "SELECT p.round + 1, p.word, p.freq, " +
+      "replace(p.enc, chr(1)||bst.a||chr(2)||chr(1)||bst.b||chr(2), chr(1)||bst.a||bst.b||chr(2)), " +
+      "bst.a || ' ' || bst.b, bst.cnt " +
+      "FROM st p CROSS JOIN (" +
+      "SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt FROM (" +
+      "SELECT q.freq AS f, sy[i] AS a, sy[i+1] AS b " +
+      "FROM (SELECT freq, regexp_extract_all(enc, chr(1)||'([^'||chr(2)||']*)'||chr(2), 1) AS sy FROM st) q, " +
+      "unnest(range(1, len(q.sy))) AS u(i)) " +
+      "GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT 1) bst " +
+      "WHERE p.round < 8) " +
+      "SELECT DISTINCT round AS merge_rank, pair, cnt AS weighted_cnt " +
+      "FROM st WHERE round >= 1 ORDER BY merge_rank"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_topk", qApproxTopk, None),
-    QueryDef("q_bpe_encode", qBpeEncode, None),
+    QueryDef("q_approx_topk_exact", qApproxTopkExact, Some(
+      "WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tot AS (SELECT CAST(ceil(COUNT(*) * 0.001) AS BIGINT) AS err_bound FROM toks), top AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT 20) SELECT tok, exact_cnt, err_bound FROM top CROSS JOIN tot ORDER BY exact_cnt DESC, tok ASC")),
+    QueryDef("q_bpe_encode", qBpeEncode, Some(bpeTraceOracle)),
     QueryDef("q_bpe_encode_batched", qBpeEncodeBatched, None),
+    // shares bpeTraceOracle BY REFERENCE: the driver hash-match proves
+    // the batched trainer at cap=1 reproduces pure greedy exactly
+    QueryDef("q_bpe_encode_batched_cap1", qBpeEncodeBatchedCap1,
+      Some(bpeTraceOracle)),
     QueryDef("q_bpe_apply", qBpeApply, None),
     QueryDef("q_quality_unigram_lp", qQualityUnigramLp, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2), cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt) SELECT doc_id, round(CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(24,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")),

@@ -177,12 +177,13 @@ object EventsStreaming {
   // and shared by every declared streaming query — staging is test-harness
   // setup, not part of the streaming pipeline under measurement.
   private val stagedEvents =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   private def stageEventsDir(s: SparkSession, d: String): String =
-    stagedEvents.getOrElseUpdate((s, d), {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_events_" +
-        s.sparkContext.applicationId + "_" + stagedEvents.size
+    stagedEvents.get(s, d)({
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|events|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_events_$key"
       // 3 files → 3 micro-batches: state genuinely merges across triggers.
       Tables.events(s, d).repartition(3).write.mode("overwrite").parquet(dir)
       dir
@@ -257,10 +258,10 @@ object EventsStreaming {
   // so the driver hash-verifies precisely WHAT the watermark dropped, not
   // just that something streamed.
   private val stagedLate =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   private def stageLateEventsDir(s: SparkSession, d: String): String =
-    stagedLate.getOrElseUpdate((s, d), {
+    stagedLate.get(s, d)({
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|late|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_late_$key"
@@ -396,10 +397,10 @@ object EventsStreaming {
   }
 
   private val stagedDedupDocs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   private def stageDedupDocsDir(s: SparkSession, d: String): String =
-    stagedDedupDocs.getOrElseUpdate((s, d), {
+    stagedDedupDocs.get(s, d)({
       import org.apache.spark.sql.expressions.Window
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|dedupdocs|" + d).hashCode)
@@ -451,7 +452,7 @@ object EventsStreaming {
   // exactly, and therefore DuckDB-oracle-able: the driver hash-verifies
   // the stateful two-stream machinery, not just that rows flowed.
   private val stagedOrdered =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   /** Write `df` as `nFiles` time-range-partitioned files into `dir` with
     * ascending mtimes starting at slot `firstSlot` (file-source replay
@@ -481,7 +482,7 @@ object EventsStreaming {
   }
 
   private def stageOrderedEventsDir(s: SparkSession, d: String): String =
-    stagedOrdered.getOrElseUpdate((s, d), {
+    stagedOrdered.get(s, d)({
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|ordered|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_ordered_$key"
@@ -501,10 +502,10 @@ object EventsStreaming {
   // watermark dropped. The carrier is a synthesized click with user_id
   // −1 (matches no purchase, invisible in the output).
   private val stagedLateJoin =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   private def stageLateJoinDir(s: SparkSession, d: String): String =
-    stagedLateJoin.getOrElseUpdate((s, d), {
+    stagedLateJoin.get(s, d)({
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|latejoin|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_latejoin_$key"
@@ -624,10 +625,10 @@ object EventsStreaming {
   // batch LEFT OUTER interval join exactly — the oracle hash-verifies
   // the null rows, i.e. WHAT eviction emitted.
   private val stagedOuterJoin =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   private def stageOuterJoinDir(s: SparkSession, d: String): String =
-    stagedOuterJoin.getOrElseUpdate((s, d), {
+    stagedOuterJoin.get(s, d)({
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|outerjoin|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_outerjoin_$key"
@@ -808,13 +809,13 @@ object EventsStreaming {
   }
 
   private val stagedDsirDocs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   /** Stage the documents corpus as a 3-file replay — one file per
     * micro-batch under maxFilesPerTrigger=1, so the ratio table
     * genuinely refreshes across batches. */
   private def stageDsirDocsDir(s: SparkSession, d: String): String =
-    stagedDsirDocs.getOrElseUpdate((s, d), {
+    stagedDsirDocs.get(s, d)({
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|dsirdocs|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_dsir_$key"
@@ -1134,10 +1135,10 @@ object EventsStreaming {
   // Staging: the NEWEST 15 days replayed as the stream; the oldest 15
   // days exist only as the batch warm-start aggregate.
   private val stagedBootstrap =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   private def stageBootstrapDir(s: SparkSession, d: String): String =
-    stagedBootstrap.getOrElseUpdate((s, d), {
+    stagedBootstrap.get(s, d)({
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|bootstrap|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_bootstrap_$key"
@@ -1319,10 +1320,10 @@ object EventsStreaming {
   // The carrier's own timer (its first sight + 60 d) never fires, and
   // the query filters user −1 besides.
   private val stagedTimer =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.AppCache[String]()
 
   private def stageTimerDir(s: SparkSession, d: String): String =
-    stagedTimer.getOrElseUpdate((s, d), {
+    stagedTimer.get(s, d)({
       val key = Integer.toHexString(
         (s.sparkContext.applicationId + "|timer|" + d).hashCode)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_timer_$key"

@@ -191,7 +191,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("df-capped containment: huge cap is exactly the uncapped join; " +
-      "a tight cap routes only hot-rarest-gram docs to overflow and " +
+      "a tight cap routes only hot-prefix docs to overflow and " +
       "keeps every prunable-probe pair exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
@@ -227,6 +227,34 @@ class DedupSpec extends SparkSpec {
     assert(pCap.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
       expected.toSet)
+  }
+
+  test("df-capped containment: a doc with ONE rare gram but a hot " +
+      "prefix tail overflows (the fan-out is governed by the hottest " +
+      "prefix gram, not the rarest — ADVICE r9)") {
+    import spark.implicits._
+    // 12 copies of a 10-word boilerplate sentence → every boilerplate
+    // gram has df 13 (12 copies + the probe doc). The probe doc is the
+    // same sentence plus ONE unique lead word: its rarest gram has df 1,
+    // but n = 10 distinct grams → prefix window n − ceil(.9n) + 1 = 2,
+    // so the prefix holds the unique gram AND one df-13 boilerplate
+    // gram. The r9 rarest-gram gate kept this doc on the probe side and
+    // fanned out on the hot gram; the boundary-gram gate must overflow
+    // it (and every pure-boilerplate doc).
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = (Seq((1L, "unique " + boiler)) ++
+      (10L to 21L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val (pairs, over) =
+      operators.Dedup.containmentPairsCapped(docs, 90, dfCap = 6)
+    val overIds = over.collect().map(_.getLong(0)).toSet
+    assert(overIds.contains(1L), s"probe doc must overflow: $overIds")
+    assert((10L to 21L).forall(overIds.contains), overIds.toString)
+    assert(pairs.count() === 0L)
+    // and the max_prefix_df column reports the BOUNDARY gram's df, not
+    // the rarest: doc 1's rarest gram has df 1, boundary df 13
+    val d1 = over.filter(col("doc_id") === 1L)
+      .collect().head.getLong(1)
+    assert(d1 === 13L)
   }
 
   test("hot-bucket cap bounds candidates on an all-identical corpus") {
