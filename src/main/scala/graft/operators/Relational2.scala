@@ -698,6 +698,85 @@ object Relational2 {
     out
   }
 
+  /** Nightly small-files compaction for ONE day of the hour layout — the
+    * backfill pass that follows ingestion: an hour partition accumulates
+    * a file per ingest micro-batch over the day, and this rewrites the
+    * day's hour directories into one file each under the same
+    * write-audit-publish discipline the landing path uses
+    * ([[graft.sources.Sources.writeAuditPublish]] with dot-hidden
+    * staging/prev siblings: "day=X.staging" would itself parse as a day
+    * value to partition discovery, so every intermediate directory is
+    * '.'-prefixed and invisible to readers of the layout). Crash
+    * windows, against [[evolvedEvents]]' reader: staging write →
+    * invisible; retire→publish (the unavoidable two-rename swap
+    * instant) → the day is briefly absent, and a re-run ROLLS THE
+    * RETIRED COPY BACK before recompacting (the recovery preamble
+    * below); publish→prev-delete → readers serve the compacted day and
+    * the hidden retired copy is garbage the next run clears. Content is
+    * audited (row count over the staged copy) before any rename; a
+    * failed audit leaves the published day untouched. Cost is one day,
+    * never the table — at 100 TB this runs per-day behind the ingest
+    * frontier, and the repartition(hour) shuffle is day-sized. */
+  def compactHourlyDay(s: SparkSession, dir: String, day: String)
+      : Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val pub = new org.apache.hadoop.fs.Path(s"$dir/hour_layout/day=$day")
+    val prev = new org.apache.hadoop.fs.Path(
+      s"$dir/hour_layout/.compact_day_$day.prev")
+    val fs = pub.getFileSystem(conf)
+    // recovery: a crash between retire and publish left the day only at
+    // the hidden prev — roll it back so the source is readable again
+    if (!fs.exists(pub) && fs.exists(prev) && !fs.rename(prev, pub))
+      throw new java.io.IOException(
+        s"compactHourlyDay: rollback of $prev failed")
+    if (!fs.exists(pub)) false
+    else {
+      val src = s.read.parquet(pub.toString)
+      val n = src.count()
+      graft.sources.Sources.writeAuditPublish(
+        src.repartition(col("hour")),
+        pub.toString,
+        staged => staged.count() == n,
+        partitionCols = Seq("hour"),
+        stagingPath = Some(s"$dir/hour_layout/.compact_day_$day.staging"),
+        prevPath = Some(prev.toString))
+    }
+  }
+
+  /** Declared backfill-compaction query: stage a FRESH transition layout
+    * whose hour side is deliberately FRAGMENTED (a round-robin
+    * repartition lands a file per task in every hour directory — the
+    * many-small-files state a day of micro-batch ingestion leaves),
+    * compact one day under [[compactHourlyDay]], and profile the
+    * transition union. Shares the day-granularity oracle BY REFERENCE
+    * with q_partition_evolution / q_partition_migrate: evolution,
+    * migration, and compaction must all be invisible to every reader. */
+  val qPartitionCompact: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_compactday_" +
+      s.sparkContext.applicationId + "_" + migrateRuns.incrementAndGet()
+    val ev = Tables.events(s, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    graft.sources.Sources.writePartitioned(
+      ev.filter(col("day") < evolutionCutover), s"$dir/day_layout", "day")
+    ev.filter(col("day") >= evolutionCutover)
+      .withColumn("hour", date_format(col("ts"), "HH"))
+      .repartition(8) // fragment: up to 8 files in EVERY hour directory
+      .write.mode("overwrite").partitionBy("day", "hour")
+      .parquet(s"$dir/hour_layout")
+    require(compactHourlyDay(s, dir, "2024-01-25"),
+      "compaction of 2024-01-25 failed its audit")
+    val out = evolvedEvents(s, dir)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("day")
+      .localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   /** Hour-range read against the NEW layout — the query granularity the
     * migration buys. Both predicates are partition filters: the scan
     * opens only the matching day=... /hour=... directories. */
@@ -1140,6 +1219,10 @@ object Relational2 {
     // the hour layout under audit-then-swap, the transition union must
     // STILL be indistinguishable from the raw table
     QueryDef("q_partition_migrate", qPartitionMigrate,
+      Some(dayProfileOracle)),
+    // same oracle BY REFERENCE once more: small-files compaction of an
+    // hour-layout day must also be invisible to the profile
+    QueryDef("q_partition_compact", qPartitionCompact,
       Some(dayProfileOracle)),
     QueryDef("q_landing_overwrite", qLandingOverwrite, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(SUM(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-10' THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1")),

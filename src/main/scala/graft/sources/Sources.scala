@@ -165,17 +165,32 @@ object Sources {
     * the publish is O(1) regardless of data size.
     */
   def writeAuditPublish(df: DataFrame, publishPath: String,
-      audit: DataFrame => Boolean): Boolean = {
+      audit: DataFrame => Boolean,
+      partitionCols: Seq[String] = Nil,
+      stagingPath: Option[String] = None,
+      prevPath: Option[String] = None): Boolean = {
     val spark = df.sparkSession
-    val staging = publishPath + ".staging"
-    df.write.mode("overwrite").parquet(staging)
+    // When the publish target is a partition DIRECTORY inside a
+    // discovered layout (hour_layout/day=X), the default suffix names
+    // would themselves parse as partition values — "day=X.staging"
+    // IS a day to Spark's discovery, so a concurrent reader over the
+    // parent would see staged/retired copies as extra days. Such
+    // callers override both with dot-prefixed siblings (discovery
+    // skips names starting with '.' or '_'), keeping every
+    // intermediate state invisible to readers of the layout.
+    val staging = stagingPath.getOrElse(publishPath + ".staging")
+    val w0 = df.write.mode("overwrite")
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
+      else w0
+    w.parquet(staging)
     val staged = spark.read.parquet(staging)
     if (!audit(staged)) false
     else {
       val conf = spark.sparkContext.hadoopConfiguration
       val pub = new org.apache.hadoop.fs.Path(publishPath)
       val stg = new org.apache.hadoop.fs.Path(staging)
-      val prev = new org.apache.hadoop.fs.Path(publishPath + ".prev")
+      val prev = new org.apache.hadoop.fs.Path(
+        prevPath.getOrElse(publishPath + ".prev"))
       val fs = pub.getFileSystem(conf)
       // Retire-then-swap, never delete-then-swap: the previous version
       // moves ASIDE (one rename), the staged version moves IN (one

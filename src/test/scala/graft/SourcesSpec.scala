@@ -188,6 +188,90 @@ class SourcesSpec extends SparkSpec {
     assert(!Relational2.migrateDayToHourly(spark, dir, "1999-01-01"))
   }
 
+  test("hour-day compaction is crash-safe: dot-hidden staging/prev stay " +
+      "invisible to discovery, every crash window recovers, and the " +
+      "compacted day collapses to one file per hour") {
+    import graft.operators.Relational2
+    import org.apache.spark.sql.functions.{col, date_format}
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    val sf = "/root/testdata/sf0.001"
+    val dir = NF.createTempDirectory("graft_compact_spec").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Sources.writePartitioned(
+      ev.filter(col("day") < Relational2.evolutionCutover),
+      s"$dir/day_layout", "day")
+    // FRAGMENTED hour side: round-robin repartition lands a file per
+    // task in every hour directory — the post-ingest small-files state
+    ev.filter(col("day") >= Relational2.evolutionCutover)
+      .withColumn("hour", date_format(col("ts"), "HH"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("day", "hour")
+      .parquet(s"$dir/hour_layout")
+    val total = ev.count()
+    val day = "2024-01-25"
+    val dayRows = ev.filter(col("day") === day).count()
+    assert(dayRows > 0)
+    def served(): Long = Relational2.evolvedEvents(spark, dir).count()
+    def servedIds(): Set[Long] = Relational2.evolvedEvents(spark, dir)
+      .filter(col("day").cast("string") === day)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val wantIds = ev.filter(col("day") === day)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val dayPath = Paths.get(s"$dir/hour_layout/day=$day")
+    val prevPath = Paths.get(s"$dir/hour_layout/.compact_day_$day.prev")
+    val stgPath = Paths.get(s"$dir/hour_layout/.compact_day_$day.staging")
+    def filesPerHour(): Seq[Int] = {
+      val root = dayPath.toFile
+      root.listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("hour="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    }
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      NF.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (NF.isDirectory(p)) NF.createDirectories(t)
+        else NF.copy(p, t)
+        ()
+      }
+    }
+    // pre-compaction: fragmented (some hour dir holds >1 file), served once
+    assert(filesPerHour().exists(_ > 1))
+    assert(served() === total)
+    val snapshot = Paths.get(s"$dir/day_snapshot")
+    copyTree(dayPath, snapshot)
+    // full compaction: audit → retire → publish → clear; content identical
+    assert(Relational2.compactHourlyDay(spark, dir, day))
+    assert(filesPerHour().nonEmpty && filesPerHour().forall(_ === 1))
+    assert(served() === total)
+    assert(servedIds() === wantIds)
+    assert(!NF.exists(prevPath) && !NF.exists(stgPath))
+    // CRASH A — staging written, swap not begun: the dot-hidden staging
+    // is invisible to partition discovery, and a re-run just recompacts
+    copyTree(snapshot, stgPath)
+    assert(served() === total)
+    assert(Relational2.compactHourlyDay(spark, dir, day))
+    assert(served() === total && !NF.exists(stgPath))
+    // CRASH B — retired but not yet published (the swap instant): the
+    // day is temporarily absent; a re-run ROLLS THE RETIRED COPY BACK
+    // and completes the compaction
+    NF.move(dayPath, prevPath, StandardCopyOption.ATOMIC_MOVE)
+    assert(served() === total - dayRows)
+    assert(Relational2.compactHourlyDay(spark, dir, day))
+    assert(served() === total)
+    assert(servedIds() === wantIds)
+    assert(filesPerHour().forall(_ === 1))
+    // CRASH C — published but retired copy not yet cleared: readers
+    // already serve the compacted day; the stale hidden prev is cleared
+    // by the next run
+    copyTree(snapshot, prevPath)
+    assert(served() === total)
+    assert(Relational2.compactHourlyDay(spark, dir, day))
+    assert(served() === total && !NF.exists(prevPath))
+    // a day that is in neither layout is a no-op false
+    assert(!Relational2.compactHourlyDay(spark, dir, "1999-01-01"))
+  }
+
   test("malformed JSON rows: PERMISSIVE nulls + captures, DROPMALFORMED " +
       "skips, FAILFAST throws") {
     // Robustness contract for dirty landings — a 100 TB ingest ALWAYS
