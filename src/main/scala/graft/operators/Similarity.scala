@@ -559,16 +559,21 @@ object Similarity {
     * first-ksub-by-vec_id init, lexicographic min_by tie-break,
     * exact-decimal means — two builds are bit-identical (IvfPqSpec). */
   def pqCodebook(e: DataFrame, m: Int, ksub: Int, subDim: Int,
-      iters: Int): DataFrame = {
+      iters: Int, init: Option[DataFrame] = None): DataFrame = {
     val sub = pqSubvectors(e, m, subDim)
-    var cents = sub
+    // `init` warm-starts Lloyd's from caller-supplied centroids (the
+    // non-parametric OPQ alternation needs this: starting from the
+    // per-code means in the newly rotated space makes every half-step
+    // objective-non-increasing, which cold first-ksub re-init would
+    // forfeit). Default is the deterministic first-ksub-by-vec_id init.
+    var cents = init.map(_.localCheckpoint()).getOrElse(sub
       .withColumn("rn",
         row_number().over(Window.partitionBy("m").orderBy("vec_id")))
       .filter(col("rn") <= ksub)
       .select(col("m"), (col("rn") - 1).as("c_id"),
         col("sv").as("centroid"))
       .withColumn("cn2", dotd(col("centroid"), col("centroid")))
-      .localCheckpoint()
+      .localCheckpoint())
     for (_ <- 1 to iters) {
       val assigned = sub.join(broadcast(cents), "m")
         .withColumn("d2",
@@ -627,6 +632,30 @@ object Similarity {
       val codes = pqEncode(e, cents, PqM, subDim).localCheckpoint()
       (cents, codes)
     })
+
+  /** Per-code mean centroids of `er`'s subvectors under an EXISTING
+    * code assignment — the Lloyd's mean half-step in isolation. The
+    * non-parametric OPQ alternation uses it to transport a codebook
+    * into a freshly rotated space: keeping the codes and re-meaning the
+    * (rotated) subvectors minimizes the fixed-assignment objective, so
+    * the alternation's objective never increases. Codes a vector no
+    * longer uses simply vanish (standard empty-cluster drop). */
+  def centroidsFromCodes(er: DataFrame, codes: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    pqSubvectors(er, m, subDim)
+      .join(codes.select(col("vec_id"), col("codes")), "vec_id")
+      .withColumn("c_id", element_at(col("codes"), col("m") + 1))
+      .select(col("m"), col("c_id"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "c_id", "pos")
+      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy("m", "c_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+        .as("ps"))
+      .select(col("m"), col("c_id"),
+        transform(col("ps"), p => p.getField("cv")).as("centroid"))
+      .withColumn("cn2", dotd(col("centroid"), col("centroid")))
 
   /** ADC scores for query `queryId` over the encoded corpus: map-only
     * scan of the codes table against the driver-built LUT literal.
@@ -987,8 +1016,9 @@ object Similarity {
     * (dim² flops on one vector), then the LUT scan is identical to
     * plain PQ. |q| and the re-rank stay in the original space —
     * rotation preserves both. */
-  private def opqAdcScores(s: SparkSession, d: String): DataFrame = {
-    val (rot, cents, codes) = opqIndex(s, d)
+  private def opqAdcScores(s: SparkSession, d: String,
+      index: (Array[Double], DataFrame, DataFrame)): DataFrame = {
+    val (rot, cents, codes) = index
     val subDim = OpqDim / PqM
     val q = prepared(s, d).filter(col("vec_id") === 0L)
       .select(col("ce"), col("n2")).head()
@@ -1018,9 +1048,10 @@ object Similarity {
   /** OPQ search: rotated-space ADC shortlist, exact original-space
     * re-rank (shortlist ≥ corpus ⇒ exactly brute force — the hard
     * oracle twin q_ann_opq_exhaustive). */
-  def opqSearch(s: SparkSession, d: String, k: Int, shortlist: Int)
-      : DataFrame = {
-    val cand = opqAdcScores(s, d)
+  def opqSearch(s: SparkSession, d: String, k: Int, shortlist: Int,
+      index: (SparkSession, String) => (Array[Double], DataFrame, DataFrame)
+        = opqIndex): DataFrame = {
+    val cand = opqAdcScores(s, d, index(s, d))
       .orderBy(col("adc_sim").desc, col("vec_id").asc)
       .limit(shortlist)
       .select("vec_id")
@@ -1048,6 +1079,108 @@ object Similarity {
   // oracle as q_cosine_topk.
   val qAnnOpqExhaustive: (SparkSession, String) => DataFrame = (s, d) =>
     opqSearch(s, d, k = 10, shortlist = Int.MaxValue)
+
+  /** Orthogonal-Procrustes rotation update — the NON-PARAMETRIC OPQ
+    * step (Ge et al., CVPR 2013, the alternating variant): given codes
+    * trained in the current rotated space, the orthonormal R minimizing
+    * Σ‖R·x_i − x̂_i‖² is R = U·Vᵀ from the SVD of the
+    * reconstruction–input cross-covariance M = Σ x̂_i·x_iᵀ. M
+    * accumulates as a dim²-cell exact-decimal aggregate (the
+    * covarianceMatrix shape: one partial-aggregated shuffle, dim²
+    * collected cells — index metadata); the SVD is driver math on a
+    * dim×dim matrix; and the reconstruction x̂ decodes IN-PLAN from the
+    * literal codebook (m·ksub·subDim doubles — broadcast-threshold
+    * metadata), so the whole step adds no corpus shuffle beyond the
+    * aggregate. R = U·Vᵀ is invariant to the SVD's paired column-sign
+    * ambiguity, so the update is deterministic. */
+  def procrustesRotation(e: DataFrame, codes: DataFrame,
+      cents: DataFrame, dim: Int, m: Int): Array[Double] = {
+    val subDim = dim / m
+    val cbFlat = Array.fill(m * PqKsub * subDim)(0.0)
+    cents.select("m", "c_id", "centroid").collect().foreach { r =>
+      val mm = r.getInt(0); val c = r.getInt(1)
+      val v = r.getSeq[Double](2)
+      var i = 0
+      while (i < subDim) {
+        cbFlat((mm * PqKsub + c) * subDim + i) = v(i); i += 1
+      }
+    }
+    val cbLit = typedlit(cbFlat.toSeq)
+    val xhat = transform(sequence(lit(0), lit(dim - 1)), r => {
+      val blk = (r / subDim).cast("int")
+      element_at(cbLit,
+        (blk * PqKsub + element_at(col("codes"), blk + 1)) * subDim
+          + (r % subDim) + 1)
+    })
+    val cells = e.select(col("vec_id"), col("ce"))
+      .join(codes.select(col("vec_id"), col("codes")), "vec_id")
+      .select(xhat.as("xh"), col("ce"))
+      .select(posexplode(col("xh")).as(Seq("i", "xi")), col("ce"))
+      .select(col("i"), col("xi"),
+        posexplode(col("ce")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(30,12)"))
+        .cast("double").as("v"))
+      .collect()
+    val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    cells.foreach(r => mMat(r.getInt(0), r.getInt(1)) = r.getDouble(2))
+    val s = breeze.linalg.svd(mMat)
+    val rMat = s.U * s.Vt
+    Array.tabulate(dim * dim)(k => rMat(k / dim, k % dim))
+  }
+
+  private val npOpqCache =
+    graft.AppCache[(Array[Double], DataFrame, DataFrame)]()
+
+  /** Non-parametric OPQ index: parametric (eigenvalue-allocation) init,
+    * then alternating codebook training and Procrustes rotation updates.
+    * Each half-step is optimal for the other half held fixed (codebook:
+    * Lloyd's over the rotated data; rotation: the Procrustes closed
+    * form over the fixed codes), so the quantization objective is
+    * non-increasing across alternations — IvfPqSpec measures the
+    * resulting reconstruction-error win over the parametric rotation on
+    * an anisotropic fixture. Artifact shape identical to [[opqIndex]]:
+    * (rotation, codebook, codes table with true |x|²). */
+  private def npOpqIndex(s: SparkSession, d: String)
+      : (Array[Double], DataFrame, DataFrame) =
+    npOpqCache.get(s, d)({
+      val subDim = OpqDim / PqM
+      val e = prepared(s, d).filter(col("vec_id") =!= 0L)
+      var rot = opqRotation(covarianceMatrix(e, OpqDim), OpqDim, PqM)
+      var cb: DataFrame = null
+      var codes: DataFrame = null
+      val rounds = 3
+      for (it <- 1 to rounds) {
+        val er = rotated(e, rot, OpqDim).localCheckpoint()
+        // round 1 trains from the deterministic cold init; later rounds
+        // warm-start from the previous codes' means in the new space,
+        // keeping the alternation objective non-increasing end to end
+        val init = Option(codes)
+          .map(c => centroidsFromCodes(er, c, PqM, subDim))
+        cb = pqCodebook(er, PqM, PqKsub, subDim, iters = 3, init)
+          .localCheckpoint()
+        codes = pqEncode(er, cb, PqM, subDim).localCheckpoint()
+        if (it < rounds)
+          rot = procrustesRotation(e, codes, cb, OpqDim, PqM)
+      }
+      val withN2 = codes
+        .join(e.select(col("vec_id"), col("n2")), "vec_id")
+        .localCheckpoint()
+      (rot, cb, withN2)
+    })
+
+  // --- q_ann_opq_np: non-parametric OPQ serving configuration (ADC
+  // shortlist 50, exact re-rank to top-10). Rows-only; IvfPqSpec pins
+  // the refinement win and the recall row carries the batch average.
+  val qAnnOpqNp: (SparkSession, String) => DataFrame = (s, d) =>
+    opqSearch(s, d, k = 10, shortlist = 50, npOpqIndex)
+
+  // --- q_ann_opq_np_exhaustive: corpus-wide shortlist ⇒ exact brute
+  // force — the refined-rotation plumbing (Procrustes alternations,
+  // rotated codebook, rotated-query LUT, refine) under the SAME hard
+  // oracle as q_cosine_topk.
+  val qAnnOpqNpExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => opqSearch(s, d, k = 10, shortlist = Int.MaxValue, npOpqIndex)
 
   /** Batch ADC shortlist over a PQ/OPQ codes table: the per-query LUTs
     * are driver metadata (|Q|·M·ksub doubles) shipped as ONE broadcast
@@ -1103,13 +1236,16 @@ object Similarity {
       .sortBy(_._1).toSeq
     val (centsP, codesP) = pqIndex(s, d)
     val (rot, cbO, codesO) = opqIndex(s, d)
-    val qvecsRot = qvecs.map { case (qid, qv) =>
+    val (rotN, cbN, codesN) = npOpqIndex(s, d)
+    def rotQ(r: Array[Double]) = qvecs.map { case (qid, qv) =>
       qid -> Array.tabulate(OpqDim) { i =>
         var acc = 0.0; var j = 0
-        while (j < OpqDim) { acc += rot(i * OpqDim + j) * qv(j); j += 1 }
+        while (j < OpqDim) { acc += r(i * OpqDim + j) * qv(j); j += 1 }
         acc
       }
     }
+    val qvecsRot = rotQ(rot)
+    val qvecsRotN = rotQ(rotN)
     def rerank(cand: DataFrame): DataFrame = {
       val q = e.filter(col("vec_id").isin(qids: _*))
         .select(col("vec_id").as("q_id"), col("ce").as("qe"),
@@ -1127,15 +1263,21 @@ object Similarity {
       "rn2", 50, subDim)).withColumn("hit_pq", lit(1))
     val opqTop = rerank(adcBatchShortlist(s, codesO, cbO, qvecsRot,
       "n2", 50, subDim)).withColumn("hit_opq", lit(1))
+    val npTop = rerank(adcBatchShortlist(s, codesN, cbN, qvecsRotN,
+      "n2", 50, subDim)).withColumn("hit_np", lit(1))
     truth.join(pqTop, Seq("q_id", "vec_id"), "left")
       .join(opqTop, Seq("q_id", "vec_id"), "left")
+      .join(npTop, Seq("q_id", "vec_id"), "left")
       .agg(count(lit(1)).as("brute_k"),
         count(col("hit_pq")).as("pq_hits"),
-        count(col("hit_opq")).as("opq_hits"))
+        count(col("hit_opq")).as("opq_hits"),
+        count(col("hit_np")).as("opq_np_hits"))
       .withColumn("recall_pq",
         col("pq_hits").cast("double") / col("brute_k"))
       .withColumn("recall_opq",
         col("opq_hits").cast("double") / col("brute_k"))
+      .withColumn("recall_opq_np",
+        col("opq_np_hits").cast("double") / col("brute_k"))
   }
 
   // --- rebalanced IVF: the hot-list-splitting quantizer SERVING search
@@ -1410,6 +1552,11 @@ object Similarity {
         s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_opq", qAnnOpq, None),
     QueryDef("q_ann_opq_exhaustive", qAnnOpqExhaustive, Some(
+      // exhaustive shortlist ⇒ the exact re-rank is brute force: the
+      // SAME oracle as q_cosine_topk
+      s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    QueryDef("q_ann_opq_np", qAnnOpqNp, None),
+    QueryDef("q_ann_opq_np_exhaustive", qAnnOpqNpExhaustive, Some(
       // exhaustive shortlist ⇒ the exact re-rank is brute force: the
       // SAME oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),

@@ -175,6 +175,72 @@ class IvfPqSpec extends SparkSpec {
     assert(mseOpq < msePq, s"opq mse $mseOpq !< pq mse $msePq")
   }
 
+  test("non-parametric OPQ: the Procrustes alternation is objective-" +
+      "monotone and reconstructs at least as well as parametric OPQ " +
+      "on anisotropic data") {
+    import spark.implicits._
+    val dim = 16; val m = 4; val subDim = 4; val ksub = 8
+    val rnd = new scala.util.Random(7)
+    // correlated anisotropy ACROSS block boundaries: pairs of
+    // coordinates in different blocks mix a shared Gaussian, so the
+    // PCA basis alone (parametric OPQ) leaves structure the data-driven
+    // Procrustes refinement can still exploit
+    val rows = (1L to 512L).map { id =>
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val v = Array.tabulate(dim) { i =>
+        if (i < subDim) 8.0 * g(i) + 3.0 * g(i + subDim)
+        else if (i < 2 * subDim) 6.0 * g(i) - 3.0 * g(i - subDim)
+        else 0.2 * g(i)
+      }
+      (id, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "ce").localCheckpoint()
+    val rotP = Similarity.opqRotation(
+      Similarity.covarianceMatrix(e, dim), dim, m)
+    val erP = Similarity.rotated(e, rotP, dim).localCheckpoint()
+    var cb = Similarity.pqCodebook(erP, m, ksub, subDim, iters = 2)
+    val mseParam = Similarity.pqReconstructionMse(erP, cb, m, subDim)
+    // two full alternations: encode → Procrustes → warm-started retrain
+    var rot = rotP
+    var er = erP
+    var mseNp = mseParam
+    for (_ <- 1 to 2) {
+      val codes = Similarity.pqEncode(er, cb, m, subDim)
+      rot = Similarity.procrustesRotation(e, codes, cb, dim, m)
+      er = Similarity.rotated(e, rot, dim).localCheckpoint()
+      cb = Similarity.pqCodebook(er, m, ksub, subDim, iters = 2,
+        Some(Similarity.centroidsFromCodes(er, codes, m, subDim)))
+      val mseNext = Similarity.pqReconstructionMse(er, cb, m, subDim)
+      // every alternation is objective-non-increasing: Procrustes is
+      // the fixed-codes optimum, the warm start is the fixed-assignment
+      // mean optimum, Lloyd's only descends from there (tiny tolerance
+      // for the exact-decimal mean rounding)
+      assert(mseNext <= mseNp * (1 + 1e-6),
+        s"alternation raised mse: $mseNp -> $mseNext")
+      mseNp = mseNext
+    }
+    // the refined rotation is still orthonormal
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var acc = 0.0
+      for (k2 <- 0 until dim) acc += rot(i * dim + k2) * rot(j * dim + k2)
+      assert(math.abs(acc - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRt($i,$j)=$acc")
+    }
+    assert(mseNp <= mseParam * (1 + 1e-6),
+      s"np mse $mseNp > parametric $mseParam")
+  }
+
+  test("non-parametric OPQ on the corpus: exhaustive equals brute " +
+      "force; batched recall does not lose to plain PQ") {
+    val brute = Similarity.qCosineTopk(spark, sf).collect().map(_.toSeq)
+    val got = Similarity.qAnnOpqNpExhaustive(spark, sf).collect()
+      .map(_.toSeq)
+    assert(got.toSeq === brute.toSeq)
+    val r = Similarity.qAnnOpqRecall(spark, sf).head()
+    assert(r.getAs[Double]("recall_opq_np") >=
+      r.getAs[Double]("recall_pq"), r.toString)
+  }
+
   test("OPQ on the corpus: exhaustive equals brute force; recall row " +
       "does not lose to plain PQ") {
     val brute = Similarity.qCosineTopk(spark, sf).collect().map(_.toSeq)
