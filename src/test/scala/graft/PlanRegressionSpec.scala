@@ -65,6 +65,11 @@ class PlanRegressionSpec extends SparkSpec {
     // as the minhash test below
     val pj = operators.Dedup.ngramJaccardPairs(
       Tables.documents(spark, sf)).queryExecution.executedPlan.toString
+    // since r10 the corpus side carries NO broadcast hint — the
+    // broadcast below is Catalyst's size-based choice at this SF
+    // (autoBroadcastJoinThreshold); a corpus past the threshold
+    // shuffles both sides on the size key instead of being forced
+    // node-local (the r9 verdict's watch item)
     assert(pj.contains("BroadcastHashJoin") &&
       pj.contains("sorted_long_intersect_count"), pj.take(900))
     val pe = plan("q_embed_near_dup")
