@@ -814,6 +814,19 @@ object Relational2 {
       .filter(col("day") === day &&
         col("hour") >= fromHour && col("hour") <= toHour)
 
+  /** Declared hour-range read: the query granularity the evolved layout
+    * buys, now oracle-gated (VERDICT r10 buildlog candidate 4 — it was
+    * only spec-covered). Both predicates are PARTITION filters against
+    * the staged hour layout, so the scan opens six hour directories of
+    * one day (SourcesSpec plan-locks the pruning); the oracle replays
+    * the same range over raw events with strftime. */
+  val qPartitionHourRange: (SparkSession, String) => DataFrame =
+    (s, d) => evolvedHourRange(s, eventsEvolvedDir(s, d),
+        "2024-01-22", "06", "11")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy("event_id")
+
   val qPartitionEvolution: (SparkSession, String) => DataFrame = (s, d) =>
     evolvedEvents(s, eventsEvolvedDir(s, d))
       .groupBy(col("day").cast("string").as("day"))
@@ -1252,6 +1265,8 @@ object Relational2 {
     // hour-layout day must also be invisible to the profile
     QueryDef("q_partition_compact", qPartitionCompact,
       Some(dayProfileOracle)),
+    QueryDef("q_partition_hour_range", qPartitionHourRange, Some(
+      "SELECT event_id, user_id, event_type, value FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-22' AND strftime(ts, '%H') BETWEEN '06' AND '11' ORDER BY event_id")),
     QueryDef("q_landing_overwrite", qLandingOverwrite, Some(
       "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events, CAST(SUM(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-10' THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("q_scan_json", qScanJson, Some(

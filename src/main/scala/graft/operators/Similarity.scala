@@ -751,7 +751,7 @@ object Similarity {
 
   /** (coarse centroids, residual PQ codebook, codes table
     * (vec_id, a_id, codes, rn2=|r̂|², n2=true |x|²)). */
-  private def ivfPqIndex(s: SparkSession, d: String)
+  private[graft] def ivfPqIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) =
     ivfPqCache.get(s, d)({
       val subDim = 64 / PqM
@@ -1182,6 +1182,147 @@ object Similarity {
   val qAnnOpqNpExhaustive: (SparkSession, String) => DataFrame =
     (s, d) => opqSearch(s, d, k = 10, shortlist = Int.MaxValue, npOpqIndex)
 
+  // --- OPQ-IVFADC: the full FAISS serving stack ("OPQ64,IVF10,PQ8" in
+  // factory-string terms) — the OPQ pretransform composed with the
+  // IVF coarse quantizer and the residual PQ codebook. The rotation is
+  // the NON-PARAMETRIC one (npOpqIndex's Procrustes alternation
+  // artifact — trained once, shared via its cache); coarse k-means,
+  // residual extraction, and codebook training then all run IN the
+  // rotated space. An orthonormal rotation preserves norms and inner
+  // products, so the stored |x|², the list-ranking cosines, and the
+  // exact re-rank are unchanged semantics — the rotation only
+  // redistributes variance so the residual sub-blocks quantize better.
+  // Scale shape: identical to ivfPqIndex (one rotated map pass fused
+  // into the scan, bucketed coarse assign, LUT scans, metadata-sized
+  // collects); the rotation adds a dim² literal to the plan, nothing
+  // else.
+  private val opqIvfPqCache =
+    graft.AppCache[(Array[Double], DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def opqIvfPqIndex(s: SparkSession, d: String)
+      : (Array[Double], DataFrame, DataFrame, DataFrame) =
+    opqIvfPqCache.get(s, d)({
+      val subDim = OpqDim / PqM
+      val (rot, _, _) = npOpqIndex(s, d)
+      val e = prepared(s, d).filter(col("vec_id") =!= 0L)
+      val er = rotated(e, rot, OpqDim)
+        .join(e.select(col("vec_id"), col("n2")), "vec_id")
+        .localCheckpoint()
+      val coarse = kmeansCentroids(er, 10, 3)
+      val assigned = er.crossJoin(broadcast(coarse))
+        .withColumn("d2",
+          col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(
+          struct(col("ce"), col("n2"), col("c_id"), col("centroid")),
+          struct(col("d2"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
+          col("m.c_id").as("a_id"),
+          zip_with(col("m.ce"), col("m.centroid"), (a, b) => a - b)
+            .as("res"))
+        .localCheckpoint()
+      val resDf = assigned.select(col("vec_id"), col("res").as("ce"))
+      val cb = pqCodebook(resDf, PqM, PqKsub, subDim, iters = 3)
+        .localCheckpoint()
+      val codes = pqEncode(resDf, cb, PqM, subDim)
+        .join(assigned.select(col("vec_id"), col("a_id"), col("n2")),
+          "vec_id")
+        .localCheckpoint()
+      (rot, coarse, cb, codes)
+    })
+
+  /** OPQ-IVFADC search: rotate the query on the driver (dim² flops),
+    * then the probe/LUT/shortlist path is exactly [[ivfPqSearch]]'s in
+    * the rotated space; the re-rank scores the shortlist against the
+    * ORIGINAL vectors. nprobe ≥ nlist and shortlist ≥ corpus ⇒ exactly
+    * brute force (q_ann_opq_ivfpq_exhaustive's hard oracle). */
+  def opqIvfPqSearch(s: SparkSession, d: String, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val (rot, coarse, cb, codes) = opqIvfPqIndex(s, d)
+    val subDim = OpqDim / PqM
+    val e = prepared(s, d)
+    val q = e.filter(col("vec_id") === 0L).select(col("ce"), col("n2"))
+      .head()
+    val qv0 = q.getSeq[Double](0)
+    val qn = math.sqrt(q.getDouble(1))
+    val qv = Array.tabulate(OpqDim) { i =>
+      var acc = 0.0; var j = 0
+      while (j < OpqDim) { acc += rot(i * OpqDim + j) * qv0(j); j += 1 }
+      acc
+    }
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val lists = coarse.select("c_id", "centroid", "cn2").collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        val qc = dot(qv, c)
+        (r.getInt(0), qc, qc / (qn * math.sqrt(r.getDouble(2))))
+      }
+      .sortBy { case (cid, _, csim) => (-csim, cid) }
+      .take(nprobe)
+    import s.implicits._
+    val probed = broadcast(
+      lists.map { case (cid, qc, _) => (cid, qc) }.toSeq
+        .toDF("a_id", "qc"))
+    val lut = Array.fill(PqM * PqKsub)(0.0)
+    cb.select("m", "c_id", "centroid").collect().foreach { r =>
+      val m = r.getInt(0)
+      val cv = r.getSeq[Double](2)
+      var acc = 0.0; var i = 0
+      while (i < subDim) { acc += qv(m * subDim + i) * cv(i); i += 1 }
+      lut(m * PqKsub + r.getInt(1)) = acc
+    }
+    val lutCol = typedlit(lut.toSeq)
+    val resIp = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+        (c, m) => element_at(lutCol, m * PqKsub + c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val cand = codes.join(probed, "a_id")
+      .withColumn("adc_sim",
+        (col("qc") + resIp) / (lit(qn) * sqrt(col("n2"))))
+      .orderBy(col("adc_sim").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select("vec_id")
+    val qvDf = e.filter(col("vec_id") === 0L)
+      .select(col("ce").as("qe"), col("n2").as("qn2"))
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(qvDf))
+      .select(col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // --- q_ann_opq_ivfpq: the composed serving configuration — 3 of 10
+  // rotated-space lists probed, ADC shortlist 50, exact re-rank.
+  // Rows-only; the recall row and IvfPqSpec pin quality.
+  val qAnnOpqIvfPq: (SparkSession, String) => DataFrame = (s, d) =>
+    opqIvfPqSearch(s, d, k = 10, nprobe = 3, shortlist = 50)
+
+  // --- q_ann_opq_ivfpq_exhaustive: all lists + corpus shortlist ⇒ the
+  // exact re-rank IS brute force — the full composed stack (rotation,
+  // rotated coarse assign, rotated-residual codebook, rotated-query
+  // LUT, refine) under the SAME hard oracle as q_cosine_topk.
+  val qAnnOpqIvfPqExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => opqIvfPqSearch(s, d, k = 10, nprobe = Int.MaxValue,
+      shortlist = Int.MaxValue)
+
+  // --- q_ann_opq_ivfpq_recall: self-validating recall row for the
+  // composed serving configuration.
+  val qAnnOpqIvfPqRecall: (SparkSession, String) => DataFrame = (s, d) => {
+    val brute = qCosineTopk(s, d).select(col("vec_id"))
+    val got = qAnnOpqIvfPq(s, d).select(col("vec_id"))
+      .withColumn("hit", lit(1))
+    brute.join(got, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("brute_k"), count(col("hit")).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("brute_k"))
+  }
+
   /** Batch ADC shortlist over a PQ/OPQ codes table: the per-query LUTs
     * are driver metadata (|Q|·M·ksub doubles) shipped as ONE broadcast
     * frame; scoring is a codes ⨯ queries broadcast join with a
@@ -1567,6 +1708,12 @@ object Similarity {
       // force: the SAME oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_ivfpq_recall", qAnnIvfPqRecall, None),
+    QueryDef("q_ann_opq_ivfpq", qAnnOpqIvfPq, None),
+    QueryDef("q_ann_opq_ivfpq_exhaustive", qAnnOpqIvfPqExhaustive, Some(
+      // all rotated-space lists + corpus shortlist + exact re-rank ≡
+      // brute force: the SAME oracle as q_cosine_topk
+      s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    QueryDef("q_ann_opq_ivfpq_recall", qAnnOpqIvfPqRecall, None),
     QueryDef("q_embed_clusters", qEmbedClusters, Some(
       "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src) SELECT src AS vec_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY vec_id")),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(

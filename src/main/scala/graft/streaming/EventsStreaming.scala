@@ -200,7 +200,8 @@ object EventsStreaming {
     * mode (update/append), or that read the directory more than once
     * (stream-stream joins). */
   private def runDirToMemorySink(s: SparkSession, dir: String, name: String,
-      mode: String, plan: String => DataFrame, parts: Int = 8): DataFrame = {
+      mode: String, plan: String => DataFrame, parts: Int = 8,
+      processAll: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val sink = s"graft_stream_${name}_sink"
     // Stateful streaming pays a state-store commit per partition per
@@ -214,18 +215,61 @@ object EventsStreaming {
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(parts, prev.toInt).toString)
     try {
-      val q = plan(dir).writeStream
-        .format("memory").queryName(sink).outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // A false return means the 5-minute timeout elapsed mid-run — the
-      // sink would hold a PARTIAL snapshot that downstream hashing would
-      // mistake for the full result. Fail loudly instead.
-      val done = q.awaitTermination(300000)
-      require(done, s"streaming query $name timed out after 300s")
-      q.stop()
+      if (processAll) {
+        // TimeMode.ProcessingTime plans CANNOT use AvailableNow OR
+        // processAllAvailable: the stateful operator's
+        // shouldRunAnotherBatch returns true unconditionally in that
+        // mode (verified against the Spark 4.1 bytecode), so every
+        // trigger constructs a batch, `noNewData` is never set, and
+        // both termination paths wait forever. Drive such plans to
+        // quiescence explicitly: poll progress until the single file
+        // source has consumed every staged row, then stop. A 1s
+        // trigger keeps the post-drain no-data batches from busy-
+        // spinning state-store commits while we shut down.
+        val expected = s.read.parquet(dir).count()
+        val q = plan(dir).writeStream
+          .format("memory").queryName(sink).outputMode(mode)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
+        drainByProgress(q, expected, name)
+      } else {
+        val q = plan(dir).writeStream
+          .format("memory").queryName(sink).outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // A false return means the 5-minute timeout elapsed mid-run — the
+        // sink would hold a PARTIAL snapshot that downstream hashing would
+        // mistake for the full result. Fail loudly instead.
+        val done = q.awaitTermination(300000)
+        require(done, s"streaming query $name timed out after 300s")
+        q.stop()
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sink)
+  }
+
+  /** Drain a ProcessingTime-time-mode query: accumulate per-batch input
+    * rows from recentProgress (keyed by batchId — immune to the 100-entry
+    * progress ring rolling over) until `expected` rows have been
+    * consumed, then stop. The final data batch's sink write commits
+    * BEFORE its progress is posted, so reaching the count means the sink
+    * snapshot is complete. Single-source plans only (a two-pass reader
+    * would double-count `expected`). */
+  private[graft] def drainByProgress(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      expected: Long, name: String): Unit = {
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    val deadlineNs = System.nanoTime + 300L * 1000 * 1000 * 1000
+    var consumed = 0L
+    while (consumed < expected && System.nanoTime < deadlineNs) {
+      q.exception.foreach(throw _)
+      q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+      consumed = seen.values.sum
+      if (consumed < expected) Thread.sleep(100)
+    }
+    require(consumed >= expected,
+      s"streaming query $name drained $consumed/$expected rows in 300s")
+    q.stop()
   }
 
   val qStreamTumbling: (SparkSession, String) => DataFrame = (s, d) =>
@@ -964,7 +1008,13 @@ object EventsStreaming {
     * same running-profile state machine as `runningProfiles`, expressed
     * as a StatefulProcessor with one ValueState cell — state still
     * scales with distinct users, not events. */
-  class RunningProfileProcessor
+  /** `ttlMs > 0` attaches a processing-time TTL to the state cell (the
+    * retention knob a deployment uses to bound state for lapsed keys):
+    * a profile not UPDATED within the horizon is expired by the store
+    * and the next read sees no state — the key starts over. TTL requires
+    * TimeMode.ProcessingTime, so callers switch mode with it; with no
+    * timers registered the input-row semantics are unchanged. */
+  class RunningProfileProcessor(ttlMs: Long = -1L)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, BigDecimal), UserProfile] {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
@@ -972,7 +1022,8 @@ object EventsStreaming {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState("profile",
         org.apache.spark.sql.Encoders.product[(Long, BigDecimal)],
-        TTLConfig.NONE)
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, BigDecimal)],
         timers: org.apache.spark.sql.streaming.TimerValues)
@@ -985,8 +1036,8 @@ object EventsStreaming {
     }
   }
 
-  def runningProfilesTws(spark: SparkSession, events: DataFrame)
-      : Dataset[UserProfile] = {
+  def runningProfilesTws(spark: SparkSession, events: DataFrame,
+      ttlMs: Long = -1L): Dataset[UserProfile] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
     events
@@ -994,8 +1045,9 @@ object EventsStreaming {
         .as("value"))
       .as[(Long, BigDecimal)]
       .groupByKey(_._1)
-      .transformWithState(new RunningProfileProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningProfileProcessor(ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Declared transformWithState query: the same replay, reduction, and
@@ -1013,6 +1065,39 @@ object EventsStreaming {
       try runDirToMemorySink(s, stageEventsDir(s, d), "profiles_tws",
         "update", dir => runningProfilesTws(s, readEventsStream(s, dir))
           .toDF())
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("events_seen").desc)
+    sinkDf
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("events_seen"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
+  /** Declared TTL'd profile: the same state machine with a 7-DAY
+    * processing-time TTL on the cell — the retention configuration a
+    * deployment runs (lapsed keys cost nothing forever). The replay
+    * lasts seconds, so no key can lapse in-test and the result is
+    * deterministic: it shares the per-user batch oracle BY REFERENCE,
+    * hash-proving the TTL-configured path (secondary TTL index,
+    * ProcessingTime mode, RocksDB) end to end. ACTUAL expiry semantics
+    * are spec-proven: StreamingSpec's paused-restart test shows a
+    * sub-second TTL wiping state across a checkpoint restart while an
+    * hour TTL preserves it. */
+  val qStreamProfilesTtl: (SparkSession, String) => DataFrame = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val sinkDf =
+      try runDirToMemorySink(s, stageEventsDir(s, d), "profiles_ttl",
+        "update", dir => runningProfilesTws(s, readEventsStream(s, dir),
+          ttlMs = 7L * 24 * 3600 * 1000).toDF(), processAll = true)
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
@@ -1406,6 +1491,10 @@ object EventsStreaming {
     QueryDef("q_stream_profiles_tws", qStreamProfilesTws, Some(
       // transformWithState (the current arbitrary-state API, RocksDB
       // backend) held to the identical batch oracle as the legacy API
+      "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
+    QueryDef("q_stream_profiles_ttl", qStreamProfilesTtl, Some(
+      // TTL-configured state cell (7-day horizon >> the replay) held to
+      // the same batch oracle BY REFERENCE; expiry itself is spec-proven
       "SELECT user_id, COUNT(*) AS events_seen, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY user_id ORDER BY user_id")),
     QueryDef("q_stream_tumbling_append", qStreamTumblingAppend, Some(
       // Append-mode semantics in SQL: only the newest-day rows (batch 1)

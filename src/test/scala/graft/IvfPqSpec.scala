@@ -241,6 +241,43 @@ class IvfPqSpec extends SparkSpec {
       r.getAs[Double]("recall_pq"), r.toString)
   }
 
+  test("composed OPQ-IVFADC: exhaustive equals brute force; the rotated " +
+      "pipeline reconstructs no worse end-to-end than plain IVFPQ") {
+    val brute = Similarity.qCosineTopk(spark, sf).collect().map(_.toSeq)
+    val got = Similarity.qAnnOpqIvfPqExhaustive(spark, sf).collect()
+      .map(_.toSeq)
+    assert(got.toSeq === brute.toSeq)
+    // End-to-end reconstruction: the coarse step is exact in both
+    // pipelines, so E‖x − x̂‖² = E‖res − decode(res)‖² and the two
+    // compare on the same objective despite clustering in different
+    // bases (measured 0.094 vs 0.099 on this corpus).
+    val m = 8; val subDim = 8
+    val e = Similarity.prepare(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") =!= 0L).localCheckpoint()
+    def residualFrame(codes: org.apache.spark.sql.DataFrame,
+        coarse: org.apache.spark.sql.DataFrame,
+        vecs: org.apache.spark.sql.DataFrame) =
+      codes.select("vec_id", "a_id")
+        .join(vecs.select(col("vec_id"), col("ce")), "vec_id")
+        .join(broadcast(coarse.select(col("c_id").as("a_id"),
+          col("centroid"))), "a_id")
+        .select(col("vec_id"),
+          zip_with(col("ce"), col("centroid"), (a, b) => a - b).as("ce"))
+    val (coarseP, cbP, codesP) = Similarity.ivfPqIndex(spark, sf)
+    val mseP = Similarity.pqReconstructionMse(
+      residualFrame(codesP, coarseP, e), cbP, m, subDim)
+    val (rot, coarseO, cbO, codesO) = Similarity.opqIvfPqIndex(spark, sf)
+    val er = Similarity.rotated(e, rot, 64).localCheckpoint()
+    val mseO = Similarity.pqReconstructionMse(
+      residualFrame(codesO, coarseO, er), cbO, m, subDim)
+    assert(mseO <= mseP, s"composed OPQ-IVFADC mse $mseO > plain $mseP")
+    // serving recall row self-validates
+    val r = Similarity.qAnnOpqIvfPqRecall(spark, sf).head()
+    assert(r.getAs[Long]("brute_k") === 10L)
+    val rc = r.getAs[Double]("recall")
+    assert(rc >= 0.0 && rc <= 1.0)
+  }
+
   test("OPQ on the corpus: exhaustive equals brute force; recall row " +
       "does not lose to plain PQ") {
     val brute = Similarity.qCosineTopk(spark, sf).collect().map(_.toSeq)

@@ -530,4 +530,96 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getDecimal(r.fieldIndex("lr"))).toMap
     assert(snap(epochs.last) === batchRatio)
   }
+
+  test("transformWithState TTL: a sub-second TTL wipes state across a " +
+      "paused checkpoint restart; an hour TTL preserves it") {
+    import org.apache.spark.sql.expressions.Window
+    val prevProv = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      // per-run flow: land file 0, run to a checkpoint, PAUSE past the
+      // sub-second TTL horizon, land file 1, restart from the checkpoint
+      def run(ttlMs: Long, tag: String)
+          : (Map[Long, Long], Map[Long, Long], Map[Long, Long]) = {
+        val base = Files.createTempDirectory(s"graft_ttl_$tag").toString
+        val dataDir = s"$base/data"
+        new java.io.File(dataDir).mkdirs()
+        Tables.events(spark, sf).repartition(2)
+          .write.mode("overwrite").parquet(s"$base/staged")
+        val parts = new java.io.File(s"$base/staged").listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        assert(parts.length == 2)
+        def counts(f: java.io.File): Map[Long, Long] =
+          spark.read.parquet(f.toString).groupBy("user_id").count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (c0, c1) = (counts(parts(0)), counts(parts(1)))
+        def land(i: Int): Unit = {
+          java.nio.file.Files.move(parts(i).toPath,
+            new java.io.File(dataDir, f"$i%02d.parquet").toPath): Unit
+        }
+        def runOnce(sink: String, expectRows: Long): String = {
+          // ProcessingTime time mode never self-terminates (its
+          // shouldRunAnotherBatch is constant-true), so AvailableNow and
+          // processAllAvailable both hang; drain by progress and stop.
+          // The memory sink refuses checkpoint RECOVERY, so the restart
+          // leg lands update-mode emissions via foreachBatch into
+          // idempotent epoch dirs instead (run-scoped outDir, shared
+          // checkpoint).
+          val outDir = s"$base/out_$sink"
+          val q = EventsStreaming.runningProfilesTws(spark,
+              EventsStreaming.readEventsStream(spark, dataDir), ttlMs)
+            .toDF().writeStream
+            .outputMode("update")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime("1 second"))
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                id: Long) =>
+              EventsStreaming.idempotentEpochWrite(batch, outDir, id)
+            }
+            .start()
+          EventsStreaming.drainByProgress(q, expectRows, sink)
+          outDir
+        }
+        land(0); runOnce(s"ttl_${tag}_r1", c0.values.sum)
+        Thread.sleep(2000) // exceed the sub-second horizon, not the hour one
+        land(1)
+        val out2 = runOnce(s"ttl_${tag}_r2", c1.values.sum)
+        // run 2's landing alone: exactly the batch-2 emissions (one row
+        // per user present in file 1, carrying restored-or-expired state)
+        val got = spark.read.parquet(out2)
+          .withColumn("__rn", row_number().over(Window
+            .partitionBy("user_id").orderBy(col("events_seen").desc)))
+          .filter(col("__rn") === 1)
+          .select("user_id", "events_seen").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (c0, c1, got)
+      }
+      val (a0, a1, expired) = run(500L, "short")
+      val both = a0.keySet intersect a1.keySet
+      assert(both.nonEmpty)
+      // sub-second TTL: the pause expired every file-0 profile, so the
+      // restart counts file 1 alone
+      both.foreach { u =>
+        assert(expired(u) === a1(u),
+          s"user $u: expected file1-only ${a1(u)}, got ${expired(u)}")
+      }
+      val (b0, b1, kept) = run(3600L * 1000, "long")
+      val both2 = b0.keySet intersect b1.keySet
+      assert(both2.nonEmpty)
+      // hour TTL: nothing lapses — restored state merges both files
+      both2.foreach { u =>
+        assert(kept(u) === b0(u) + b1(u),
+          s"user $u: expected ${b0(u) + b1(u)}, got ${kept(u)}")
+      }
+    } finally prevProv match {
+      case Some(v) => spark.conf
+        .set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf
+        .unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
