@@ -129,11 +129,12 @@ object Dedup {
     * memory) but loses at ×100 (24.0 vs 22.2 s — materialization costs
     * more than the second projection pass), so recompute is the scale
     * default. */
-  def substringDedup(docs: DataFrame, w: Int,
-      cacheGrams: Boolean = false): DataFrame = {
+  /** The stride-1 hashed gram table both substring-dedup variants scan:
+    * (doc_id, n_tok, pos, gh) — one row per w-token sliding window. */
+  private[graft] def substringGramTable(docs: DataFrame, w: Int): DataFrame = {
     val parts = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val gramsBase = docs
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .repartition(parts)
       .filter(size(col("t")) >= w)
@@ -144,6 +145,11 @@ object Dedup {
           .as("g"))
       .select(col("doc_id"), col("n_tok"),
         col("g.pos").as("pos"), col("g.gh").as("gh"))
+  }
+
+  def substringDedup(docs: DataFrame, w: Int,
+      cacheGrams: Boolean = false): DataFrame = {
+    val gramsBase = substringGramTable(docs, w)
     // cacheGrams: materialize the gram table once and feed both the
     // first-occurrence aggregate and the probe side from it — the OTHER
     // arm of the documented recompute-vs-cache trade-off, exposed so
@@ -153,15 +159,21 @@ object Dedup {
     val firsts = grams
       .groupBy("gh")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    // interval sweep: a span's new coverage is what extends past the
-    // running max end of all earlier spans in the doc
+    grams
+      .join(firsts, "gh")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .transform(dupSpanRollup(_, w))
+  }
+
+  /** Per-doc interval-union rollup over duplicate gram occurrences
+    * (doc_id, n_tok, pos): a span's new coverage is what extends past
+    * the running max end of all earlier spans in the doc. */
+  private def dupSpanRollup(dupOccs: DataFrame, w: Int): DataFrame = {
     val wSweep = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val covered = greatest(lit(0L), col("pos") + w -
       greatest(col("pos"), col("prev_end")))
-    grams
-      .join(firsts, "gh")
-      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+    dupOccs
       .withColumn("prev_end",
         coalesce(max(col("pos") + w).over(wSweep), col("pos")))
       .groupBy("doc_id", "n_tok")
@@ -174,6 +186,54 @@ object Dedup {
 
   val qDedupSubstring: (SparkSession, String) => DataFrame = (s, d) =>
     substringDedup(Tables.documents(s, d), 50)
+
+  /** Bloom-gated [[substringDedup]] — identical rows, cheaper probe
+    * side. The first-occurrence aggregate also counts occurrences and
+    * keeps only grams with cnt > 1 (a unique gram's sole occurrence IS
+    * its first — the original plan joins it and filters it right back
+    * out), then reduces the surviving gram hashes to ONE fixed-size
+    * Bloom filter (scalar subquery — ships with the plan, no shuffle).
+    * The probe-side gram recompute filters through `might_contain`
+    * BEFORE its corpus-sized shuffle, so only duplicate-candidate
+    * grams move: on a mostly-unique corpus (the Zipf regime, §11c)
+    * that is a small fraction of the gram stream, and the join's build
+    * side shrinks from every-distinct-gram to duplicated-grams-only.
+    * Lossless by construction: a false positive only sends an extra
+    * gram row into the exact equi-join, which drops it (no matching
+    * build row); the declared key therefore SHARES q_dedup_substring's
+    * oracle by reference.
+    *
+    * `expectedDupGrams` must be sized to the corpus's DUPLICATED-gram
+    * count, not its document count: an undersized filter saturates
+    * (FPP → 1) and degrades losslessly to pass-through — measured at
+    * ×100 Zipf organic (~5M dup grams): 4M capacity = parity with the
+    * ungated plan, 16M capacity = 1.34× faster; at ×10 (~.5M dup
+    * grams) the default gives 1.45× (SCALE.md §11c). When the dup-gram
+    * count outgrows a broadcastable bitmap (≳10⁹), run the ungated
+    * plan — the gate is an optimization, never a correctness knob. */
+  def substringDedupBloom(docs: DataFrame, w: Int,
+      expectedDupGrams: Long = 4000000L): DataFrame = {
+    val grams = substringGramTable(docs, w)
+    val dupFirsts = grams
+      .groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("gh"), col("first"))
+    val bloom = dupFirsts
+      .agg(graft.functions.SketchFunctions.bloomAgg(col("gh"),
+        expectedDupGrams).as("bf"))
+      .scalar()
+    grams
+      .filter(graft.functions.SketchFunctions.bloomMightContain(bloom,
+        col("gh")))
+      .join(dupFirsts, "gh")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .transform(dupSpanRollup(_, w))
+  }
+
+  val qDedupSubstringBloom: (SparkSession, String) => DataFrame = (s, d) =>
+    substringDedupBloom(Tables.documents(s, d), 50)
 
   /** The REMOVAL pass over [[substringDedup]]'s detection: rebuild every
     * document with its duplicated w-token spans deleted (the first
@@ -1124,6 +1184,11 @@ object Dedup {
     hist.unionByName(singles).orderBy("csize")
   }
 
+  // shared BY REFERENCE between q_dedup_substring and its bloom-gated
+  // twin — the gate is lossless, so both answer to the same SQL
+  private val substringOracleSql =
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+49], ' ') AS gram FROM t, unnest(range(1, len(t) - 48)) AS u(i) WHERE len(t) >= 50), r AS (SELECT doc_id, n_tok, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), d AS (SELECT doc_id, n_tok, pos, COALESCE(MAX(pos + 50) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos) AS prev_end FROM r WHERE rn > 1) SELECT doc_id, n_tok, CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS BIGINT) AS dup_tokens, round(CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS DOUBLE) / n_tok, 6) AS dup_frac FROM d GROUP BY doc_id, n_tok ORDER BY doc_id"
+
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */
   private val ngramPairsCte =
@@ -1142,8 +1207,11 @@ object Dedup {
     QueryDef("q_minhash_source_sketch", qMinhashSourceSketch, None),
     QueryDef("q_dedup_segments", qDedupSegments, Some(
       "WITH segs AS (SELECT doc_id, unnest(range(len(s))) AS seg_idx, unnest(s) AS seg FROM (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/16.0) AS BIGINT)), i -> array_to_string(t[i*16+1:i*16+16], ' ')) AS s FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents))), keep AS (SELECT doc_id, seg_idx, seg, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) SELECT doc_id, COUNT(*) AS kept_segments, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id")),
-    QueryDef("q_dedup_substring", qDedupSubstring, Some(
-      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+49], ' ') AS gram FROM t, unnest(range(1, len(t) - 48)) AS u(i) WHERE len(t) >= 50), r AS (SELECT doc_id, n_tok, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), d AS (SELECT doc_id, n_tok, pos, COALESCE(MAX(pos + 50) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos) AS prev_end FROM r WHERE rn > 1) SELECT doc_id, n_tok, CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS BIGINT) AS dup_tokens, round(CAST(SUM(GREATEST(0, pos + 50 - GREATEST(pos, prev_end))) AS DOUBLE) / n_tok, 6) AS dup_frac FROM d GROUP BY doc_id, n_tok ORDER BY doc_id")),
+    QueryDef("q_dedup_substring", qDedupSubstring, Some(substringOracleSql)),
+    // the Bloom gate is LOSSLESS (false positives die in the exact
+    // equi-join), so the gated plan answers to the identical oracle
+    QueryDef("q_dedup_substring_bloom", qDedupSubstringBloom,
+      Some(substringOracleSql)),
     QueryDef("q_dedup_substring_apply", qDedupSubstringApply, Some(
       "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+49], ' ') AS gram FROM t, unnest(range(1, len(t) - 48)) AS u(i) WHERE len(t) >= 50), r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), d AS (SELECT doc_id, pos, pos + 50 AS e FROM r WHERE rn > 1), sw AS (SELECT doc_id, pos, e, COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_end FROM d), isl AS (SELECT doc_id, pos, e, SUM(CASE WHEN pos > prev_end THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS iid FROM sw), mi AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, iid), cov AS (SELECT doc_id, unnest(range(s, e)) AS cpos FROM mi), tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos, t[i] AS tok FROM t, unnest(range(1, len(t) + 1)) AS u(i)) SELECT tok.doc_id, tok.n_tok, COUNT(*) AS kept_tokens, string_agg(tok.tok, ' ' ORDER BY tok.pos) AS cleaned_text FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos WHERE cov.cpos IS NULL GROUP BY tok.doc_id, tok.n_tok ORDER BY tok.doc_id")),
     QueryDef("q_dedup_exact", qDedupExact, Some(

@@ -867,6 +867,120 @@ object Similarity {
         col("hits").cast("double") / col("brute_k"))
   }
 
+  /** Batched IVFADC — the deployed SERVING shape: one corpus scan of
+    * the codes table answers a whole query batch. All per-query math
+    * is driver metadata (coarse ranking over ≤nlist centroids, one
+    * M×ksub LUT per query) shipped as ONE broadcast frame of
+    * (q_id, probed list, per-list constant, |q|, LUT) rows — a few MB
+    * for 16 queries × nprobe lists; the codes ⨯ probed equi-join on
+    * the list id touches each probed list once for ALL queries
+    * probing it, the per-query shortlist is a WindowGroupLimit, and
+    * the exact re-rank joins the shortlist union back to the vectors
+    * (the ivfSearchBatch discipline applied to IVFADC). nprobe ≥
+    * nlist and shortlist ≥ corpus ⇒ exactly per-query brute force
+    * (q_ann_ivfpq_batch_exhaustive's hard oracle). */
+  def ivfPqSearchBatch(s: SparkSession, d: String, queryIds: Seq[Long],
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val (coarse, cb, codes) = ivfPqIndex(s, d)
+    val subDim = 64 / PqM
+    val e = prepared(s, d)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qrows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "ce", "n2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        math.sqrt(r.getDouble(2))))
+      .sortBy(_._1)
+    val cents = coarse.select("c_id", "centroid", "cn2").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cbRows = cb.select("m", "c_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val probeRows = qrows.toSeq.flatMap { case (qid, qv, qn) =>
+      val ranked = cents.map { case (cid, c, cn2) =>
+        val qc = dot(qv, c); (cid, qc, qc / (qn * math.sqrt(cn2)))
+      }.sortBy { case (cid, _, csim) => (-csim, cid) }.take(nprobe)
+      val lut = Array.fill(PqM * PqKsub)(0.0)
+      cbRows.foreach { case (m0, c0, cv) =>
+        var acc = 0.0; var i = 0
+        while (i < subDim) { acc += qv(m0 * subDim + i) * cv(i); i += 1 }
+        lut(m0 * PqKsub + c0) = acc
+      }
+      ranked.map { case (cid, qc, _) => (qid, cid, qc, qn, lut.toSeq) }
+    }
+    import s.implicits._
+    val probed = broadcast(probeRows
+      .toDF("q_id", "a_id", "qc", "qn", "lut"))
+    val ip = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+        (c, m0) => element_at(col("lut"), m0 * PqKsub + c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val wSl = Window.partitionBy("q_id")
+      .orderBy(col("adc_sim").desc, col("vec_id").asc)
+    val cand = codes.join(probed, "a_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_sim",
+        (col("qc") + ip) / (col("qn") * sqrt(col("n2"))))
+      .withColumn("__r", row_number().over(wSl))
+      .filter(col("__r") <= shortlist)
+      .select("q_id", "vec_id")
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"),
+        col("n2").as("qn2"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    e.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6)
+          .as("sim"))
+      .withColumn("__rnk", row_number().over(wTop))
+      .filter(col("__rnk") <= k)
+      .select("q_id", "vec_id", "sim")
+      .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+  }
+
+  // queries 1..16: the IVFPQ codes corpus excludes vec_id 0 (the
+  // single-query probe), so the batch family keys on the 1..16 ids the
+  // OPQ recall batch already uses — the oracle mirrors both exclusions.
+  private val ivfPqBatchIds: Seq[Long] = (1L to 16L)
+
+  // --- q_ann_ivfpq_batch: the batched serving configuration — 3 lists
+  // probed per query, ADC shortlist 50, exact re-rank to top-10, ONE
+  // codes scan for the 16-query batch. Rows-only; the batch recall row
+  // self-validates per query.
+  val qAnnIvfPqBatch: (SparkSession, String) => DataFrame = (s, d) =>
+    ivfPqSearchBatch(s, d, ivfPqBatchIds, k = 10, nprobe = 3,
+      shortlist = 50)
+
+  // --- q_ann_ivfpq_batch_exhaustive: all lists + corpus shortlist ⇒
+  // per-query brute force — the batched IVFADC plumbing under a hard
+  // 16-query DuckDB oracle.
+  val qAnnIvfPqBatchExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => ivfPqSearchBatch(s, d, ivfPqBatchIds, k = 10,
+      nprobe = Int.MaxValue, shortlist = Int.MaxValue)
+
+  // --- q_ann_ivfpq_batch_recall: per-query self-validating recall rows
+  // for the pruned batch configuration (truth size, hits, recall@10).
+  val qAnnIvfPqBatchRecall: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val truth = cosineTopKBatch(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0L),
+        ivfPqBatchIds, 10)
+        .select(col("q_id"), col("vec_id"))
+      val got = qAnnIvfPqBatch(s, d)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      truth.join(got, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("truth_k"),
+          sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("truth_k"), 4))
+        .orderBy("q_id")
+    }
+
   // --- q_ann_pq_recall: self-validating recall row (q_ann_recall
   // style): ground-truth size, ADC-only hits, re-ranked hits. A
   // collapsed codebook (recall→0) is visible in the output itself.
@@ -1714,6 +1828,14 @@ object Similarity {
       // brute force: the SAME oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_opq_ivfpq_recall", qAnnOpqIvfPqRecall, None),
+    QueryDef("q_ann_ivfpq_batch", qAnnIvfPqBatch, None),
+    QueryDef("q_ann_ivfpq_batch_exhaustive", qAnnIvfPqBatchExhaustive,
+      Some(
+        // all lists + corpus shortlist + exact re-rank ≡ per-query brute
+        // force over the 16-query batch; both sides exclude vec_id 0
+        // (the single-query probe is not in the codes corpus)
+        s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id BETWEEN 1 AND 16), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id AND e.vec_id <> 0), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY q_id, sim DESC, vec_id")),
+    QueryDef("q_ann_ivfpq_batch_recall", qAnnIvfPqBatchRecall, None),
     QueryDef("q_embed_clusters", qEmbedClusters, Some(
       "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src) SELECT src AS vec_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY vec_id")),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(

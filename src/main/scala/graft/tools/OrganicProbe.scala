@@ -130,6 +130,8 @@ object OrganicProbe {
       Dedup.substringDedup(base, 50).count())
     time("substring dedup w=50 10x organic")(
       Dedup.substringDedup(organic, 50).count())
+    time("substring dedup BLOOM w=50 10x organic")(
+      Dedup.substringDedupBloom(organic, 50).count())
 
     // 2. MinHash/LSH clustering, with cap-engagement counts
     time("LSH pairs + clusters 1x organic-base") {
@@ -171,6 +173,32 @@ object OrganicProbe {
       println(s"== x100 wave: ${organic100.count()} docs ==")
       time("substring dedup w=50 100x organic")(
         Dedup.substringDedup(organic100, 50).count())
+      time("substring dedup BLOOM w=50 100x organic")(
+        Dedup.substringDedupBloom(organic100, 50).count())
+      // default 4M capacity saturates against this corpus's ~5M
+      // duplicated grams (FPP → pass-through); capacity sized to the
+      // corpus restores the gate
+      time("substring dedup BLOOM16M w=50 100x organic")(
+        Dedup.substringDedupBloom(organic100, 50,
+          expectedDupGrams = 16000000L).count())
+      // stage decomposition for the superlinear decade (round 11):
+      // cumulative-prefix timings — each row adds one stage, so
+      // successive differences attribute the cost
+      time("substring-decompose grams-only 100x")(
+        Dedup.substringGramTable(organic100, 50).count())
+      time("substring-decompose firsts-agg 100x")(
+        Dedup.substringGramTable(organic100, 50)
+          .groupBy("gh")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+          .count())
+      time("substring-decompose dup-occurrences 100x") {
+        val grams = Dedup.substringGramTable(organic100, 50)
+        val firsts = grams.groupBy("gh")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+        grams.join(firsts, "gh")
+          .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+          .count()
+      }
       time("LSH pairs + clusters 100x organic") {
         val pt = Dedup.minhashPairsWithStats(organic100)
         val n = Dedup.connectedComponents(pt.pairs, localMaxPairs = 0L)

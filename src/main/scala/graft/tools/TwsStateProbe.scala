@@ -91,7 +91,10 @@ object TwsStateProbe {
       spark.sql(s"DROP TABLE IF EXISTS $sinkName")
     }
 
-    stagings.foreach { case (tag, dir, users) =>
+    // SPARK_GRAFT_TWS_SECTION=ttl skips the staging sweeps (local
+    // iteration on the retention section alone)
+    val ttlOnly = sys.env.get("SPARK_GRAFT_TWS_SECTION").contains("ttl")
+    if (!ttlOnly) stagings.foreach { case (tag, dir, users) =>
       drive(s"profiles_tws (ValueState) $tag", s"tws_probe_p_$tag",
         dd => EventsStreaming.runningProfilesTws(spark,
           EventsStreaming.readEventsStream(spark, dd)).toDF(),
@@ -101,6 +104,66 @@ object TwsStateProbe {
           EventsStreaming.readEventsStream(spark, dd), 3)
           .toDF("user_id", "rows_seen", "recent_ids"),
         dir, users)
+    }
+
+    // --- TTL retention (round 11): the one state behavior the three
+    // stagings above do NOT measure — expired keys leaving the store.
+    // A 3 s TTL'd profile query idles past the horizon on a 1 s
+    // processing-time trigger (no-data batches still run the stateful
+    // operator, so per-batch TTL cleanup fires), then a second landing
+    // touches 1/10th of the users. Expected trace: stateRows = all
+    // users after landing A, DECAYS TO 0 while idle past the TTL, and
+    // holds at ~users/10 after landing B — retention bounded by the
+    // horizon, never by history.
+    {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${sys.props("java.io.tmpdir")}/graft_twsprobe_ttl"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val dataDir = s"$base/data"
+      new java.io.File(dataDir).mkdirs()
+      def landOne(df: DataFrame, name: String): Long = {
+        val stg = s"$base/stg_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stg)
+        val part = new java.io.File(stg).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(dataDir, s"$name.parquet").toPath)
+        df.count()
+      }
+      val evB = ev.filter(col("user_id") % 10 === 0)
+      val nB = evB.select("user_id").distinct().count()
+      val q = EventsStreaming.runningProfilesTws(spark,
+          EventsStreaming.readEventsStream(spark, dataDir), ttlMs = 3000L)
+        .toDF().writeStream
+        .format("memory").queryName("tws_probe_ttl").outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      def consumed: Long = {
+        val seen = scala.collection.mutable.Map.empty[Long, Long]
+        q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        seen.values.sum
+      }
+      def waitFor(target: Long): Unit = {
+        val dl = System.nanoTime + 120L * 1000 * 1000 * 1000
+        while (consumed < target && System.nanoTime < dl) Thread.sleep(100)
+        require(consumed >= target, s"ttl probe stalled at $consumed/$target")
+      }
+      def stateRows: Long = q.recentProgress.toSeq
+        .sortBy(_.batchId).reverse
+        .flatMap(_.stateOperators.headOption).headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      println(s"== TTL retention (3s TTL, ValueState, " +
+        s"$nUsers users in A, $nB in B) ==")
+      val cA = landOne(ev, "00_a")
+      waitFor(cA)
+      println(s"  after landing A: stateRows=$stateRows")
+      Thread.sleep(8000) // idle past the horizon; cleanup runs per batch
+      println(s"  after 8s idle  : stateRows=$stateRows")
+      val cB = landOne(evB, "01_b")
+      waitFor(cA + cB)
+      println(s"  after landing B: stateRows=$stateRows")
+      q.stop()
     }
     spark.stop()
   }

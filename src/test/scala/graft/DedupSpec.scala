@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 70L, 60L), (3L, 100L, 50L)))
   }
 
+  test("bloom-gated substring dedup is row-identical to the ungated plan " +
+      "(fixture and testdata)") {
+    import spark.implicits._
+    // the gate must be invisible: false positives die in the exact
+    // equi-join, unique grams never reach the probe shuffle
+    val c = (1 to 60).map(i => s"c$i").mkString(" ")
+    val r = (1 to 50).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, c),
+      (2L, s"p1 p2 p3 p4 p5 $c s1 s2 s3 s4 s5"),
+      (3L, s"$r $r"))
+      .toDF("doc_id", "text")
+    assert(operators.Dedup.substringDedupBloom(docs, 50).collect().toSeq
+      === operators.Dedup.substringDedup(docs, 50).collect().toSeq)
+    val td = Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(operators.Dedup.substringDedupBloom(td, 50).collect().toSeq
+      === operators.Dedup.substringDedup(td, 50).collect().toSeq)
+  }
+
   test("substring dedup APPLY removes exactly the duplicated spans and " +
       "keeps first occurrences in place") {
     import spark.implicits._

@@ -40,6 +40,27 @@ class IvfPqSpec extends SparkSpec {
     assert(got.toSeq === brute.toSeq)
   }
 
+  test("batched IVFADC: exhaustive probing equals per-query brute force " +
+      "over the 16-query batch; pruned recall rows are non-degenerate") {
+    // both sides exclude vec_id 0 (the single-query probe is not in the
+    // codes corpus) and each query excludes itself
+    val brute = Similarity.cosineTopKBatch(
+      Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L),
+      1L to 16L, 10).collect().map(_.toSeq)
+    val got = Similarity.qAnnIvfPqBatchExhaustive(spark, sf).collect()
+      .map(_.toSeq)
+    assert(got.toSeq === brute.toSeq)
+    val rec = Similarity.qAnnIvfPqBatchRecall(spark, sf).collect()
+    assert(rec.length === 16)
+    assert(rec.forall(_.getAs[Long]("truth_k") === 10L))
+    // same dominance-not-absolute discipline as the single-query row:
+    // near-random fixture scatters true neighbors across lists, so the
+    // BATCH MEAN clearing 0.4 rules out collapsed LUTs without pinning
+    // fixture luck per query
+    val mean = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    assert(mean >= 0.4, s"batch ivfpq mean recall $mean")
+  }
+
   test("pruned IVFADC recall row is self-validating and non-degenerate") {
     val r = Similarity.qAnnIvfPqRecall(spark, sf).head()
     assert(r.getAs[Long]("brute_k") === 10L)
