@@ -749,14 +749,14 @@ object Similarity {
 
   private val ivfPqCache = graft.AppCache[(DataFrame, DataFrame, DataFrame)]()
 
-  /** (coarse centroids, residual PQ codebook, codes table
-    * (vec_id, a_id, codes, rn2=|r̂|², n2=true |x|²)). */
-  private[graft] def ivfPqIndex(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) =
-    ivfPqCache.get(s, d)({
+  /** IVFADC index construction from a prepared corpus frame and a
+    * trained coarse quantizer — the [[ivfPqIndex]] body, parametrized
+    * on the corpus so scale probes can build over synthesized waves
+    * (tools/AnnScaleProbe) while the declared (session, dir) path
+    * keeps its cached composition bit-for-bit. */
+  private[graft] def buildIvfPq(e: DataFrame, coarse: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
       val subDim = 64 / PqM
-      val e = prepared(s, d).filter(col("vec_id") =!= 0L)
-      val coarse = ivfCentroids(s, d, 10, 3)
       val assigned = e.crossJoin(broadcast(coarse))
         .withColumn("d2",
           col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
@@ -777,7 +777,15 @@ object Similarity {
           "vec_id")
         .localCheckpoint()
       (coarse, cb, codes)
-    })
+  }
+
+  /** (coarse centroids, residual PQ codebook, codes table
+    * (vec_id, a_id, codes, rn2=|r̂|², n2=true |x|²)). */
+  private[graft] def ivfPqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ivfPqCache.get(s, d)(buildIvfPq(
+      prepared(s, d).filter(col("vec_id") =!= 0L),
+      ivfCentroids(s, d, 10, 3)))
 
   /** IVFADC search for vec_id=0: probe the `nprobe` nearest coarse
     * lists, score their codes by LUT-ADC, exact-re-rank the top
@@ -880,10 +888,18 @@ object Similarity {
     * nlist and shortlist ≥ corpus ⇒ exactly per-query brute force
     * (q_ann_ivfpq_batch_exhaustive's hard oracle). */
   def ivfPqSearchBatch(s: SparkSession, d: String, queryIds: Seq[Long],
+      k: Int, nprobe: Int, shortlist: Int): DataFrame =
+    ivfPqSearchBatchOn(s, prepared(s, d), ivfPqIndex(s, d), queryIds,
+      k, nprobe, shortlist)
+
+  /** The [[ivfPqSearchBatch]] body over a caller-supplied prepared
+    * corpus and index triple — lets scale probes search synthesized
+    * waves with the exact declared plan shape. */
+  private[graft] def ivfPqSearchBatchOn(s: SparkSession, e: DataFrame,
+      idx: (DataFrame, DataFrame, DataFrame), queryIds: Seq[Long],
       k: Int, nprobe: Int, shortlist: Int): DataFrame = {
-    val (coarse, cb, codes) = ivfPqIndex(s, d)
+    val (coarse, cb, codes) = idx
     val subDim = 64 / PqM
-    val e = prepared(s, d)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < b.length) { acc += a(i) * b(i); i += 1 }
