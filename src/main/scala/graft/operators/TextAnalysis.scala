@@ -407,6 +407,146 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- model-based quality classifier (q_quality_lr_train / _score) ---
+  // The gate real pipelines actually deploy is LEARNED, not ruled:
+  // GPT-3's LR quality filter, CCNet's fasttext gate — a tiny linear
+  // model distilled from weak supervision and applied corpus-wide. Here
+  // the whole loop runs IN the engine: features are the existing
+  // exact-arithmetic text signals, the label is the rule gate at 0.7
+  // (distillation of the heuristic into a model, the standard
+  // bootstrap), and training is batch gradient descent where EACH
+  // ITERATION IS ONE CORPUS PASS producing five map-side-combinable
+  // sums — at 100 TB that is exactly the shape distributed LR training
+  // has (the driver holds five weights, never data).
+  //
+  // Cross-engine bit-exactness, the part that makes this ORACLE-able:
+  //   - the link is the RATIONAL fast-sigmoid p = 0.5 + 0.5·z/(1+|z|)
+  //     (squared loss, gradient (p−y)·x/(1+|z|)²) — no transcendentals,
+  //     so every per-row value is identical IEEE arithmetic in Spark
+  //     and DuckDB;
+  //   - each per-row gradient contribution is QUANTIZED to a long via
+  //     floor(contrib·1e12) (|contrib| ≤ 1, so no overflow below ~9M
+  //     docs per partition-sum; gradient quantization, the real
+  //     distributed-training technique) — integer sums are exact and
+  //     order-independent, so no decimal-cast or rounding semantics
+  //     enter the recurrence anywhere;
+  //   - weights evolve by pure IEEE ops (w − η·((Σ/1e12)/n)) written in
+  //     the same association order in both engines.
+  // The DuckDB twin replays all 24 iterations as chained CTEs (the
+  // q_graph_pagerank discipline, machine-generated below) and must
+  // reproduce the weight trace BIT-FOR-BIT — a hash-verified
+  // distributed training run.
+  private val LrIters = 24
+  private val LrEta = 2.0
+
+  private def lrFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        concat(lit(" "), col("text"), lit(" ")).as("padded"))
+      .select(col("doc_id"),
+        least(lit(1.0), size(wsTokens).cast("double") / lit(100.0))
+          .as("x1"),
+        least(lit(1.0), length(col("text")).cast("double") / lit(500.0))
+          .as("x2"),
+        when(markerScore(" the ") > 0, 1.0).otherwise(0.0).as("x3"),
+        (size(array_distinct(wsTokens)).cast("double") /
+          size(wsTokens).cast("double")).as("x4"))
+      .withColumn("y",
+        when(lit(0.4) * col("x1") + lit(0.4) * col("x2") +
+          lit(0.2) * col("x3") >= 0.7, 1.0).otherwise(0.0))
+
+  private def lrZ(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+
+  /** One GD run; returns the per-iteration weight trace. */
+  def lrTrainTrace(docs: DataFrame, iters: Int = LrIters,
+      eta: Double = LrEta): Seq[(Int, Array[Double])] = {
+    val f = lrFeatures(docs).localCheckpoint()
+    val n = f.count().toDouble
+    var w = Array.fill(5)(0.0)
+    (1 to iters).map { it =>
+      val z = lrZ(w)
+      val p = lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
+      val den = (lit(1.0) + abs(z)) * (lit(1.0) + abs(z))
+      val contribs = Seq[Column]((p - col("y")) / den,
+        ((p - col("y")) * col("x1")) / den,
+        ((p - col("y")) * col("x2")) / den,
+        ((p - col("y")) * col("x3")) / den,
+        ((p - col("y")) * col("x4")) / den)
+      val aggs = contribs.zipWithIndex.map { case (c, j) =>
+        sum(floor(c * lit(1e12))).as(s"g$j") }
+      // ONE corpus pass per iteration; the collect is 5 longs
+      val r = f.agg(aggs.head, aggs.tail: _*).head()
+      w = w.indices.map(j =>
+        w(j) - eta * ((r.getLong(j).toDouble / 1e12) / n)).toArray
+      (it, w)
+    }
+  }
+
+  // train-once per (app, corpus): the score key reuses the trace
+  private val lrCache = graft.AppCache[Seq[(Int, Array[Double])]]()
+  private def lrTrace(s: SparkSession, d: String): Seq[(Int, Array[Double])] =
+    lrCache.get(s, d)(lrTrainTrace(Tables.documents(s, d)))
+
+  val qQualityLrTrain: (SparkSession, String) => DataFrame = (s, d) => {
+    import s.implicits._
+    lrTrace(s, d)
+      .map { case (it, w) => (it, w(0), w(1), w(2), w(3), w(4)) }
+      .toDF("iter", "w0", "w1", "w2", "w3", "w4")
+      .orderBy("iter")
+  }
+
+  val qQualityLrScore: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = lrTrace(s, d).last._2
+    val f = lrFeatures(Tables.documents(s, d))
+    val z = lrZ(w)
+    f.select(col("doc_id"),
+        round(lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))), 6)
+          .as("score"),
+        when(z >= 0.0, 1).otherwise(0).as("keep"),
+        col("y").cast("int").as("y"))
+      .orderBy("doc_id")
+  }
+
+  // The DuckDB twin of the full training recurrence: feature CTE +
+  // label, then per iteration z/p/gradient-sum/weight-update CTEs.
+  private val lrFeatureCtes =
+    "f AS MATERIALIZED (SELECT doc_id, least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)/100.0) AS x1, least(1.0, CAST(length(text) AS DOUBLE)/500.0) AS x2, CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END AS x3, CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)/CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x4 FROM documents), " +
+    "fy AS MATERIALIZED (SELECT f.*, CASE WHEN 0.4*x1 + 0.4*x2 + 0.2*x3 >= 0.7 THEN 1.0 ELSE 0.0 END AS y FROM f), " +
+    "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM fy), " +
+    "w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"
+
+  private def lrIterCtes(iters: Int): String = (1 to iters).map { i =>
+    val zi = s"z$i AS MATERIALIZED (SELECT x1, x2, x3, x4, y, " +
+      "(w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) AS z " +
+      s"FROM fy CROSS JOIN w${i - 1} w)"
+    val pi = s"p$i AS MATERIALIZED (SELECT x1, x2, x3, x4, y, " +
+      "0.5 + 0.5*(z/(1.0 + abs(z))) AS p, " +
+      s"(1.0 + abs(z))*(1.0 + abs(z)) AS den FROM z$i)"
+    val gi = s"g$i AS MATERIALIZED (SELECT " + (0 to 4).map { j =>
+      val c = if (j == 0) "(p - y)/den" else s"((p - y)*x$j)/den"
+      s"SUM(CAST(floor(($c)*1e12) AS BIGINT)) AS g$j"
+    }.mkString(", ") + s" FROM p$i)"
+    val wi = s"w$i AS MATERIALIZED (SELECT " + (0 to 4).map { j =>
+      s"w.w$j - ${LrEta}*((CAST(g.g$j AS DOUBLE)/1e12)/n.n) AS w$j"
+    }.mkString(", ") + s" FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN nn n)"
+    Seq(zi, pi, gi, wi).mkString(", ")
+  }.mkString(", ")
+
+  private[graft] val lrTrainOracle =
+    s"WITH $lrFeatureCtes, ${lrIterCtes(LrIters)} " +
+      (1 to LrIters).map(i =>
+        s"SELECT $i AS iter, w0, w1, w2, w3, w4 FROM w$i")
+        .mkString(" UNION ALL ") +
+      " ORDER BY iter"
+
+  private[graft] val lrScoreOracle =
+    s"WITH $lrFeatureCtes, ${lrIterCtes(LrIters)} " +
+      "SELECT doc_id, round(0.5 + 0.5*(z/(1.0 + abs(z))), 6) AS score, " +
+      "CASE WHEN z >= 0.0 THEN 1 ELSE 0 END AS keep, CAST(y AS INT) AS y " +
+      "FROM (SELECT doc_id, y, (w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + " +
+      s"w.w4*x4) AS z FROM fy CROSS JOIN w$LrIters w) ORDER BY doc_id"
+
   // --- count-min-sketch token heavy hitters (self-validating) ---
   // Completes the mergeable-sketch family (HLL distinct, MinHash
   // similarity, quantile sketch, Bloom membership): frequency estimation
@@ -741,6 +881,11 @@ object TextAnalysis {
     QueryDef("q_text_stats", qTextStats, Some(
       "SELECT doc_id, length(text) AS n_chars2, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct, CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len FROM documents ORDER BY doc_id")),
     QueryDef("q_lang_id", qLangId, Some(langIdOracle)),
+    // the full GD training run hash-verified against a DuckDB replay of
+    // all 24 iterations — bit-exact by construction (rational link,
+    // quantized integer gradient sums, pure-IEEE weight recurrence)
+    QueryDef("q_quality_lr_train", qQualityLrTrain, Some(lrTrainOracle)),
+    QueryDef("q_quality_lr_score", qQualityLrScore, Some(lrScoreOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(
       "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(
