@@ -133,6 +133,13 @@ object OrganicProbe {
     time("substring dedup BLOOM w=50 10x organic")(
       Dedup.substringDedupBloom(organic, 50).count())
 
+    // 1b. in-engine LR quality training: 24 GD iterations, each one
+    // corpus pass over the checkpointed 6-column feature frame — the
+    // wall should track corpus size with a large fixed floor (24 tiny
+    // jobs), i.e. strongly sublinear across the decade
+    time("quality LR train 24it 10x organic")(
+      graft.operators.TextAnalysis.lrTrainTrace(organic).last._1.toLong)
+
     // 2. MinHash/LSH clustering, with cap-engagement counts
     time("LSH pairs + clusters 1x organic-base") {
       val pt = Dedup.minhashPairsWithStats(base)
@@ -171,6 +178,8 @@ object OrganicProbe {
         organicCorpus(organic, 9, idOffsetUnit = 1_000_000_000L)
           .localCheckpoint()
       println(s"== x100 wave: ${organic100.count()} docs ==")
+      time("quality LR train 24it 100x organic")(
+        graft.operators.TextAnalysis.lrTrainTrace(organic100).last._1.toLong)
       time("substring dedup w=50 100x organic")(
         Dedup.substringDedup(organic100, 50).count())
       time("substring dedup BLOOM w=50 100x organic")(
