@@ -508,6 +508,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- q_quality_lr_pr: the evaluation table that PICKS the gate ---
+  // threshold sweep over the trained scores: tp/fp/fn and
+  // precision/recall at p >= t for t in 0.1..0.9 — how a deployment
+  // actually chooses its operating point. One corpus pass fanned out
+  // by a 9-row threshold array (map-side, no extra shuffle); the
+  // comparisons run on the bit-identical raw p, so the table is
+  // hash-verified against the same DuckDB CTE chain.
+  val qQualityLrPr: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = lrTrace(s, d).last._2
+    val f = lrFeatures(Tables.documents(s, d))
+    val z = lrZ(w)
+    val p = lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
+    f.select(p.as("p"), col("y"))
+      .select(col("p"), col("y"),
+        explode(array((1 to 9).map(i => lit(i / 10.0)): _*)).as("t"))
+      .groupBy("t")
+      .agg(
+        sum(when(col("p") >= col("t") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("p") >= col("t") && col("y") === 0.0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("p") < col("t") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("t"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)).as("prec"),
+        when(col("tp") + col("fn") === 0L, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6)).as("rec"))
+      .orderBy("t")
+  }
+
   // The DuckDB twin of the full training recurrence: feature CTE +
   // label, then per iteration z/p/gradient-sum/weight-update CTEs.
   private val lrFeatureCtes =
@@ -546,6 +579,24 @@ object TextAnalysis {
       "CASE WHEN z >= 0.0 THEN 1 ELSE 0 END AS keep, CAST(y AS INT) AS y " +
       "FROM (SELECT doc_id, y, (w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + " +
       s"w.w4*x4) AS z FROM fy CROSS JOIN w$LrIters w) ORDER BY doc_id"
+
+  private[graft] val lrPrOracle =
+    s"WITH $lrFeatureCtes, ${lrIterCtes(LrIters)}, " +
+      "sc AS MATERIALIZED (SELECT 0.5 + 0.5*(z/(1.0 + abs(z))) AS p, y " +
+      "FROM (SELECT y, (w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) " +
+      s"AS z FROM fy CROSS JOIN w$LrIters w)), " +
+      "th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, " +
+      "0.8, 0.9]) AS DOUBLE) AS t), " +
+      "cm AS (SELECT t, SUM(CASE WHEN p >= t AND y = 1.0 THEN 1 ELSE 0 " +
+      "END) AS tp, SUM(CASE WHEN p >= t AND y = 0.0 THEN 1 ELSE 0 END) " +
+      "AS fp, SUM(CASE WHEN p < t AND y = 1.0 THEN 1 ELSE 0 END) AS fn " +
+      "FROM sc CROSS JOIN th GROUP BY t) " +
+      "SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+      "CAST(fn AS BIGINT) AS fn, CASE WHEN tp + fp = 0 THEN NULL ELSE " +
+      "round(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE), 6) END AS " +
+      "prec, CASE WHEN tp + fn = 0 THEN NULL ELSE " +
+      "round(CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE), 6) END AS " +
+      "rec FROM cm ORDER BY t"
 
   // --- count-min-sketch token heavy hitters (self-validating) ---
   // Completes the mergeable-sketch family (HLL distinct, MinHash
@@ -886,6 +937,7 @@ object TextAnalysis {
     // quantized integer gradient sums, pure-IEEE weight recurrence)
     QueryDef("q_quality_lr_train", qQualityLrTrain, Some(lrTrainOracle)),
     QueryDef("q_quality_lr_score", qQualityLrScore, Some(lrScoreOracle)),
+    QueryDef("q_quality_lr_pr", qQualityLrPr, Some(lrPrOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(
       "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(
