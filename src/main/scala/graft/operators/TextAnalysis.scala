@@ -348,7 +348,11 @@ object TextAnalysis {
   // broadcast-hinted — see qTfidfTopTerms); only the two 1-row aggregates
   // (N, total token count) broadcast. Identical double arithmetic in the
   // oracle, rank on the rounded score.
-  val qBm25TopTerms: (SparkSession, String) => DataFrame = (s, d) => {
+  /** The BM25-scored (doc_id, tok, score) table both BM25 keys read:
+    * per-(doc, term) contributions rounded to 6 dp (the cross-engine
+    * ln() discipline — everything downstream ranks or exact-sums the
+    * ROUNDED value). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokens = docs.select(col("doc_id"),
@@ -365,18 +369,61 @@ object TextAnalysis {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
         col("avgdl")))
     val wdl = Window.partitionBy("doc_id")
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("tok").asc)
     tf.hint("shuffle_hash").join(dfreq, "tok")
       .withColumn("dl", sum(col("tf")).over(wdl))
       .crossJoin(broadcast(totTok))
       .crossJoin(broadcast(nDocs))
       .withColumn("avgdl", col("tot_tok") / col("n_docs"))
       .withColumn("score", round(idf * norm, 6))
+  }
+
+  val qBm25TopTerms: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    bm25Scored(s, d)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok"), col("score"))
       .orderBy("doc_id", "rk")
+  }
+
+  // --- q_bm25_search: retrieval SERVING over the scored postings ---
+  // A batch of 8 queries (each the top-3 BM25 terms of docs 1..8 — the
+  // classic more-like-this derivation, self-contained and
+  // oracle-replicable) searches the corpus in ONE pass: the 24-row
+  // query-term table broadcast-joins the term-keyed contribution table
+  // (at 100 TB: postings partitioned by term on disk, so the batch
+  // reads only matched terms' postings — the inverted-index pruning
+  // story, and per-(doc,term) contributions are PRE-aggregated so join
+  // fan-out is bounded by the matched terms' document frequencies, not
+  // raw token counts), per-(query,doc) scores exact-sum the rounded
+  // contributions as DECIMAL(24,6) (order-independent — the unigram-lp
+  // discipline), and top-10 per query is a WindowGroupLimit. Source
+  // docs are excluded from their own result (more-like-this semantics,
+  // same self-exclusion as the ANN batch).
+  val qBm25Search: (SparkSession, String) => DataFrame = (s, d) => {
+    val scored = bm25Scored(s, d)
+      .select(col("doc_id"), col("tok"), col("score"))
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    val qterms = bm25Scored(s, d)
+      .filter(col("doc_id").between(1, 8))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("score").cast("decimal(24,6)")).cast("double")
+          .as("score"),
+        count(lit(1)).as("n_hit"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("score"),
+        col("n_hit"))
+      .orderBy("q_id", "rk")
   }
 
   // --- unigram log-probability quality score (perplexity proxy) ---
@@ -927,6 +974,12 @@ object TextAnalysis {
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2), cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt) SELECT doc_id, round(CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(24,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_bm25_topterms", qBm25TopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
+    QueryDef("q_bm25_search", qBm25Search, Some(
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), " +
+        "scored AS MATERIALIZED (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), " +
+        "qterms AS (SELECT doc_id AS q_id, tok FROM (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored WHERE doc_id BETWEEN 1 AND 8) WHERE rk <= 3), " +
+        "hits AS (SELECT q.q_id, s.doc_id, CAST(SUM(CAST(s.score AS DECIMAL(24,6))) AS DOUBLE) AS score, COUNT(*) AS n_hit FROM scored s JOIN qterms q USING (tok) WHERE s.doc_id <> q.q_id GROUP BY 1, 2) " +
+        "SELECT q_id, rk, doc_id, score, n_hit FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rk FROM hits) WHERE rk <= 10 ORDER BY q_id, rk")),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(
