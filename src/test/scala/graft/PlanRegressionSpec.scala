@@ -274,6 +274,18 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("BM25 search broadcasts ONLY the query-term table") {
+    // The postings side is corpus-sized and must reach the query join
+    // shuffled/pre-aggregated; the only BroadcastHashJoin allowed is the
+    // 24-row query-term build side. The underlying tf ⋈ df joins keep
+    // the locked shuffled shape from the test above.
+    val p = plan("q_bm25_search")
+    assert(p.contains("ShuffledHashJoin"), p.take(900))
+    val bhj = p.linesIterator.count(l => l.contains("BroadcastHashJoin"))
+    assert(bhj === 1, s"expected exactly the qterms broadcast, got $bhj:\n" +
+      p.take(900))
+  }
+
   test("decontamination broadcasts only the benchmark gram set") {
     // The corpus side is unbounded; the eval set is small by definition.
     // Locked shape: a BroadcastHashJoin whose build side is the benchmark
