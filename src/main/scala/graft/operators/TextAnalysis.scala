@@ -352,8 +352,13 @@ object TextAnalysis {
     * per-(doc, term) contributions rounded to 6 dp (the cross-engine
     * ln() discipline — everything downstream ranks or exact-sums the
     * ROUNDED value). */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private def bm25Scored(s: SparkSession, d: String): DataFrame =
+    bm25ScoredOn(Tables.documents(s, d))
+
+  /** DataFrame-parametrized core of [[bm25Scored]] (the
+    * ivfPqSearchBatchOn discipline): scale probes score organic waves
+    * through the exact declared plan. */
+  private[graft] def bm25ScoredOn(docs: DataFrame): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokens = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -401,30 +406,106 @@ object TextAnalysis {
   // discipline), and top-10 per query is a WindowGroupLimit. Source
   // docs are excluded from their own result (more-like-this semantics,
   // same self-exclusion as the ANN batch).
-  val qBm25Search: (SparkSession, String) => DataFrame = (s, d) => {
-    val scored = bm25Scored(s, d)
-      .select(col("doc_id"), col("tok"), col("score"))
+  /** The 8-query more-like-this batch: (q_id, tok) — each query is its
+    * source doc's top-3 BM25 terms. Shared by the in-memory search and
+    * the persisted-index probe so both answer to the same oracle. */
+  private[graft] def bm25QueryTerms(s: SparkSession, d: String): DataFrame = {
     val wq = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
-    val qterms = bm25Scored(s, d)
+    bm25Scored(s, d)
       .filter(col("doc_id").between(1, 8))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3)
       .select(col("doc_id").as("q_id"), col("tok"))
+  }
+
+  /** Per-(query, doc) scoring tail shared by search and index probe:
+    * exact decimal sums of the rounded contributions, top-k per query. */
+  private[graft] def bm25Rank(hits: DataFrame, topK: Int): DataFrame = {
     val wr = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored.join(broadcast(qterms), "tok")
+    hits
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("score").cast("decimal(24,6)")).cast("double")
           .as("score"),
         count(lit(1)).as("n_hit"))
       .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= 10)
+      .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("doc_id"), col("score"),
         col("n_hit"))
       .orderBy("q_id", "rk")
   }
+
+  val qBm25Search: (SparkSession, String) => DataFrame = (s, d) => {
+    val scored = bm25Scored(s, d)
+      .select(col("doc_id"), col("tok"), col("score"))
+    bm25Rank(scored.join(broadcast(bm25QueryTerms(s, d)), "tok"), 10)
+  }
+
+  // --- persisted BM25 postings index: retrieval's at-rest form ---
+  // The text analog of Similarity.writeIvfIndex: the scored postings
+  // land hive-partitioned by a term-hash bucket, so a query batch's
+  // scan is PARTITION-PRUNED to its matched buckets (PartitionFilters
+  // on bkt, spec-locked). At 100 TB the index is the persisted
+  // artifact; a batch reads |matched buckets|/nBuckets of it and the
+  // layout cannot change results — the declared probe key SHARES
+  // q_bm25_search's oracle by reference (rounded scores roundtrip
+  // parquet exactly; the decimal sums are order-independent).
+
+  private def bm25Bkt(nBuckets: Int): Column =
+    pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int")
+
+  /** Build and persist the postings index (bkt=K directories). */
+  def writeBm25Index(s: SparkSession, d: String, path: String,
+      nBuckets: Int = 64): Unit =
+    writeBm25IndexOn(Tables.documents(s, d), path, nBuckets)
+
+  /** [[writeBm25Index]] over an explicit corpus frame. */
+  def writeBm25IndexOn(docs: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    bm25ScoredOn(docs).select(col("doc_id"), col("tok"), col("score"))
+      .withColumn("bkt", bm25Bkt(nBuckets))
+      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+
+  /** Probe the persisted index for a query-term batch: bucket selection
+    * is driver metadata (≤ |batch terms| ints — partition SELECTION,
+    * the probeIvfIndex discipline), the postings scan reads only the
+    * matched `bkt=` directories. */
+  def probeBm25Index(s: SparkSession, path: String, qterms: DataFrame,
+      nBuckets: Int = 64, topK: Int = 10): DataFrame = {
+    val terms = qterms.select(col("q_id"), col("tok"))
+      .withColumn("bkt", bm25Bkt(nBuckets))
+    val bkts = terms.select("bkt").distinct().collect().map(_.getInt(0))
+    val postings = s.read.parquet(path)
+      .filter(col("bkt").isin(bkts.toIndexedSeq: _*))
+    bm25Rank(postings.join(
+      broadcast(terms.select(col("q_id"), col("tok"))), "tok"), topK)
+  }
+
+  // Index written once per (session, corpus dir) — the declared key
+  // measures probing a PRECOMPUTED index (the ivfIndexPath rationale;
+  // path is a pure function of the key so racing first callers are
+  // idempotent, construction synchronized against duplicate builds).
+  private val bm25IndexCache = graft.AppCache[String]()
+
+  private def bm25IndexPath(s: SparkSession, d: String): String =
+    bm25IndexCache.synchronized {
+      bm25IndexCache.get(s, d)({
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + "|bm25|" + d).hashCode)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_index_$key"
+        writeBm25Index(s, d, path)
+        path
+      })
+    }
+
+  // --- q_bm25_index_probe: the batch search served from the persisted
+  // partition-pruned index — row-identical to q_bm25_search by
+  // construction, so it shares that oracle BY REFERENCE (the driver
+  // hash-match proves layout-independence).
+  val qBm25IndexProbe: (SparkSession, String) => DataFrame = (s, d) =>
+    probeBm25Index(s, bm25IndexPath(s, d), bm25QueryTerms(s, d))
 
   // --- unigram log-probability quality score (perplexity proxy) ---
   // avg_t ln p(t) under the corpus's own MLE unigram model — the cheap
@@ -959,6 +1040,13 @@ object TextAnalysis {
       "SELECT DISTINCT round AS merge_rank, pair, cnt AS weighted_cnt " +
       "FROM st WHERE round >= 1 ORDER BY merge_rank"
 
+  private val bm25SearchOracle =
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), " +
+        "scored AS MATERIALIZED (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), " +
+        "qterms AS (SELECT doc_id AS q_id, tok FROM (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored WHERE doc_id BETWEEN 1 AND 8) WHERE rk <= 3), " +
+        "hits AS (SELECT q.q_id, s.doc_id, CAST(SUM(CAST(s.score AS DECIMAL(24,6))) AS DOUBLE) AS score, COUNT(*) AS n_hit FROM scored s JOIN qterms q USING (tok) WHERE s.doc_id <> q.q_id GROUP BY 1, 2) " +
+        "SELECT q_id, rk, doc_id, score, n_hit FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rk FROM hits) WHERE rk <= 10 ORDER BY q_id, rk"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_topk", qApproxTopk, None),
     QueryDef("q_approx_topk_exact", qApproxTopkExact, Some(
@@ -974,12 +1062,11 @@ object TextAnalysis {
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2), cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt) SELECT doc_id, round(CAST(SUM(tf * CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(24,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("q_bm25_topterms", qBm25TopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
-    QueryDef("q_bm25_search", qBm25Search, Some(
-      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), " +
-        "scored AS MATERIALIZED (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), " +
-        "qterms AS (SELECT doc_id AS q_id, tok FROM (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored WHERE doc_id BETWEEN 1 AND 8) WHERE rk <= 3), " +
-        "hits AS (SELECT q.q_id, s.doc_id, CAST(SUM(CAST(s.score AS DECIMAL(24,6))) AS DOUBLE) AS score, COUNT(*) AS n_hit FROM scored s JOIN qterms q USING (tok) WHERE s.doc_id <> q.q_id GROUP BY 1, 2) " +
-        "SELECT q_id, rk, doc_id, score, n_hit FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rk FROM hits) WHERE rk <= 10 ORDER BY q_id, rk")),
+    QueryDef("q_bm25_search", qBm25Search, Some(bm25SearchOracle)),
+    // the persisted-index probe is row-identical by construction (the
+    // layout cannot change results) - shared oracle BY REFERENCE
+    QueryDef("q_bm25_index_probe", qBm25IndexProbe,
+      Some(bm25SearchOracle)),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(
