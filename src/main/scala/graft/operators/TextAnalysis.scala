@@ -355,31 +355,50 @@ object TextAnalysis {
   private def bm25Scored(s: SparkSession, d: String): DataFrame =
     bm25ScoredOn(Tables.documents(s, d))
 
-  /** DataFrame-parametrized core of [[bm25Scored]] (the
-    * ivfPqSearchBatchOn discipline): scale probes score organic waves
-    * through the exact declared plan. */
-  private[graft] def bm25ScoredOn(docs: DataFrame): DataFrame = {
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+  /** The corpus-INDEPENDENT half of BM25 — raw per-doc postings
+    * (doc_id, tok, tf, dl). Everything global (df, N, avgdl) is
+    * deliberately absent: it is recomputed where it is consumed, which
+    * is what makes the persisted index incrementally appendable
+    * (Lucene's segment discipline — tf postings at rest, idf at query
+    * time). */
+  private[graft] def bm25TfDl(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
-    // avgdl = total tokens / N, as two broadcast 1-row aggregates — the
-    // same double value as avg(per-doc length) without a docLen table.
-    val totTok = tokens.agg(count(lit(1)).cast("double").as("tot_tok"))
-    val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tokens.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val wdl = Window.partitionBy("doc_id")
+    tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(wdl))
+  }
+
+  /** The scoring expression over (tf, dl, df, n_docs, avgdl) — ONE
+    * definition so the in-flight search and the index probe produce
+    * bit-identical doubles from the same integer inputs (the
+    * cross-engine float discipline, applied within the engine). */
+  private def bm25ScoreExpr: Column = {
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
       + 1.0)
     val norm = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
         col("avgdl")))
-    val wdl = Window.partitionBy("doc_id")
-    tf.hint("shuffle_hash").join(dfreq, "tok")
-      .withColumn("dl", sum(col("tf")).over(wdl))
+    round(idf * norm, 6)
+  }
+
+  /** DataFrame-parametrized core of [[bm25Scored]] (the
+    * ivfPqSearchBatchOn discipline): scale probes score organic waves
+    * through the exact declared plan. df derives from the tf table
+    * (each (doc, tok) row appears once), not a second distinct pass
+    * over raw tokens — one corpus-wide token shuffle, not two. */
+  private[graft] def bm25ScoredOn(docs: DataFrame): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tfdl = bm25TfDl(docs)
+    val dfreq = tfdl.groupBy("tok").agg(count(lit(1)).as("df"))
+    // avgdl = total tokens / N, as two broadcast 1-row aggregates — the
+    // same double value as avg(per-doc length) without a docLen table.
+    val totTok = tfdl.agg(sum(col("tf")).cast("double").as("tot_tok"))
+    tfdl.hint("shuffle_hash").join(dfreq, "tok")
       .crossJoin(broadcast(totTok))
       .crossJoin(broadcast(nDocs))
       .withColumn("avgdl", col("tot_tok") / col("n_docs"))
-      .withColumn("score", round(idf * norm, 6))
+      .withColumn("score", bm25ScoreExpr)
   }
 
   val qBm25TopTerms: (SparkSession, String) => DataFrame = (s, d) => {
@@ -444,42 +463,85 @@ object TextAnalysis {
   }
 
   // --- persisted BM25 postings index: retrieval's at-rest form ---
-  // The text analog of Similarity.writeIvfIndex: the scored postings
-  // land hive-partitioned by a term-hash bucket, so a query batch's
+  // The text analog of Similarity.writeIvfIndex, with Lucene's segment
+  // discipline: what lands on disk is the RAW per-doc postings
+  // (doc_id, tok, tf, dl) hive-partitioned by a term-hash bucket, plus
+  // an additive stats table (n_docs, tot_tok deltas). Nothing global is
+  // baked into the postings — df is recomputed from the matched
+  // postings at probe time and N/avgdl from the summed stats — so an
+  // APPEND of new documents is exact: the appended index answers
+  // queries identically to a full rebuild (spec-locked, and the
+  // declared append key shares the full-corpus oracle). A query batch's
   // scan is PARTITION-PRUNED to its matched buckets (PartitionFilters
-  // on bkt, spec-locked). At 100 TB the index is the persisted
-  // artifact; a batch reads |matched buckets|/nBuckets of it and the
-  // layout cannot change results — the declared probe key SHARES
-  // q_bm25_search's oracle by reference (rounded scores roundtrip
-  // parquet exactly; the decimal sums are order-independent).
+  // on bkt) and data-filtered to its ≤ |batch| terms (parquet
+  // PushedFilters on tok). At 100 TB the index is the persisted
+  // artifact; a batch reads |matched buckets|/nBuckets of it.
 
   private def bm25Bkt(nBuckets: Int): Column =
     pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int")
 
-  /** Build and persist the postings index (bkt=K directories). */
+  /** One (n_docs, tot_tok) delta row for `docs` — longs, so stats
+    * compose additively across appends with no float drift. */
+  private def bm25StatsDelta(docs: DataFrame): DataFrame =
+    docs.select(size(split(trim(col("text")), "\\s+")).as("ntok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("tot_tok"))
+
+  /** Build and persist the postings index (postings/bkt=K directories
+    * + the stats table). */
   def writeBm25Index(s: SparkSession, d: String, path: String,
       nBuckets: Int = 64): Unit =
     writeBm25IndexOn(Tables.documents(s, d), path, nBuckets)
 
   /** [[writeBm25Index]] over an explicit corpus frame. */
   def writeBm25IndexOn(docs: DataFrame, path: String,
-      nBuckets: Int = 64): Unit =
-    bm25ScoredOn(docs).select(col("doc_id"), col("tok"), col("score"))
+      nBuckets: Int = 64): Unit = {
+    bm25TfDl(docs)
       .withColumn("bkt", bm25Bkt(nBuckets))
-      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$path/postings")
+    bm25StatsDelta(docs).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Append new documents to an existing index: their (tf, dl) postings
+    * are per-doc facts (computable from the new docs alone), landed
+    * into the same bucket layout; the stats table gains one delta row.
+    * df/idf/avgdl are probe-time, so append ≡ rebuild EXACTLY. */
+  def appendToBm25Index(s: SparkSession, path: String, newDocs: DataFrame,
+      nBuckets: Int = 64): Unit = {
+    bm25TfDl(newDocs)
+      .withColumn("bkt", bm25Bkt(nBuckets))
+      .write.mode("append").partitionBy("bkt")
+      .parquet(s"$path/postings")
+    bm25StatsDelta(newDocs).write.mode("append").parquet(s"$path/stats")
+  }
 
   /** Probe the persisted index for a query-term batch: bucket selection
-    * is driver metadata (≤ |batch terms| ints — partition SELECTION,
-    * the probeIvfIndex discipline), the postings scan reads only the
-    * matched `bkt=` directories. */
+    * and the term list are driver metadata (≤ |batch terms| values —
+    * partition SELECTION, the probeIvfIndex discipline); the postings
+    * scan reads only the matched `bkt=` directories and pushes the
+    * term filter into parquet. df per matched term is exact from the
+    * filtered postings (every (doc, tok) row for a term lives in its
+    * bucket); N/avgdl come from the summed stats deltas. */
   def probeBm25Index(s: SparkSession, path: String, qterms: DataFrame,
       nBuckets: Int = 64, topK: Int = 10): DataFrame = {
     val terms = qterms.select(col("q_id"), col("tok"))
-      .withColumn("bkt", bm25Bkt(nBuckets))
-    val bkts = terms.select("bkt").distinct().collect().map(_.getInt(0))
-    val postings = s.read.parquet(path)
-      .filter(col("bkt").isin(bkts.toIndexedSeq: _*))
-    bm25Rank(postings.join(
+      .withColumn("bkt", bm25Bkt(nBuckets)).localCheckpoint()
+    val sel = terms.select("bkt", "tok").distinct().collect()
+    val bkts = sel.map(_.getInt(0)).distinct.toIndexedSeq
+    val toks = sel.map(_.getString(1)).distinct.toIndexedSeq
+    val stats = s.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+        sum(col("tot_tok")).cast("double").as("tot_tok"))
+    val postings = s.read.parquet(s"$path/postings")
+      .filter(col("bkt").isin(bkts: _*) && col("tok").isin(toks: _*))
+    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = postings.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_tok") / col("n_docs"))
+      .withColumn("score", bm25ScoreExpr)
+      .select(col("doc_id"), col("tok"), col("score"))
+    bm25Rank(scored.join(
       broadcast(terms.select(col("q_id"), col("tok"))), "tok"), topK)
   }
 
@@ -506,6 +568,32 @@ object TextAnalysis {
   // hash-match proves layout-independence).
   val qBm25IndexProbe: (SparkSession, String) => DataFrame = (s, d) =>
     probeBm25Index(s, bm25IndexPath(s, d), bm25QueryTerms(s, d))
+
+  // --- q_bm25_index_append: the incremental-ingest lifecycle, gated by
+  // the FULL-corpus oracle — the index is built on the even doc_ids
+  // only, the odd half arrives by appendToBm25Index, and the probe of
+  // the appended index must hash-match the search over everything
+  // (df/N/avgdl are probe-time, postings are per-doc facts, so
+  // append ≡ rebuild is exact, not approximate).
+  private val bm25AppendCache = graft.AppCache[String]()
+
+  private def bm25AppendIndexPath(s: SparkSession, d: String): String =
+    bm25AppendCache.synchronized {
+      bm25AppendCache.get(s, d)({
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + "|bm25app|" + d).hashCode)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_app_$key"
+        val docs = Tables.documents(s, d)
+        writeBm25IndexOn(docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+          path)
+        appendToBm25Index(s, path,
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+        path
+      })
+    }
+
+  val qBm25IndexAppend: (SparkSession, String) => DataFrame = (s, d) =>
+    probeBm25Index(s, bm25AppendIndexPath(s, d), bm25QueryTerms(s, d))
 
   // --- unigram log-probability quality score (perplexity proxy) ---
   // avg_t ln p(t) under the corpus's own MLE unigram model — the cheap
@@ -1066,6 +1154,10 @@ object TextAnalysis {
     // the persisted-index probe is row-identical by construction (the
     // layout cannot change results) - shared oracle BY REFERENCE
     QueryDef("q_bm25_index_probe", qBm25IndexProbe,
+      Some(bm25SearchOracle)),
+    // probe of build(evens) + append(odds) ≡ the full-corpus search —
+    // the append lifecycle gated by the same oracle BY REFERENCE
+    QueryDef("q_bm25_index_append", qBm25IndexAppend,
       Some(bm25SearchOracle)),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
 
-/** The persisted BM25 postings index: hive layout by term-hash bucket,
-  * partition-pruned probes, and row-identity with the in-memory batch
-  * search. This is the text retrieval analog of IvfIndexSpec — the
-  * on-disk artifact backing the "a query batch reads its matched
-  * buckets, not the whole postings table" scale claim. */
+/** The persisted BM25 postings index: raw (tf, dl) postings in a hive
+  * layout by term-hash bucket plus an additive stats table, df/idf
+  * computed at probe time — Lucene's segment discipline. Locks the
+  * partition-pruned probe scan, row-identity with the in-memory batch
+  * search, and exactness of incremental append (this is the on-disk
+  * artifact backing the "a query batch reads its matched buckets, not
+  * the whole postings table; new docs append without a rebuild" scale
+  * claim — the text analog of IvfIndexSpec). */
 class Bm25IndexSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -18,7 +21,7 @@ class Bm25IndexSpec extends SparkSpec {
   test("index probe is partition-pruned to the batch's matched buckets") {
     val dir = Files.createTempDirectory("graft_bm25").toString
     TextAnalysis.writeBm25Index(spark, sf, dir, nBuckets = 64)
-    val dirs = new java.io.File(dir).listFiles()
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("bkt=")) > 1, dirs.mkString(","))
     // a deliberately tiny 2-term batch: pruning must be visible
@@ -30,18 +33,50 @@ class Bm25IndexSpec extends SparkSpec {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
       .getOrElse("")
     assert(pf.contains("bkt"), plan.take(900))
+    // the term filter reaches parquet as a data filter too
+    assert(plan.contains("PushedFilters") && plan.contains("tok"),
+      plan.take(900))
     assert(probe.select("q_id").distinct().count() <= 2)
   }
 
   test("probing the persisted index equals the in-memory batch search") {
-    // Same query batch, same scoring tail — the hive layout and the
-    // parquet roundtrip of the rounded per-(doc,tok) scores cannot
-    // change results. This row-identity is why q_bm25_index_probe
-    // shares q_bm25_search's oracle BY REFERENCE.
+    // Same query batch, same scoring expression over the same integer
+    // (tf, dl, df, N) inputs — the hive layout and the parquet
+    // roundtrip cannot change results. This row-identity is why
+    // q_bm25_index_probe shares q_bm25_search's oracle BY REFERENCE.
     val mem = TextAnalysis.qBm25Search(spark, sf)
       .collect().map(_.toSeq).toSeq
     val idx = TextAnalysis.qBm25IndexProbe(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(idx === mem)
+  }
+
+  test("append ≡ rebuild: an appended index answers like a full one") {
+    // Build on the even doc_ids, append the odds; probe must equal both
+    // the one-shot full rebuild AND the in-memory full-corpus search.
+    // Exactness comes from the layout: postings carry only per-doc
+    // facts (tf, dl), stats deltas are additive longs, df is
+    // recomputed from the matched postings at probe time.
+    val docs = Tables.documents(spark, sf)
+    val dirInc = Files.createTempDirectory("graft_bm25_inc").toString
+    val dirFull = Files.createTempDirectory("graft_bm25_full").toString
+    TextAnalysis.writeBm25IndexOn(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0), dirInc)
+    TextAnalysis.appendToBm25Index(spark, dirInc,
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    TextAnalysis.writeBm25IndexOn(docs, dirFull)
+    import spark.implicits._
+    val qterms = Seq((1L, "the"), (2L, "data"), (3L, "spark"))
+      .toDF("q_id", "tok")
+    def rows(dir: String): Seq[Seq[Any]] =
+      TextAnalysis.probeBm25Index(spark, dir, qterms)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(dirInc) === rows(dirFull))
+    // and the declared append key reproduces the declared search
+    val mem = TextAnalysis.qBm25Search(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val app = TextAnalysis.qBm25IndexAppend(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(app === mem)
   }
 }
