@@ -428,10 +428,17 @@ object TextAnalysis {
   /** The 8-query more-like-this batch: (q_id, tok) — each query is its
     * source doc's top-3 BM25 terms. Shared by the in-memory search and
     * the persisted-index probe so both answer to the same oracle. */
-  private[graft] def bm25QueryTerms(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25QueryTerms(s: SparkSession, d: String): DataFrame =
+    bm25QueryTermsOn(Tables.documents(s, d))
+
+  /** [[bm25QueryTerms]] over an explicit corpus frame — the
+    * delete/compact lifecycle keys derive the batch from the LIVE
+    * corpus so the oracle (which only ever sees live docs) replays the
+    * same derivation. */
+  private[graft] def bm25QueryTermsOn(docs: DataFrame): DataFrame = {
     val wq = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
-    bm25Scored(s, d)
+    bm25ScoredOn(docs)
       .filter(col("doc_id").between(1, 8))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3)
@@ -516,13 +523,46 @@ object TextAnalysis {
     bm25StatsDelta(newDocs).write.mode("append").parquet(s"$path/stats")
   }
 
+  private def hadoopExists(s: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** The LIVE view of a persisted index: (postings, 1-row stats).
+    * Without tombstones this is the raw artifact; with them, postings
+    * anti-join the tombstoned doc_ids and the stats subtract the
+    * tombstones' own (count, Σdl) — exact long arithmetic, so the
+    * deleted index answers bit-identically to a rebuild on the live
+    * docs. df is NOT stored anywhere, so it needs no correction. */
+  private def bm25Live(s: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val postings = s.read.parquet(s"$path/postings")
+    val deltas = s.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("nd"), sum(col("tot_tok")).as("tt"))
+    if (!hadoopExists(s, s"$path/tombstones"))
+      (postings, deltas.select(col("nd").cast("double").as("n_docs"),
+        col("tt").cast("double").as("tot_tok")))
+    else {
+      val tomb = s.read.parquet(s"$path/tombstones")
+      val live = postings
+        .join(tomb.select("doc_id"), Seq("doc_id"), "left_anti")
+      val stats = deltas.crossJoin(
+          tomb.agg(count(lit(1)).as("tn"), sum(col("dl")).as("tdl")))
+        .select((col("nd") - col("tn")).cast("double").as("n_docs"),
+          (col("tt") - coalesce(col("tdl"), lit(0L)))
+            .cast("double").as("tot_tok"))
+      (live, stats)
+    }
+  }
+
   /** Probe the persisted index for a query-term batch: bucket selection
     * and the term list are driver metadata (≤ |batch terms| values —
     * partition SELECTION, the probeIvfIndex discipline); the postings
     * scan reads only the matched `bkt=` directories and pushes the
-    * term filter into parquet. df per matched term is exact from the
-    * filtered postings (every (doc, tok) row for a term lives in its
-    * bucket); N/avgdl come from the summed stats deltas. */
+    * term filter into parquet (both filters push below the tombstone
+    * anti-join). df per matched term is exact from the filtered live
+    * postings (every (doc, tok) row for a term lives in its bucket);
+    * N/avgdl come from the summed stats deltas net of tombstones. */
   def probeBm25Index(s: SparkSession, path: String, qterms: DataFrame,
       nBuckets: Int = 64, topK: Int = 10): DataFrame = {
     val terms = qterms.select(col("q_id"), col("tok"))
@@ -530,10 +570,8 @@ object TextAnalysis {
     val sel = terms.select("bkt", "tok").distinct().collect()
     val bkts = sel.map(_.getInt(0)).distinct.toIndexedSeq
     val toks = sel.map(_.getString(1)).distinct.toIndexedSeq
-    val stats = s.read.parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
-        sum(col("tot_tok")).cast("double").as("tot_tok"))
-    val postings = s.read.parquet(s"$path/postings")
+    val (livePostings, stats) = bm25Live(s, path)
+    val postings = livePostings
       .filter(col("bkt").isin(bkts: _*) && col("tok").isin(toks: _*))
     val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = postings.join(broadcast(dfreq), "tok")
@@ -543,6 +581,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("score"))
     bm25Rank(scored.join(
       broadcast(terms.select(col("q_id"), col("tok"))), "tok"), topK)
+  }
+
+  /** Tombstone-delete documents from the index: deletion is a METADATA
+    * write — one (doc_id, dl) row per deleted doc appended to the
+    * tombstones table, postings untouched ([[compactBm25Index]]
+    * reclaims them). dl is recovered from the index itself (every
+    * posting row of a doc carries it), so callers pass only ids; ids
+    * already tombstoned are skipped, making re-delivery of a delete
+    * batch idempotent. Probe-time df/N/avgdl see the post-delete
+    * corpus exactly — no rescore, no rebuild. */
+  def deleteFromBm25Index(s: SparkSession, path: String,
+      docIds: DataFrame): Unit = {
+    val tombPath = s"$path/tombstones"
+    val fresh = s.read.parquet(s"$path/postings")
+      .join(docIds.select("doc_id"), Seq("doc_id"))
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val newTomb = if (!hadoopExists(s, tombPath)) fresh
+      else fresh.join(s.read.parquet(tombPath).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    newTomb.write.mode("append").parquet(tombPath)
+  }
+
+  /** Physically reclaim tombstoned postings: stage the live view
+    * (postings minus tombstones, stats squashed to one net row) as a
+    * sibling index root, audit the staged row count against an
+    * independent recount, then retire-then-swap the WHOLE root — the
+    * writeAuditPublish discipline (sources/Sources.scala) applied at
+    * index granularity, because postings, stats, and
+    * absence-of-tombstones must change together: a crash before the
+    * swap leaves the old root untouched (tombstoned probes stay
+    * correct), a crash between the renames leaves it recoverable at
+    * `.prev`. */
+  def compactBm25Index(s: SparkSession, path: String): Unit = {
+    val staging = path + ".staging"
+    val prevStr = path + ".prev"
+    val conf = s.sparkContext.hadoopConfiguration
+    val stg = new org.apache.hadoop.fs.Path(staging)
+    val fs = stg.getFileSystem(conf)
+    if (fs.exists(stg)) fs.delete(stg, true)
+    val (livePostings, stats) = bm25Live(s, path)
+    livePostings.write.partitionBy("bkt").parquet(s"$staging/postings")
+    stats.select(col("n_docs").cast("long").as("n_docs"),
+        col("tot_tok").cast("long").as("tot_tok"))
+      .write.parquet(s"$staging/stats")
+    val expected = livePostings.count()
+    val got = s.read.parquet(s"$staging/postings").count()
+    require(got == expected,
+      s"compactBm25Index: staged $got postings, expected $expected")
+    val pub = new org.apache.hadoop.fs.Path(path)
+    val prev = new org.apache.hadoop.fs.Path(prevStr)
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (!fs.rename(pub, prev))
+      throw new java.io.IOException(
+        s"compactBm25Index: failed to retire $pub to $prev")
+    if (!fs.rename(stg, pub)) {
+      if (!fs.rename(prev, pub))
+        throw new java.io.IOException(
+          s"compactBm25Index: swap AND rollback failed for $pub")
+      throw new java.io.IOException(
+        s"compactBm25Index: failed to publish $stg (rolled back)")
+    }
+    fs.delete(prev, true)
   }
 
   // Index written once per (session, corpus dir) — the declared key
@@ -594,6 +694,45 @@ object TextAnalysis {
 
   val qBm25IndexAppend: (SparkSession, String) => DataFrame = (s, d) =>
     probeBm25Index(s, bm25AppendIndexPath(s, d), bm25QueryTerms(s, d))
+
+  // --- q_bm25_index_delete / q_bm25_index_compact: the rest of the
+  // index lifecycle, gated by the LIVE-corpus oracle. Delete tombstones
+  // every doc_id ≡ 9 (mod 10) — doc ids 1..8 survive, so the query
+  // batch derivation is stable — and the probe must hash-match a BM25
+  // search over only the live docs (df/N/avgdl all shift when 10% of
+  // the corpus leaves; the oracle recomputes them from the live set).
+  // Compact then physically reclaims the tombstoned postings via the
+  // whole-root retire-then-swap and must not change a single row.
+  private def bm25LiveDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10L)) =!= 9)
+
+  private val bm25DeleteCache = graft.AppCache[String]()
+
+  private def bm25DeletedIndexPath(s: SparkSession, d: String,
+      compact: Boolean): String =
+    bm25DeleteCache.synchronized {
+      bm25DeleteCache.get(s, s"$d|compact=$compact")({
+        val tag = if (compact) "cmp" else "del"
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + s"|bm25$tag|" + d).hashCode)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_${tag}_$key"
+        val docs = Tables.documents(s, d)
+        writeBm25IndexOn(docs, path)
+        deleteFromBm25Index(s, path,
+          docs.filter(pmod(col("doc_id"), lit(10L)) === 9)
+            .select("doc_id"))
+        if (compact) compactBm25Index(s, path)
+        path
+      })
+    }
+
+  val qBm25IndexDelete: (SparkSession, String) => DataFrame = (s, d) =>
+    probeBm25Index(s, bm25DeletedIndexPath(s, d, compact = false),
+      bm25QueryTermsOn(bm25LiveDocs(s, d)))
+
+  val qBm25IndexCompact: (SparkSession, String) => DataFrame = (s, d) =>
+    probeBm25Index(s, bm25DeletedIndexPath(s, d, compact = true),
+      bm25QueryTermsOn(bm25LiveDocs(s, d)))
 
   // --- unigram log-probability quality score (perplexity proxy) ---
   // avg_t ln p(t) under the corpus's own MLE unigram model — the cheap
@@ -1128,12 +1267,18 @@ object TextAnalysis {
       "SELECT DISTINCT round AS merge_rank, pair, cnt AS weighted_cnt " +
       "FROM st WHERE round >= 1 ORDER BY merge_rank"
 
-  private val bm25SearchOracle =
-      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), " +
+  /** The BM25 batch-search oracle over an arbitrary docs source — the
+    * delete/compact keys replay it over only the LIVE documents. */
+  private def bm25SearchOracleFrom(src: String): String =
+      s"WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM $src), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM $src), " +
         "scored AS MATERIALIZED (SELECT doc_id, tok, round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl), " +
         "qterms AS (SELECT doc_id AS q_id, tok FROM (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored WHERE doc_id BETWEEN 1 AND 8) WHERE rk <= 3), " +
         "hits AS (SELECT q.q_id, s.doc_id, CAST(SUM(CAST(s.score AS DECIMAL(24,6))) AS DOUBLE) AS score, COUNT(*) AS n_hit FROM scored s JOIN qterms q USING (tok) WHERE s.doc_id <> q.q_id GROUP BY 1, 2) " +
         "SELECT q_id, rk, doc_id, score, n_hit FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rk FROM hits) WHERE rk <= 10 ORDER BY q_id, rk"
+
+  private val bm25SearchOracle = bm25SearchOracleFrom("documents")
+  private val bm25LiveOracle = bm25SearchOracleFrom(
+    "(SELECT * FROM documents WHERE doc_id % 10 <> 9)")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_topk", qApproxTopk, None),
@@ -1159,6 +1304,14 @@ object TextAnalysis {
     // the append lifecycle gated by the same oracle BY REFERENCE
     QueryDef("q_bm25_index_append", qBm25IndexAppend,
       Some(bm25SearchOracle)),
+    // tombstone-delete 10% of docs, probe ≡ a search over only the
+    // live corpus (df/N/avgdl all shift; the oracle recomputes them)
+    QueryDef("q_bm25_index_delete", qBm25IndexDelete,
+      Some(bm25LiveOracle)),
+    // compaction physically reclaims the tombstoned postings and must
+    // not change a row — same live-corpus oracle BY REFERENCE
+    QueryDef("q_bm25_index_compact", qBm25IndexCompact,
+      Some(bm25LiveOracle)),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(

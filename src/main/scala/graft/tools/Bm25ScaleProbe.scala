@@ -84,6 +84,23 @@ object Bm25ScaleProbe {
       time(s"index probe warm x$mult") {
         TextAnalysis.probeBm25Index(spark, dir, qterms).collect().length
       }
+      // lifecycle cost at this scale: tombstone 10% of docs (metadata
+      // write, O(deleted postings) scan), probe through tombstones,
+      // physically reclaim, probe the compacted root
+      time(s"delete 10pct (tombstone) x$mult") {
+        TextAnalysis.deleteFromBm25Index(spark, dir,
+          corpus.filter(pmod(col("doc_id"), lit(10L)) === 9)
+            .select("doc_id"))
+      }
+      time(s"probe through tombstones x$mult") {
+        TextAnalysis.probeBm25Index(spark, dir, qterms).collect().length
+      }
+      time(s"compact (root swap) x$mult") {
+        TextAnalysis.compactBm25Index(spark, dir)
+      }
+      time(s"probe post-compact x$mult") {
+        TextAnalysis.probeBm25Index(spark, dir, qterms).collect().length
+      }
     }
   }
 }

@@ -79,4 +79,44 @@ class Bm25IndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(app === mem)
   }
+
+  test("tombstone delete ≡ rebuild on the live docs; idempotent; " +
+      "compaction reclaims postings without changing a row") {
+    val docs = Tables.documents(spark, sf)
+    val deleted = pmod(col("doc_id"), lit(10L)) === 9
+    val dirDel = Files.createTempDirectory("graft_bm25_del").toString
+    val dirLive = Files.createTempDirectory("graft_bm25_live").toString
+    TextAnalysis.writeBm25IndexOn(docs, dirDel)
+    TextAnalysis.deleteFromBm25Index(spark, dirDel,
+      docs.filter(deleted).select("doc_id"))
+    TextAnalysis.writeBm25IndexOn(docs.filter(!deleted), dirLive)
+    import spark.implicits._
+    val qterms = Seq((1L, "the"), (2L, "data"), (3L, "spark"))
+      .toDF("q_id", "tok")
+    def rows(dir: String): Seq[Seq[Any]] =
+      TextAnalysis.probeBm25Index(spark, dir, qterms)
+        .collect().map(_.toSeq).toSeq
+    val afterDelete = rows(dirDel)
+    assert(afterDelete === rows(dirLive),
+      "deleted index must answer like a live-docs rebuild")
+    // deleted docs never surface
+    val delIds = docs.filter(deleted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterDelete.forall(r => !delIds.contains(
+      r(2).asInstanceOf[Long])))
+    // re-delivering the same delete batch is a no-op (dedup vs
+    // existing tombstones — stats would double-subtract otherwise)
+    TextAnalysis.deleteFromBm25Index(spark, dirDel,
+      docs.filter(deleted).select("doc_id"))
+    assert(rows(dirDel) === afterDelete)
+    // compaction: tombstoned postings physically gone, tombstones dir
+    // gone, one squashed stats row, answers unchanged
+    val before = spark.read.parquet(s"$dirDel/postings").count()
+    TextAnalysis.compactBm25Index(spark, dirDel)
+    val after = spark.read.parquet(s"$dirDel/postings").count()
+    assert(after < before, s"compaction must shrink postings: $after")
+    assert(!new java.io.File(s"$dirDel/tombstones").exists())
+    assert(spark.read.parquet(s"$dirDel/stats").count() === 1)
+    assert(rows(dirDel) === afterDelete)
+  }
 }
