@@ -1665,6 +1665,73 @@ object Similarity {
       .parquet(s"$path/corpus")
   }
 
+  private def hadoopExists(s: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** The LIVE view of a persisted index's corpus: without tombstones
+    * the raw partitioned layout; with them, an anti-join on vec_id.
+    * Cosine scores are per-vector — nothing global to correct (simpler
+    * than the BM25 analog, which must re-derive df/N/avgdl), so a
+    * deleted index probes bit-identically to a rebuild on the live
+    * vectors with frozen centroids. */
+  private def ivfLiveCorpus(s: SparkSession, path: String): DataFrame = {
+    val corpus = s.read.parquet(s"$path/corpus")
+    if (!hadoopExists(s, s"$path/tombstones")) corpus
+    else corpus.join(s.read.parquet(s"$path/tombstones")
+      .select("vec_id"), Seq("vec_id"), "left_anti")
+  }
+
+  /** Tombstone-delete vectors from the index: a metadata write of the
+    * ids only (already-tombstoned ids are skipped — idempotent on
+    * re-delivery). Postings stay on disk until [[compactIvfIndex]]. */
+  def deleteFromIvfIndex(s: SparkSession, path: String,
+      vecIds: DataFrame): Unit = {
+    val tombPath = s"$path/tombstones"
+    val fresh = vecIds.select("vec_id").distinct()
+    val newTomb = if (!hadoopExists(s, tombPath)) fresh
+      else fresh.join(s.read.parquet(tombPath).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    newTomb.write.mode("append").parquet(tombPath)
+  }
+
+  /** Physically reclaim tombstoned vectors: stage the live corpus (and
+    * the frozen centroids unchanged) as a sibling index root, audit the
+    * staged count, retire-then-swap the WHOLE root — same discipline as
+    * TextAnalysis.compactBm25Index: corpus and absence-of-tombstones
+    * must change together; crashes leave the old root intact or
+    * recoverable at `.prev`. */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    val staging = path + ".staging"
+    val conf = s.sparkContext.hadoopConfiguration
+    val stg = new org.apache.hadoop.fs.Path(staging)
+    val fs = stg.getFileSystem(conf)
+    if (fs.exists(stg)) fs.delete(stg, true)
+    val live = ivfLiveCorpus(s, path)
+    live.write.partitionBy("c_id").parquet(s"$staging/corpus")
+    s.read.parquet(s"$path/centroids").write
+      .parquet(s"$staging/centroids")
+    val expected = live.count()
+    val got = s.read.parquet(s"$staging/corpus").count()
+    require(got == expected,
+      s"compactIvfIndex: staged $got vectors, expected $expected")
+    val pub = new org.apache.hadoop.fs.Path(path)
+    val prev = new org.apache.hadoop.fs.Path(path + ".prev")
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (!fs.rename(pub, prev))
+      throw new java.io.IOException(
+        s"compactIvfIndex: failed to retire $pub to $prev")
+    if (!fs.rename(stg, pub)) {
+      if (!fs.rename(prev, pub))
+        throw new java.io.IOException(
+          s"compactIvfIndex: swap AND rollback failed for $pub")
+      throw new java.io.IOException(
+        s"compactIvfIndex: failed to publish $stg (rolled back)")
+    }
+    fs.delete(prev, true)
+  }
+
   /** Probe a persisted IVF index: pick the nprobe nearest centroids (a
     * k-row metadata decision — collecting k ids to the driver is partition
     * SELECTION, the same class of driver work as listing partitions), then
@@ -1679,7 +1746,7 @@ object Similarity {
       .orderBy(col("csim").desc, col("c_id").asc)
       .limit(nprobe)
       .select("c_id").collect().map(_.getInt(0))
-    s.read.parquet(s"$path/corpus")
+    ivfLiveCorpus(s, path)
       .filter(col("c_id").isin(probeIds.toIndexedSeq: _*))
       .select(col("vec_id"), col("c_id").as("cluster"),
         round(dotd(col("ce"), qCol) / (sqrt(col("n2")) * lit(qn)), 6)
@@ -1719,6 +1786,47 @@ object Similarity {
       .select("ce").head().getSeq[Double](0).toArray
     probeIvfIndex(s, ivfIndexPath(s, d), q, nprobe = 1, topK = 10)
   }
+
+  // --- q_ann_index_delete/compact_exhaustive: the index lifecycle
+  // under the HARD oracle — tombstone vec_id ≡ 9 (mod 10), probe ALL
+  // partitions, and the result must equal brute-force cosine top-10
+  // over only the live vectors (centroids frozen; cosine is
+  // per-vector, so deletion needs no score correction). Compact then
+  // physically reclaims and must not change a row.
+  private val ivfDeleteCache = graft.AppCache[String]()
+
+  private def ivfDeletedIndexPath(s: SparkSession, d: String,
+      compact: Boolean): String =
+    ivfDeleteCache.synchronized {
+      ivfDeleteCache.get(s, s"$d|compact=$compact")({
+        val tag = if (compact) "cmp" else "del"
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + s"|ivf$tag|" + d).hashCode)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_${tag}_$key"
+        val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
+        writeIvfIndex(embs, path, k = 10, iters = 3)
+        deleteFromIvfIndex(s, path,
+          embs.filter(pmod(col("vec_id"), lit(10L)) === 9)
+            .select("vec_id"))
+        if (compact) compactIvfIndex(s, path)
+        path
+      })
+    }
+
+  private def ivfLifecycleProbe(s: SparkSession, d: String,
+      compact: Boolean): DataFrame = {
+    val q = prepared(s, d).filter(col("vec_id") === 0L)
+      .select("ce").head().getSeq[Double](0).toArray
+    probeIvfIndex(s, ivfDeletedIndexPath(s, d, compact), q,
+      nprobe = Int.MaxValue, topK = 10)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  val qAnnIndexDeleteExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => ivfLifecycleProbe(s, d, compact = false)
+
+  val qAnnIndexCompactExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => ivfLifecycleProbe(s, d, compact = true)
 
   // --- q_embed_clusters: near-dup collapse over EMBEDDING pairs ---
   // Cross-module composition: the bucketed exact ε-join feeds the same
@@ -1801,6 +1909,15 @@ object Similarity {
       // exhaustive probe ≡ brute force: the SAME oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_index_probe", qAnnIndexProbe, None),
+    // index lifecycle under the hard oracle: probe-all of the
+    // tombstoned index ≡ brute force over only the LIVE vectors
+    QueryDef("q_ann_index_delete_exhaustive", qAnnIndexDeleteExhaustive,
+      Some(
+        s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id <> 0 AND vec_id % 10 <> 9) CROSS JOIN q ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    // compaction must not change a row — same live oracle BY REFERENCE
+    QueryDef("q_ann_index_compact_exhaustive", qAnnIndexCompactExhaustive,
+      Some(
+        s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id <> 0 AND vec_id % 10 <> 9) CROSS JOIN q ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_batch", qAnnBatch, Some(
       s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id < 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, sim DESC, vec_id")),
     QueryDef("q_ann_batch_exhaustive", qAnnBatchExhaustive, Some(

@@ -489,7 +489,7 @@ object TextAnalysis {
 
   /** One (n_docs, tot_tok) delta row for `docs` — longs, so stats
     * compose additively across appends with no float drift. */
-  private def bm25StatsDelta(docs: DataFrame): DataFrame =
+  private[graft] def bm25StatsDelta(docs: DataFrame): DataFrame =
     docs.select(size(split(trim(col("text")), "\\s+")).as("ntok"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok").cast("long")).as("tot_tok"))
@@ -1276,7 +1276,7 @@ object TextAnalysis {
         "hits AS (SELECT q.q_id, s.doc_id, CAST(SUM(CAST(s.score AS DECIMAL(24,6))) AS DOUBLE) AS score, COUNT(*) AS n_hit FROM scored s JOIN qterms q USING (tok) WHERE s.doc_id <> q.q_id GROUP BY 1, 2) " +
         "SELECT q_id, rk, doc_id, score, n_hit FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rk FROM hits) WHERE rk <= 10 ORDER BY q_id, rk"
 
-  private val bm25SearchOracle = bm25SearchOracleFrom("documents")
+  private[graft] val bm25SearchOracle = bm25SearchOracleFrom("documents")
   private val bm25LiveOracle = bm25SearchOracleFrom(
     "(SELECT * FROM documents WHERE doc_id % 10 <> 9)")
 

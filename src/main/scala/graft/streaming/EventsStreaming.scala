@@ -1445,6 +1445,72 @@ object EventsStreaming {
     sinkDf.filter(col("user_id") =!= -1L).orderBy("user_id")
   }
 
+  private val bm25IngestInvocation =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** Streaming ingest into the persisted BM25 index: the corpus replays
+    * as micro-batches (the staged 3-file docs replay), and each batch
+    * lands its own SEGMENT — a mini postings tree
+    * `postings/epoch=N/bkt=K` plus a stats delta `stats/epoch=N` —
+    * via epoch-overwrite, the idempotentEpochWrite discipline, so a
+    * re-delivered batch replaces rather than duplicates its segment
+    * (exactly-once without sink transactions). The segment layout is
+    * probe-compatible BY CONSTRUCTION: postings carry only per-doc
+    * facts (tf, dl), partition discovery exposes (epoch, bkt) and the
+    * probe's bkt filter prunes across every segment, df recomputes from
+    * the matched live postings (each doc lives in exactly one epoch),
+    * and the stats read sums the additive deltas across epochs. The
+    * declared result probes the fully-ingested index with the standard
+    * batch and must hash-match `q_bm25_search` over the whole corpus —
+    * the oracle is shared BY REFERENCE. At 100 TB this is the ingest
+    * path: segments accumulate per trigger, `compactBm25Index` merges
+    * them when segment-count rent exceeds one reclaim pass. */
+  /** One micro-batch's index segment, epoch-overwritten — re-delivery
+    * REPLACES the segment instead of duplicating it (the
+    * idempotentEpochWrite discipline, applied to a two-table write:
+    * both live under epoch=N, so the overwrite granularity is the whole
+    * segment). */
+  private[graft] def bm25IngestSegment(batch: DataFrame, base: String,
+      id: Long): Unit = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.bm25TfDl(batch)
+      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(64L)).cast("int"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$base/postings/epoch=$id")
+    TextAnalysis.bm25StatsDelta(batch)
+      .write.mode("overwrite").parquet(s"$base/stats/epoch=$id")
+  }
+
+  val qStreamBm25Ingest: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.TextAnalysis
+    val inv = bm25IngestInvocation.incrementAndGet()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_bm25_" +
+      s.sparkContext.applicationId + s"_$inv"
+    val ckpt = s"$base/ckpt"
+    val staged = stageDsirDocsDir(s, d)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    try {
+      val q = s.readStream.schema(dsirDocsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          bm25IngestSegment(batch.toDF(), base, id)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q_stream_bm25_ingest timed out after 300s")
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    TextAnalysis.probeBm25Index(s, base,
+      TextAnalysis.bm25QueryTerms(s, d))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_join", qStreamJoin, Some(
       // stream-stream interval join over a time-ordered replay == the
@@ -1467,6 +1533,10 @@ object EventsStreaming {
       "SELECT p.event_id AS p_id, c.event_id AS c_id, COALESCE(p.user_id, c.user_id) AS user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us FROM (SELECT * FROM events WHERE event_type = 'purchase') p FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts ORDER BY p_id, c_id")),
     QueryDef("q_stream_dsir_gate", qStreamDsirGate,
       Some(graft.operators.Curation.dsirOracle)),
+    // per-batch segments ingested exactly-once, probed as ONE index ≡
+    // the batch search over the whole corpus (oracle BY REFERENCE)
+    QueryDef("q_stream_bm25_ingest", qStreamBm25Ingest,
+      Some(graft.operators.TextAnalysis.bm25SearchOracle)),
     QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
       // every event lands in the file sink exactly once across batches
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),

@@ -119,4 +119,32 @@ class Bm25IndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dirDel/stats").count() === 1)
     assert(rows(dirDel) === afterDelete)
   }
+
+  test("streaming segments: probe across epochs ≡ one-shot index; " +
+      "re-delivered segment replaces, not duplicates") {
+    // Split the corpus in two "micro-batches", land each as an
+    // epoch segment (the q_stream_bm25_ingest sink), probe across
+    // both — must equal the one-shot index. Then re-deliver epoch 0
+    // (the at-least-once retry) and require an unchanged answer.
+    val docs = Tables.documents(spark, sf)
+    val odd = pmod(col("doc_id"), lit(2L)) === 1
+    val base = Files.createTempDirectory("graft_bm25_seg").toString
+    val dirOne = Files.createTempDirectory("graft_bm25_one").toString
+    graft.streaming.EventsStreaming
+      .bm25IngestSegment(docs.filter(!odd), base, 0L)
+    graft.streaming.EventsStreaming
+      .bm25IngestSegment(docs.filter(odd), base, 1L)
+    TextAnalysis.writeBm25IndexOn(docs, dirOne)
+    import spark.implicits._
+    val qterms = Seq((1L, "the"), (2L, "data")).toDF("q_id", "tok")
+    def rows(dir: String): Seq[Seq[Any]] =
+      TextAnalysis.probeBm25Index(spark, dir, qterms)
+        .collect().map(_.toSeq).toSeq
+    val segmented = rows(base)
+    assert(segmented === rows(dirOne))
+    graft.streaming.EventsStreaming
+      .bm25IngestSegment(docs.filter(!odd), base, 0L)
+    assert(rows(base) === segmented,
+      "epoch re-delivery must replace the segment, not duplicate it")
+  }
 }

@@ -83,4 +83,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(inc.toSet === Similarity.qCosineTopk(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("tombstone delete ≡ rebuild on live vectors; compaction " +
+      "reclaims without changing a row") {
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
+    val deleted = pmod(col("vec_id"), lit(10L)) === 9
+    val dirDel = Files.createTempDirectory("graft_ivf_del").toString
+    val dirLive = Files.createTempDirectory("graft_ivf_lv").toString
+    Similarity.writeIvfIndex(embs, dirDel, k = 5, iters = 2)
+    Similarity.deleteFromIvfIndex(spark, dirDel,
+      embs.filter(deleted).select("vec_id"))
+    // a second index on the same input trains identical (deterministic)
+    // centroids; delete + compact it to compare the full lifecycle
+    Similarity.writeIvfIndex(embs, dirLive, k = 5, iters = 2)
+    Similarity.deleteFromIvfIndex(spark, dirLive,
+      embs.filter(deleted).select("vec_id"))
+    Similarity.compactIvfIndex(spark, dirLive)
+    def top(dir: String): Seq[(Long, Double)] =
+      Similarity.probeIvfIndex(spark, dir, queryVec,
+        nprobe = 5, topK = 10)
+        .select("vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val afterDelete = top(dirDel)
+    // no deleted id surfaces, and re-delivery is a no-op
+    val delIds = embs.filter(deleted)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(afterDelete.forall(p => !delIds.contains(p._1)))
+    Similarity.deleteFromIvfIndex(spark, dirDel,
+      embs.filter(deleted).select("vec_id"))
+    assert(top(dirDel) === afterDelete)
+    // compaction: physically smaller corpus, tombstones gone, same rows
+    val before = spark.read.parquet(s"$dirDel/corpus").count()
+    Similarity.compactIvfIndex(spark, dirDel)
+    assert(spark.read.parquet(s"$dirDel/corpus").count() < before)
+    assert(!new java.io.File(s"$dirDel/tombstones").exists())
+    assert(top(dirDel) === afterDelete)
+    // and both equal the compacted live index (same frozen centroids)
+    assert(top(dirLive) === afterDelete)
+  }
 }
