@@ -1858,7 +1858,7 @@ object Similarity {
       .orderBy("label")
   }
 
-  private val cosineSql =
+  private[graft] val cosineSql =
     "list_dot_product(ce, qe) / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))"
 
   /** Int8 symmetric quantization of the embedding column — the storage /

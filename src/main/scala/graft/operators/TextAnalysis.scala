@@ -734,6 +734,42 @@ object TextAnalysis {
     probeBm25Index(s, bm25DeletedIndexPath(s, d, compact = true),
       bm25QueryTermsOn(bm25LiveDocs(s, d)))
 
+  // --- q_hybrid_search: BM25 ⊕ vector retrieval fused by RRF ---
+  // The standard two-tower serving pattern (hybrid search): for each
+  // query 1..8, the lexical top-10 (the BM25 more-like-this batch) and
+  // the dense top-10 (brute cosine over the embeddings — vec_id is the
+  // doc key) FULL-outer-join on (q_id, doc_id) and fuse by reciprocal
+  // rank: rrf = Σ 1/(60 + rank) over the lists the doc appears in
+  // (Cormack et al.'s k=60). Rank arithmetic is integer → the 1/(60+r)
+  // doubles are bit-identical cross-engine; the fused score is rounded
+  // and ties break on doc_id (the cross-engine float discipline). Each
+  // leg is itself independently oracled (q_bm25_search, q_ann_batch),
+  // so this key gates only the fusion. At 100 TB each leg serves from
+  // its own persisted index (the bkt-pruned postings probe, the IVF
+  // probe) and the fusion joins two k·|batch|-row frames — metadata
+  // scale, whatever the corpus size.
+  val qHybridSearch: (SparkSession, String) => DataFrame = (s, d) => {
+    val text = qBm25Search(s, d)
+      .select(col("q_id"), col("doc_id"), col("rk").as("t_rk"))
+    val wv = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val vec = Similarity
+      .cosineTopKBatch(Tables.embeddings(s, d), (1L to 8L), 10)
+      .withColumn("v_rk", row_number().over(wv))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("v_rk"))
+    val fused = text.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("t_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("v_rk")), lit(0.0)), 6))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("rrf"),
+        col("t_rk"), col("v_rk"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- unigram log-probability quality score (perplexity proxy) ---
   // avg_t ln p(t) under the corpus's own MLE unigram model — the cheap
   // cousin of LM-perplexity filtering: gibberish and boilerplate-free
@@ -1280,6 +1316,20 @@ object TextAnalysis {
   private val bm25LiveOracle = bm25SearchOracleFrom(
     "(SELECT * FROM documents WHERE doc_id % 10 <> 9)")
 
+  // RRF fusion of the two independently-oracled legs: the text leg IS
+  // bm25SearchOracle verbatim, the vector leg is the q_ann_batch shape
+  // over query ids 1..8 at k=10.
+  private val hybridOracle =
+    s"WITH t0 AS (SELECT * FROM ($bm25SearchOracle)), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+      "qv AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id BETWEEN 1 AND 8), " +
+      s"vs AS (SELECT qv.q_id, e.vec_id, round(${Similarity.cosineSql}, 6) AS sim FROM e CROSS JOIN qv WHERE e.vec_id <> qv.q_id), " +
+      "v AS (SELECT q_id, vec_id AS doc_id, v_rk FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS v_rk FROM vs) WHERE v_rk <= 10), " +
+      "t AS (SELECT q_id, doc_id, rk AS t_rk FROM t0), " +
+      "f AS (SELECT COALESCE(t.q_id, v.q_id) AS q_id, COALESCE(t.doc_id, v.doc_id) AS doc_id, t.t_rk, v.v_rk FROM t FULL JOIN v ON t.q_id = v.q_id AND t.doc_id = v.doc_id), " +
+      "r AS (SELECT q_id, doc_id, t_rk, v_rk, round(COALESCE(1.0/(60+t_rk), 0.0) + COALESCE(1.0/(60+v_rk), 0.0), 6) AS rrf FROM f) " +
+      "SELECT q_id, rk, doc_id, rrf, t_rk, v_rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rk FROM r) WHERE rk <= 10 ORDER BY q_id, rk"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_approx_topk", qApproxTopk, None),
     QueryDef("q_approx_topk_exact", qApproxTopkExact, Some(
@@ -1312,6 +1362,7 @@ object TextAnalysis {
     // not change a row — same live-corpus oracle BY REFERENCE
     QueryDef("q_bm25_index_compact", qBm25IndexCompact,
       Some(bm25LiveOracle)),
+    QueryDef("q_hybrid_search", qHybridSearch, Some(hybridOracle)),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(
