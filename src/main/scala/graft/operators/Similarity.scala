@@ -1732,6 +1732,48 @@ object Similarity {
     fs.delete(prev, true)
   }
 
+  /** BATCH probe of a persisted IVF index in ONE corpus pass: each
+    * query's nprobe nearest lists come from the broadcast centroid
+    * table (|batch|·k rows of metadata), the corpus scan
+    * partition-prunes to the UNION of probed lists, and candidates key
+    * on the list id — the ivfSearchBatch shape served from disk.
+    * nprobe ≥ nlists probes everything, which is EXACT (≡ brute force
+    * over the index corpus) — the configuration the oracle-gated
+    * composition keys use. */
+  def probeIvfIndexBatch(s: SparkSession, path: String,
+      queryIds: Seq[Long], nprobe: Int, topK: Int): DataFrame = {
+    val corpus = ivfLiveCorpus(s, path)
+    val q = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"),
+        col("n2").as("qn2"))
+      .localCheckpoint()
+    val cents = s.read.parquet(s"$path/centroids")
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("csim").desc, col("c_id").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("csim", dotd(col("centroid"), col("qe"))
+        / (sqrt(col("cn2")) * sqrt(col("qn2"))))
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("c_id"))
+      .localCheckpoint()
+    val lists = probed.select("c_id").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    corpus.filter(col("c_id").isin(lists: _*))
+      .join(broadcast(probed), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(sim(col("ce"), col("n2"), col("qe"), col("qn2")), 6)
+          .as("sim"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= topK)
+      .select("q_id", "vec_id", "sim")
+      .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+  }
+
   /** Probe a persisted IVF index: pick the nprobe nearest centroids (a
     * k-row metadata decision — collecting k ids to the driver is partition
     * SELECTION, the same class of driver work as listing partitions), then

@@ -748,13 +748,14 @@ object TextAnalysis {
   // its own persisted index (the bkt-pruned postings probe, the IVF
   // probe) and the fusion joins two k·|batch|-row frames — metadata
   // scale, whatever the corpus size.
-  val qHybridSearch: (SparkSession, String) => DataFrame = (s, d) => {
-    val text = qBm25Search(s, d)
-      .select(col("q_id"), col("doc_id"), col("rk").as("t_rk"))
+  /** The fusion core, shared by the in-flight and the served-from-index
+    * hybrid keys so the two cannot drift: `text` is (q_id, doc_id,
+    * t_rk), `vecTopK` is a (q_id, vec_id, sim) top-k frame whose rank
+    * is recovered by the same (sim desc, id asc) order both legs use. */
+  private def rrfFuse(text: DataFrame, vecTopK: DataFrame): DataFrame = {
     val wv = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    val vec = Similarity
-      .cosineTopKBatch(Tables.embeddings(s, d), (1L to 8L), 10)
+    val vec = vecTopK
       .withColumn("v_rk", row_number().over(wv))
       .select(col("q_id"), col("vec_id").as("doc_id"), col("v_rk"))
     val fused = text.join(vec, Seq("q_id", "doc_id"), "full_outer")
@@ -769,6 +770,39 @@ object TextAnalysis {
         col("t_rk"), col("v_rk"))
       .orderBy("q_id", "rk")
   }
+
+  val qHybridSearch: (SparkSession, String) => DataFrame = (s, d) =>
+    rrfFuse(
+      qBm25Search(s, d)
+        .select(col("q_id"), col("doc_id"), col("rk").as("t_rk")),
+      Similarity.cosineTopKBatch(Tables.embeddings(s, d), (1L to 8L), 10))
+
+  // --- q_hybrid_search_indexed: the SAME fusion, both legs served from
+  // their persisted at-rest indexes — the bkt-pruned postings probe and
+  // a one-pass batch probe of a full-embeddings IVF index (probe-all,
+  // so the leg stays exact and the key shares the hybrid oracle BY
+  // REFERENCE). This makes the 100 TB claim literal: the driver
+  // hash-match proves index-served hybrid ≡ in-flight hybrid.
+  private val hybridIvfCache = graft.AppCache[String]()
+
+  private def hybridIvfIndexPath(s: SparkSession, d: String): String =
+    hybridIvfCache.synchronized {
+      hybridIvfCache.get(s, d)({
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + "|hybivf|" + d).hashCode)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_hyb_ivf_$key"
+        Similarity.writeIvfIndex(Tables.embeddings(s, d), path,
+          k = 10, iters = 3)
+        path
+      })
+    }
+
+  val qHybridSearchIndexed: (SparkSession, String) => DataFrame =
+    (s, d) => rrfFuse(
+      probeBm25Index(s, bm25IndexPath(s, d), bm25QueryTerms(s, d))
+        .select(col("q_id"), col("doc_id"), col("rk").as("t_rk")),
+      Similarity.probeIvfIndexBatch(s, hybridIvfIndexPath(s, d),
+        (1L to 8L), nprobe = Int.MaxValue, topK = 10))
 
   // --- unigram log-probability quality score (perplexity proxy) ---
   // avg_t ln p(t) under the corpus's own MLE unigram model — the cheap
@@ -1363,6 +1397,10 @@ object TextAnalysis {
     QueryDef("q_bm25_index_compact", qBm25IndexCompact,
       Some(bm25LiveOracle)),
     QueryDef("q_hybrid_search", qHybridSearch, Some(hybridOracle)),
+    // both legs served from their persisted indexes — row-identical to
+    // the in-flight fusion by construction, oracle BY REFERENCE
+    QueryDef("q_hybrid_search_indexed", qHybridSearchIndexed,
+      Some(hybridOracle)),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(

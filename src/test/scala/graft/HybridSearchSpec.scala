@@ -53,4 +53,14 @@ class HybridSearchSpec extends SparkSpec {
           s"query $q: both-leg docs must lead the fused ranking")
     }
   }
+
+  test("index-served hybrid ≡ in-flight hybrid, row for row") {
+    // Both legs swap to their persisted artifacts (bkt-pruned postings
+    // probe; one-pass batch IVF probe-all) — the fusion must not see
+    // the difference. This row-identity is why q_hybrid_search_indexed
+    // shares q_hybrid_search's oracle BY REFERENCE.
+    val indexed = TextAnalysis.qHybridSearchIndexed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed === rows.map(_.toSeq).toSeq)
+  }
 }

@@ -84,6 +84,29 @@ class IvfIndexSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("batch probe: prunes to the union of probed lists; probe-all " +
+      "equals the in-memory batch brute force") {
+    val embs = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft_ivf_batch").toString
+    Similarity.writeIvfIndex(embs, dir, k = 5, iters = 2)
+    val qids = (1L to 4L)
+    // nprobe=1: ≤4 probed lists of 5 — the scan must partition-prune
+    val pruned = Similarity.probeIvfIndexBatch(spark, dir, qids,
+      nprobe = 1, topK = 5)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse("")
+    assert(pf.contains("c_id"), plan.take(900))
+    assert(pruned.select("q_id").distinct().count() === 4)
+    // probe-all ≡ the in-memory batch brute force, rank for rank
+    val all = Similarity.probeIvfIndexBatch(spark, dir, qids,
+      nprobe = Int.MaxValue, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.cosineTopKBatch(embs, qids, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(all === brute)
+  }
+
   test("tombstone delete ≡ rebuild on live vectors; compaction " +
       "reclaims without changing a row") {
     val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
