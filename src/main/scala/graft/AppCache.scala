@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   * keeps the memo dependency-free and correct under the only real usage
   * pattern: one live local[32] session at a time, suites starting fresh
   * sessions in sequence.
+  *
+  * Known residual bounds of that assumption (accepted by design): a
+  * cache never touched again retains the stopped app's entries for the
+  * JVM lifetime, and two CONCURRENTLY-live applications in one JVM
+  * would evict each other's in-use entries on every access (correct but
+  * rebuild-churning). If multi-live-session hosting ever becomes a
+  * supported mode, switch eviction to a SparkListener on
+  * `onApplicationEnd` instead of on-access.
   */
 final class AppCache[V] {
   private val m =

@@ -731,7 +731,15 @@ object Relational2 {
         s"compactHourlyDay: rollback of $prev failed")
     if (!fs.exists(pub)) false
     else {
+      // Partition inference types the day-dir read's `hour` as INT —
+      // republishing it raw would rename directories hour=00..23 →
+      // hour=0..23 while sibling days keep the zero-padded form (the
+      // whole-layout read still unifies, but lexical-path consumers
+      // and explicit-string-schema readers would diverge). Re-derive
+      // the zero-padded form so compaction preserves the layout's
+      // naming convention.
       val src = s.read.parquet(pub.toString)
+        .withColumn("hour", format_string("%02d", col("hour")))
       val n = src.count()
       graft.sources.Sources.writeAuditPublish(
         src.repartition(col("hour")),

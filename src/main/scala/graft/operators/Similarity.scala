@@ -1038,6 +1038,28 @@ object Similarity {
   // no extra shuffle anywhere.
 
   private val OpqDim = 64
+  private[graft] val OpqTrainCap = 1024L
+
+  /** Deterministic hash-sampled training view for rotation fitting:
+    * the covariance pass explodes |input|·dim² product rows, so at
+    * 100 TB it must run on a bounded sample, not the corpus — FAISS
+    * trains OPQ on a fixed-size sample for exactly this reason, and
+    * the rotation is index METADATA whose quality saturates long
+    * before corpus scale (IvfPqSpec measures sampled ≈ full recall).
+    * Salted xxhash64 of vec_id thresholded at cap/n: deterministic
+    * across runs and partition layouts (the salted-sample discipline),
+    * corpus-size-independent output size. */
+  private[graft] def opqTrainSample(e: DataFrame,
+      cap: Long = OpqTrainCap): DataFrame = {
+    val n = e.count()
+    if (n <= cap) e
+    else {
+      val den = 1000000L
+      val num = cap * den / n
+      e.filter(
+        pmod(xxhash64(lit("opqcov"), col("vec_id")), lit(den)) < num)
+    }
+  }
 
   /** Covariance of the corpus embeddings, row-major flattened dim².
     * Mean and products use exact DECIMAL sums — bit-stable across
@@ -1128,7 +1150,8 @@ object Similarity {
     opqCache.get(s, d)({
       val subDim = OpqDim / PqM
       val e = prepared(s, d).filter(col("vec_id") =!= 0L)
-      val rot = opqRotation(covarianceMatrix(e, OpqDim), OpqDim, PqM)
+      val rot = opqRotation(
+        covarianceMatrix(opqTrainSample(e), OpqDim), OpqDim, PqM)
       val er = rotated(e, rot, OpqDim).localCheckpoint()
       val cb = pqCodebook(er, PqM, PqKsub, subDim, iters = 3)
         .localCheckpoint()
@@ -1276,7 +1299,8 @@ object Similarity {
     npOpqCache.get(s, d)({
       val subDim = OpqDim / PqM
       val e = prepared(s, d).filter(col("vec_id") =!= 0L)
-      var rot = opqRotation(covarianceMatrix(e, OpqDim), OpqDim, PqM)
+      var rot = opqRotation(
+        covarianceMatrix(opqTrainSample(e), OpqDim), OpqDim, PqM)
       var cb: DataFrame = null
       var codes: DataFrame = null
       val rounds = 3
@@ -1622,13 +1646,13 @@ object Similarity {
   // and probeIvfIndex reads ONLY the nprobe probed directories — the scan
   // is partition-pruned (PartitionFilters on c_id), asserted by spec.
 
-  /** Build and persist the IVF index for a corpus: centroids (k rows) and
-    * the corpus assigned+partitioned by centroid id. */
-  def writeIvfIndex(embs: DataFrame, path: String, k: Int, iters: Int)
-      : Unit = {
-    val e = prepare(embs)
-    val cents = kmeansCentroids(e, k, iters)
-    val assigned = e.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment with the min_by(d2, c_id) tie-break —
+    * ONE definition shared by build, append, and the streaming segment
+    * writer, so an incrementally-assigned vector lands in exactly the
+    * partition a rebuild-with-the-same-centroids would put it in. */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame)
+      : DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("d2",
         col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
       .groupBy(col("vec_id"))
@@ -1636,9 +1660,37 @@ object Similarity {
         struct(col("d2"), col("c_id"))).as("m"))
       .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
         col("m.c_id").as("c_id"))
-    assigned.write.mode("overwrite").partitionBy("c_id")
-      .parquet(s"$path/corpus")
+
+  /** Build and persist the IVF index for a corpus: centroids (k rows) and
+    * the corpus assigned+partitioned by centroid id. */
+  def writeIvfIndex(embs: DataFrame, path: String, k: Int, iters: Int)
+      : Unit = {
+    val e = prepare(embs)
+    val cents = kmeansCentroids(e, k, iters)
+    assignToCentroids(e, cents).write.mode("overwrite")
+      .partitionBy("c_id").parquet(s"$path/corpus")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Train and persist ONLY the centroid table — an empty index root
+    * for the streaming-ingest shape: at 100 TB centroids are trained
+    * once on a historical sample, then vectors arrive by stream and
+    * land via frozen-centroid assignment ([[ivfIngestSegment]]). */
+  def writeIvfCentroids(embs: DataFrame, path: String, k: Int,
+      iters: Int): Unit =
+    kmeansCentroids(prepare(embs), k, iters)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+
+  /** One micro-batch's index segment: assign against the root's FROZEN
+    * centroids, land under `corpus/epoch=N/c_id=K` by EPOCH-OVERWRITE —
+    * re-delivery replaces the segment (the bm25IngestSegment
+    * discipline), and cross-segment partition discovery keeps the
+    * probe's c_id pruning intact across every epoch. */
+  def ivfIngestSegment(s: SparkSession, path: String, batch: DataFrame,
+      id: Long): Unit = {
+    val cents = s.read.parquet(s"$path/centroids")
+    assignToCentroids(prepare(batch), cents).write.mode("overwrite")
+      .partitionBy("c_id").parquet(s"$path/corpus/epoch=$id")
   }
 
   /** INCREMENTAL index maintenance: assign new vectors against the
@@ -1652,17 +1704,8 @@ object Similarity {
   def appendToIvfIndex(s: SparkSession, path: String, newEmbs: DataFrame)
       : Unit = {
     val cents = s.read.parquet(s"$path/centroids")
-    val e = prepare(newEmbs)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("ce"), col("n2"), col("c_id")),
-        struct(col("d2"), col("c_id"))).as("m"))
-      .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
-        col("m.c_id").as("c_id"))
-    assigned.write.mode("append").partitionBy("c_id")
-      .parquet(s"$path/corpus")
+    assignToCentroids(prepare(newEmbs), cents).write.mode("append")
+      .partitionBy("c_id").parquet(s"$path/corpus")
   }
 
   private def hadoopExists(s: SparkSession, p: String): Boolean = {
@@ -1707,8 +1750,19 @@ object Similarity {
     val conf = s.sparkContext.hadoopConfiguration
     val stg = new org.apache.hadoop.fs.Path(staging)
     val fs = stg.getFileSystem(conf)
+    // Crash recovery (the compactHourlyDay preamble): a prior run that
+    // died between its renames leaves the index only at `.prev` — roll
+    // it back before staging rather than failing on the missing root.
+    val pub0 = new org.apache.hadoop.fs.Path(path)
+    val prev0 = new org.apache.hadoop.fs.Path(path + ".prev")
+    if (!fs.exists(pub0) && fs.exists(prev0) && !fs.rename(prev0, pub0))
+      throw new java.io.IOException(
+        s"compactIvfIndex: failed to roll back $prev0 to $pub0")
     if (fs.exists(stg)) fs.delete(stg, true)
+    // canonical column set: a streaming-segmented source (corpus under
+    // epoch=N/c_id=K) compacts into the batch layout
     val live = ivfLiveCorpus(s, path)
+      .select(col("vec_id"), col("ce"), col("n2"), col("c_id"))
     live.write.partitionBy("c_id").parquet(s"$staging/corpus")
     s.read.parquet(s"$path/centroids").write
       .parquet(s"$staging/centroids")
@@ -1870,6 +1924,54 @@ object Similarity {
   val qAnnIndexCompactExhaustive: (SparkSession, String) => DataFrame =
     (s, d) => ivfLifecycleProbe(s, d, compact = true)
 
+  // --- q_ann_index_append_exhaustive: the append half of the lifecycle
+  // under the SAME hard oracle — the index is built on the even vec_ids
+  // only, the odds arrive by appendToIvfIndex (frozen-centroid
+  // assignment, the daily-embeddings ingest shape), and a probe-all of
+  // the appended index must equal brute-force cosine top-10 over the
+  // whole corpus. Exactness needs no argument about centroid quality:
+  // probe-all scans every list, and cosine is per-vector — the oracle
+  // gates that no vector was lost, duplicated, or mis-scored on the
+  // append path.
+  private val ivfAppendCache = graft.AppCache[String]()
+
+  private def ivfAppendIndexPath(s: SparkSession, d: String): String =
+    ivfAppendCache.synchronized {
+      ivfAppendCache.get(s, d)({
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + "|ivfapp|" + d).hashCode)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_app_$key"
+        val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
+        writeIvfIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          path, k = 10, iters = 3)
+        appendToIvfIndex(s, path,
+          embs.filter(pmod(col("vec_id"), lit(2L)) === 1))
+        path
+      })
+    }
+
+  val qAnnIndexAppendExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val q = prepared(s, d).filter(col("vec_id") === 0L)
+        .select("ce").head().getSeq[Double](0).toArray
+      probeIvfIndex(s, ivfAppendIndexPath(s, d), q,
+        nprobe = Int.MaxValue, topK = 10)
+        .select(col("vec_id"), col("sim"))
+    }
+
+  // --- q_stream_ivf_ingest probe: the one-pass batch probe over the
+  // streaming-segmented corpus layout, declared from EventsStreaming
+  // (which owns the replay machinery) — probe-all keeps it exact so the
+  // key carries the brute-force batch oracle.
+  private[graft] def probeIvfIngested(s: SparkSession, path: String)
+      : DataFrame =
+    probeIvfIndexBatch(s, path, (1L to 8L), nprobe = Int.MaxValue,
+      topK = 10)
+
+  // lazy: cosineSql initializes later in this object's body
+  private[graft] lazy val ivfIngestOracle =
+    s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id BETWEEN 1 AND 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY q_id, sim DESC, vec_id"
+
   // --- q_embed_clusters: near-dup collapse over EMBEDDING pairs ---
   // Cross-module composition: the bucketed exact ε-join feeds the same
   // pointer-jumping connected components the text path uses — the
@@ -1960,6 +2062,12 @@ object Similarity {
     QueryDef("q_ann_index_compact_exhaustive", qAnnIndexCompactExhaustive,
       Some(
         s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id <> 0 AND vec_id % 10 <> 9) CROSS JOIN q ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    // build(evens) + append(odds) with frozen centroids, probe-all ≡
+    // brute force over the whole corpus — the append half of the
+    // lifecycle under the hard oracle
+    QueryDef("q_ann_index_append_exhaustive", qAnnIndexAppendExhaustive,
+      Some(
+        s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id <> 0) CROSS JOIN q ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_batch", qAnnBatch, Some(
       s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id < 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, sim DESC, vec_id")),
     QueryDef("q_ann_batch_exhaustive", qAnnBatchExhaustive, Some(

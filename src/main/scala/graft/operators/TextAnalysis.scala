@@ -487,6 +487,25 @@ object TextAnalysis {
   private def bm25Bkt(nBuckets: Int): Column =
     pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int")
 
+  private def bm25DocBkt(nBuckets: Int): Column =
+    pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int")
+
+  /** One (doc_id, dl, dbkt) row per doc — the doc-keyed sidecar landed
+    * next to the term-bucketed postings so doc-addressed maintenance
+    * (tombstone deletes need each doc's dl for the stats correction)
+    * never touches the postings tree: the postings layout partitions by
+    * TERM hash, so a doc_id join there prunes nothing and a delete
+    * batch would pay a full-index scan at 100 TB. The sidecar is one
+    * row per doc (postings are one per (doc, term)), partitioned by
+    * doc-hash so a delete batch prunes to its matched `dbkt=`
+    * directories — the probe's bucket-selection discipline, applied to
+    * the doc axis. */
+  private[graft] def bm25DocLens(docs: DataFrame,
+      nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+      .withColumn("dbkt", bm25DocBkt(nBuckets))
+
   /** One (n_docs, tot_tok) delta row for `docs` — longs, so stats
     * compose additively across appends with no float drift. */
   private[graft] def bm25StatsDelta(docs: DataFrame): DataFrame =
@@ -507,6 +526,9 @@ object TextAnalysis {
       .withColumn("bkt", bm25Bkt(nBuckets))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$path/postings")
+    bm25DocLens(docs, nBuckets)
+      .write.mode("overwrite").partitionBy("dbkt")
+      .parquet(s"$path/doclens")
     bm25StatsDelta(docs).write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -520,6 +542,9 @@ object TextAnalysis {
       .withColumn("bkt", bm25Bkt(nBuckets))
       .write.mode("append").partitionBy("bkt")
       .parquet(s"$path/postings")
+    bm25DocLens(newDocs, nBuckets)
+      .write.mode("append").partitionBy("dbkt")
+      .parquet(s"$path/doclens")
     bm25StatsDelta(newDocs).write.mode("append").parquet(s"$path/stats")
   }
 
@@ -583,25 +608,44 @@ object TextAnalysis {
       broadcast(terms.select(col("q_id"), col("tok"))), "tok"), topK)
   }
 
+  /** The new tombstone rows a delete batch lands — factored from
+    * [[deleteFromBm25Index]] so Bm25IndexSpec can assert the plan
+    * reads ZERO postings files: dl recovery joins only the doc-keyed
+    * `doclens` sidecar (one row per doc), partition-pruned to the
+    * batch's matched `dbkt=` directories. The bucket list is driver
+    * metadata (≤ nBuckets ints — partition SELECTION, the probe's
+    * discipline), so at 100 TB a delete batch reads
+    * |matched dbkts|/nBuckets of a table that is itself ~|avg dl|×
+    * smaller than the postings. */
+  private[graft] def bm25DeleteTombstones(s: SparkSession, path: String,
+      docIds: DataFrame, nBuckets: Int): DataFrame = {
+    val ids = docIds.select("doc_id")
+      .withColumn("dbkt", bm25DocBkt(nBuckets)).localCheckpoint()
+    val dbkts = ids.select("dbkt").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val fresh = s.read.parquet(s"$path/doclens")
+      .filter(col("dbkt").isin(dbkts: _*))
+      .join(ids.select("doc_id"), Seq("doc_id"))
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val tombPath = s"$path/tombstones"
+    if (!hadoopExists(s, tombPath)) fresh
+    else fresh.join(s.read.parquet(tombPath).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Tombstone-delete documents from the index: deletion is a METADATA
     * write — one (doc_id, dl) row per deleted doc appended to the
     * tombstones table, postings untouched ([[compactBm25Index]]
-    * reclaims them). dl is recovered from the index itself (every
-    * posting row of a doc carries it), so callers pass only ids; ids
+    * reclaims them). dl is recovered from the dbkt-pruned `doclens`
+    * sidecar (NOT the postings — a doc_id join against the term-hash
+    * layout would full-scan the index), so callers pass only ids; ids
     * already tombstoned are skipped, making re-delivery of a delete
     * batch idempotent. Probe-time df/N/avgdl see the post-delete
     * corpus exactly — no rescore, no rebuild. */
   def deleteFromBm25Index(s: SparkSession, path: String,
-      docIds: DataFrame): Unit = {
-    val tombPath = s"$path/tombstones"
-    val fresh = s.read.parquet(s"$path/postings")
-      .join(docIds.select("doc_id"), Seq("doc_id"))
-      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
-    val newTomb = if (!hadoopExists(s, tombPath)) fresh
-      else fresh.join(s.read.parquet(tombPath).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-    newTomb.write.mode("append").parquet(tombPath)
-  }
+      docIds: DataFrame, nBuckets: Int = 64): Unit =
+    bm25DeleteTombstones(s, path, docIds, nBuckets)
+      .write.mode("append").parquet(s"$path/tombstones")
 
   /** Physically reclaim tombstoned postings: stage the live view
     * (postings minus tombstones, stats squashed to one net row) as a
@@ -619,9 +663,31 @@ object TextAnalysis {
     val conf = s.sparkContext.hadoopConfiguration
     val stg = new org.apache.hadoop.fs.Path(staging)
     val fs = stg.getFileSystem(conf)
+    // Crash recovery (the compactHourlyDay preamble): a prior run that
+    // died between its two renames leaves the index ONLY at `.prev` —
+    // roll it back before staging, or the bm25Live read below fails on
+    // a missing root and the retired copy strands.
+    val pub = new org.apache.hadoop.fs.Path(path)
+    val prev = new org.apache.hadoop.fs.Path(prevStr)
+    if (!fs.exists(pub) && fs.exists(prev) && !fs.rename(prev, pub))
+      throw new java.io.IOException(
+        s"compactBm25Index: failed to roll back $prev to $pub")
     if (fs.exists(stg)) fs.delete(stg, true)
     val (livePostings, stats) = bm25Live(s, path)
-    livePostings.write.partitionBy("bkt").parquet(s"$staging/postings")
+    // canonical column set: a streaming-segmented source (postings
+    // under epoch=N/bkt=K) compacts into the batch layout — the epoch
+    // axis is a segment artifact, not index data
+    livePostings
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"), col("bkt"))
+      .write.partitionBy("bkt").parquet(s"$staging/postings")
+    val liveDl = {
+      val raw = s.read.parquet(s"$path/doclens")
+        .select(col("doc_id"), col("dl"), col("dbkt"))
+      if (!hadoopExists(s, s"$path/tombstones")) raw
+      else raw.join(s.read.parquet(s"$path/tombstones")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    }
+    liveDl.write.partitionBy("dbkt").parquet(s"$staging/doclens")
     stats.select(col("n_docs").cast("long").as("n_docs"),
         col("tot_tok").cast("long").as("tot_tok"))
       .write.parquet(s"$staging/stats")
@@ -629,8 +695,6 @@ object TextAnalysis {
     val got = s.read.parquet(s"$staging/postings").count()
     require(got == expected,
       s"compactBm25Index: staged $got postings, expected $expected")
-    val pub = new org.apache.hadoop.fs.Path(path)
-    val prev = new org.apache.hadoop.fs.Path(prevStr)
     if (fs.exists(prev)) fs.delete(prev, true)
     if (!fs.rename(pub, prev))
       throw new java.io.IOException(
@@ -703,7 +767,7 @@ object TextAnalysis {
   // the corpus leaves; the oracle recomputes them from the live set).
   // Compact then physically reclaims the tombstoned postings via the
   // whole-root retire-then-swap and must not change a single row.
-  private def bm25LiveDocs(s: SparkSession, d: String): DataFrame =
+  private[graft] def bm25LiveDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10L)) =!= 9)
 
   private val bm25DeleteCache = graft.AppCache[String]()
@@ -804,6 +868,38 @@ object TextAnalysis {
       Similarity.probeIvfIndexBatch(s, hybridIvfIndexPath(s, d),
         (1L to 8L), nprobe = Int.MaxValue, topK = 10))
 
+  // --- q_hybrid_search_pruned(+_recall): the DEPLOYED serving config.
+  // q_hybrid_search_indexed keeps the vector leg probe-all so it can
+  // share the exact oracle; production serves with nprobe << nlists.
+  // This twin runs the same fusion with nprobe=3 (the text leg is
+  // already bkt-pruned — its pruning loses nothing by construction) —
+  // rows-only by contract, because recall under pruning is an index
+  // property, not an equality. The recall key makes the config
+  // self-validating the q_ann_ivfpq_batch_recall way: per-query overlap
+  // of the pruned fused top-10 against the oracled exhaustive twin,
+  // visible in the declared output (a collapsed index reads as
+  // recall→0 in the driver dump, not as a silent quality loss).
+  val qHybridSearchPruned: (SparkSession, String) => DataFrame =
+    (s, d) => rrfFuse(
+      probeBm25Index(s, bm25IndexPath(s, d), bm25QueryTerms(s, d))
+        .select(col("q_id"), col("doc_id"), col("rk").as("t_rk")),
+      Similarity.probeIvfIndexBatch(s, hybridIvfIndexPath(s, d),
+        (1L to 8L), nprobe = 3, topK = 10))
+
+  val qHybridSearchPrunedRecall: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val truth = qHybridSearchIndexed(s, d).select("q_id", "doc_id")
+      val got = qHybridSearchPruned(s, d)
+        .select(col("q_id"), col("doc_id"), lit(1).as("hit"))
+      truth.join(got, Seq("q_id", "doc_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("truth_k"),
+          sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("truth_k"), 4))
+        .orderBy("q_id")
+    }
+
   // --- unigram log-probability quality score (perplexity proxy) ---
   // avg_t ln p(t) under the corpus's own MLE unigram model — the cheap
   // cousin of LM-perplexity filtering: gibberish and boilerplate-free
@@ -850,11 +946,16 @@ object TextAnalysis {
   //     so every per-row value is identical IEEE arithmetic in Spark
   //     and DuckDB;
   //   - each per-row gradient contribution is QUANTIZED to a long via
-  //     floor(contrib·1e12) (|contrib| ≤ 1, so no overflow below ~9M
-  //     docs per partition-sum; gradient quantization, the real
+  //     floor(contrib·1e12) (gradient quantization, the real
   //     distributed-training technique) — integer sums are exact and
   //     order-independent, so no decimal-cast or rounding semantics
-  //     enter the recurrence anywhere;
+  //     enter the recurrence anywhere. |contrib| ≤ 1 bounds each term
+  //     by 1e12, but Spark's SUM(LONG) wraps silently across the WHOLE
+  //     aggregate (not per partition), so the ceiling is CORPUS-WIDE:
+  //     n ≤ Long.MaxValue/1e12 ≈ 9.2M docs. lrTrainTrace fails loudly
+  //     at that bound (DuckDB promotes BIGINT sums to HUGEINT, so past
+  //     it the engines would diverge only at verify time); beyond it,
+  //     train on a deterministic sample or widen the sums to decimal;
   //   - weights evolve by pure IEEE ops (w − η·((Σ/1e12)/n)) written in
   //     the same association order in both engines.
   // The DuckDB twin replays all 24 iterations as chained CTEs (the
@@ -888,6 +989,12 @@ object TextAnalysis {
       eta: Double = LrEta): Seq[(Int, Array[Double])] = {
     val f = lrFeatures(docs).localCheckpoint()
     val n = f.count().toDouble
+    // the quantized gradient sum wraps CORPUS-WIDE past this bound
+    // (see the contract comment above) — fail loudly in-engine
+    require(n <= Long.MaxValue / 1e12,
+      s"lrTrainTrace: $n docs exceeds the ~9.2M-doc long-sum ceiling " +
+        "of floor(contrib*1e12) quantization — train on a sample or " +
+        "widen the gradient sums to decimal")
     var w = Array.fill(5)(0.0)
     (1 to iters).map { it =>
       val z = lrZ(w)
@@ -940,9 +1047,13 @@ object TextAnalysis {
   // by a 9-row threshold array (map-side, no extra shuffle); the
   // comparisons run on the bit-identical raw p, so the table is
   // hash-verified against the same DuckDB CTE chain.
-  val qQualityLrPr: (SparkSession, String) => DataFrame = (s, d) => {
-    val w = lrTrace(s, d).last._2
-    val f = lrFeatures(Tables.documents(s, d))
+  val qQualityLrPr: (SparkSession, String) => DataFrame = (s, d) =>
+    lrPrSweep(lrFeatures(Tables.documents(s, d)), lrTrace(s, d).last._2)
+
+  /** The threshold-sweep PR table over an arbitrary feature frame with
+    * given weights — shared by the in-sample PR key and the held-out
+    * evaluation so the two cannot drift. */
+  private def lrPrSweep(f: DataFrame, w: Array[Double]): DataFrame = {
     val z = lrZ(w)
     val p = lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
     f.select(p.as("p"), col("y"))
@@ -966,18 +1077,46 @@ object TextAnalysis {
       .orderBy("t")
   }
 
+  // --- q_quality_lr_holdout: does the gate GENERALIZE? Train the same
+  // 24-iteration GD on a deterministic half of the corpus (even
+  // doc_ids), then sweep the PR table over ONLY the held-out odd half —
+  // documents the trainer never saw. Same bit-exact machinery (the
+  // split is a pure predicate, so every per-row value is unchanged),
+  // so the DuckDB twin replays the train recurrence over the even split
+  // and scores the odd split — a hash-verified out-of-sample
+  // evaluation, the difference between a gate that learned the signal
+  // and one that memorized the corpus.
+  private val lrHoldoutCache = graft.AppCache[Seq[(Int, Array[Double])]]()
+
+  private def lrHoldoutTrace(s: SparkSession, d: String)
+      : Seq[(Int, Array[Double])] =
+    lrHoldoutCache.get(s, d)(lrTrainTrace(Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(2L)) === 0)))
+
+  val qQualityLrHoldout: (SparkSession, String) => DataFrame = (s, d) =>
+    lrPrSweep(
+      lrFeatures(Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2L)) === 1)),
+      lrHoldoutTrace(s, d).last._2)
+
   // The DuckDB twin of the full training recurrence: feature CTE +
   // label, then per iteration z/p/gradient-sum/weight-update CTEs.
-  private val lrFeatureCtes =
+  /** Feature/label/weight-seed CTEs; `ftr` is the TRAINING view the
+    * iteration CTEs consume — the full corpus for the in-sample keys,
+    * the even-doc_id split for the held-out evaluation. */
+  private def lrFeatureCtesOn(trainSrc: String) =
     "f AS MATERIALIZED (SELECT doc_id, least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)/100.0) AS x1, least(1.0, CAST(length(text) AS DOUBLE)/500.0) AS x2, CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END AS x3, CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)/CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x4 FROM documents), " +
     "fy AS MATERIALIZED (SELECT f.*, CASE WHEN 0.4*x1 + 0.4*x2 + 0.2*x3 >= 0.7 THEN 1.0 ELSE 0.0 END AS y FROM f), " +
-    "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM fy), " +
+    s"ftr AS MATERIALIZED (SELECT * FROM $trainSrc), " +
+    "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ftr), " +
     "w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"
+
+  private val lrFeatureCtes = lrFeatureCtesOn("fy")
 
   private def lrIterCtes(iters: Int): String = (1 to iters).map { i =>
     val zi = s"z$i AS MATERIALIZED (SELECT x1, x2, x3, x4, y, " +
       "(w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) AS z " +
-      s"FROM fy CROSS JOIN w${i - 1} w)"
+      s"FROM ftr CROSS JOIN w${i - 1} w)"
     val pi = s"p$i AS MATERIALIZED (SELECT x1, x2, x3, x4, y, " +
       "0.5 + 0.5*(z/(1.0 + abs(z))) AS p, " +
       s"(1.0 + abs(z))*(1.0 + abs(z)) AS den FROM z$i)"
@@ -1010,6 +1149,27 @@ object TextAnalysis {
       "sc AS MATERIALIZED (SELECT 0.5 + 0.5*(z/(1.0 + abs(z))) AS p, y " +
       "FROM (SELECT y, (w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) " +
       s"AS z FROM fy CROSS JOIN w$LrIters w)), " +
+      "th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, " +
+      "0.8, 0.9]) AS DOUBLE) AS t), " +
+      "cm AS (SELECT t, SUM(CASE WHEN p >= t AND y = 1.0 THEN 1 ELSE 0 " +
+      "END) AS tp, SUM(CASE WHEN p >= t AND y = 0.0 THEN 1 ELSE 0 END) " +
+      "AS fp, SUM(CASE WHEN p < t AND y = 1.0 THEN 1 ELSE 0 END) AS fn " +
+      "FROM sc CROSS JOIN th GROUP BY t) " +
+      "SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+      "CAST(fn AS BIGINT) AS fn, CASE WHEN tp + fp = 0 THEN NULL ELSE " +
+      "round(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE), 6) END AS " +
+      "prec, CASE WHEN tp + fn = 0 THEN NULL ELSE " +
+      "round(CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE), 6) END AS " +
+      "rec FROM cm ORDER BY t"
+
+  // Train on the evens, sweep the PR table over the held-out odds —
+  // the same CTE machinery with ftr restricted and sc complementary.
+  private[graft] val lrHoldoutOracle =
+    s"WITH ${lrFeatureCtesOn("fy WHERE doc_id % 2 = 0")}, " +
+      s"${lrIterCtes(LrIters)}, " +
+      "sc AS MATERIALIZED (SELECT 0.5 + 0.5*(z/(1.0 + abs(z))) AS p, y " +
+      "FROM (SELECT y, (w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) " +
+      s"AS z FROM fy CROSS JOIN w$LrIters w WHERE doc_id % 2 = 1)), " +
       "th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, " +
       "0.8, 0.9]) AS DOUBLE) AS t), " +
       "cm AS (SELECT t, SUM(CASE WHEN p >= t AND y = 1.0 THEN 1 ELSE 0 " +
@@ -1347,7 +1507,7 @@ object TextAnalysis {
         "SELECT q_id, rk, doc_id, score, n_hit FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rk FROM hits) WHERE rk <= 10 ORDER BY q_id, rk"
 
   private[graft] val bm25SearchOracle = bm25SearchOracleFrom("documents")
-  private val bm25LiveOracle = bm25SearchOracleFrom(
+  private[graft] val bm25LiveOracle = bm25SearchOracleFrom(
     "(SELECT * FROM documents WHERE doc_id % 10 <> 9)")
 
   // RRF fusion of the two independently-oracled legs: the text leg IS
@@ -1401,6 +1561,11 @@ object TextAnalysis {
     // the in-flight fusion by construction, oracle BY REFERENCE
     QueryDef("q_hybrid_search_indexed", qHybridSearchIndexed,
       Some(hybridOracle)),
+    // the deployed nprobe=3 serving config — rows-only (recall is an
+    // index property); its recall key self-validates vs the exhaustive
+    QueryDef("q_hybrid_search_pruned", qHybridSearchPruned, None),
+    QueryDef("q_hybrid_search_pruned_recall", qHybridSearchPrunedRecall,
+      None),
     QueryDef("q_tfidf_topterms", qTfidfTopTerms, Some(
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok), n AS (SELECT COUNT(*) AS n FROM documents), scored AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (tok) CROSS JOIN n), ranked AS (SELECT doc_id, tok, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM scored) SELECT doc_id, rk, tok, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk")),
     QueryDef("q_text_stats", qTextStats, Some(
@@ -1412,6 +1577,10 @@ object TextAnalysis {
     QueryDef("q_quality_lr_train", qQualityLrTrain, Some(lrTrainOracle)),
     QueryDef("q_quality_lr_score", qQualityLrScore, Some(lrScoreOracle)),
     QueryDef("q_quality_lr_pr", qQualityLrPr, Some(lrPrOracle)),
+    // out-of-sample evaluation: train on evens, sweep PR over the
+    // held-out odds — hash-verified generalization, not memorization
+    QueryDef("q_quality_lr_holdout", qQualityLrHoldout,
+      Some(lrHoldoutOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(
       "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(

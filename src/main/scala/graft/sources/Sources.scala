@@ -199,6 +199,14 @@ object Sources {
       // at .prev and recoverable; a failed swap rolls the old version
       // back so readers are never left without a published path. Every
       // rename's boolean is asserted, not discarded.
+      //
+      // Crash recovery first: if a PRIOR run died between its renames,
+      // `.prev` holds the ONLY copy (publish path absent) — deleting it
+      // here would destroy the last recoverable version before the new
+      // staging is swapped in. Roll it back into place, then cycle.
+      if (!fs.exists(pub) && fs.exists(prev) && !fs.rename(prev, pub))
+        throw new java.io.IOException(
+          s"writeAuditPublish: failed to roll back $prev to $pub")
       if (fs.exists(prev)) fs.delete(prev, true)
       val hadOld = fs.exists(pub)
       if (hadOld && !fs.rename(pub, prev))

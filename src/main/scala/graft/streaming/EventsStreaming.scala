@@ -1477,13 +1477,19 @@ object EventsStreaming {
       .withColumn("bkt", pmod(xxhash64(col("tok")), lit(64L)).cast("int"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$base/postings/epoch=$id")
+    TextAnalysis.bm25DocLens(batch, 64)
+      .write.mode("overwrite").partitionBy("dbkt")
+      .parquet(s"$base/doclens/epoch=$id")
     TextAnalysis.bm25StatsDelta(batch)
       .write.mode("overwrite").parquet(s"$base/stats/epoch=$id")
   }
 
-  val qStreamBm25Ingest: (SparkSession, String) => DataFrame = (s, d) => {
+  /** Run the micro-batched segment ingest to completion and return the
+    * freshly-built index root — factored so the lifecycle key can
+    * compose delete/compact/probe on top of the SAME streaming run the
+    * declared ingest key uses. */
+  private def runBm25IngestStream(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.streaming.Trigger
-    import graft.operators.TextAnalysis
     val inv = bm25IngestInvocation.incrementAndGet()
     val base = s"${sys.props("java.io.tmpdir")}/graft_stream_bm25_" +
       s.sparkContext.applicationId + s"_$inv"
@@ -1507,8 +1513,96 @@ object EventsStreaming {
         "q_stream_bm25_ingest timed out after 300s")
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    TextAnalysis.probeBm25Index(s, base,
+    base
+  }
+
+  val qStreamBm25Ingest: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.operators.TextAnalysis
+    TextAnalysis.probeBm25Index(s, runBm25IngestStream(s, d),
       TextAnalysis.bm25QueryTerms(s, d))
+  }
+
+  /** The full index lifecycle COMPOSED over the streaming-segmented
+    * layout: segments accumulate per trigger (epoch=N/bkt=K), a
+    * tombstone batch deletes 10% of the corpus via the dbkt-pruned
+    * doclens sidecar, compaction merges every segment into the
+    * canonical single-tree layout (the "compactBm25Index merges
+    * accumulated segments" claim, now hash-gated rather than narrated),
+    * and the probe of the compacted root must answer exactly like a
+    * batch BM25 search over only the live documents — the live-corpus
+    * oracle BY REFERENCE. At 100 TB this is one segment-merge cycle of
+    * the standing ingest pipeline. */
+  val qStreamBm25Lifecycle: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import graft.operators.TextAnalysis
+      val base = runBm25IngestStream(s, d)
+      TextAnalysis.deleteFromBm25Index(s, base,
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10L)) === 9).select("doc_id"))
+      TextAnalysis.compactBm25Index(s, base)
+      TextAnalysis.probeBm25Index(s, base,
+        TextAnalysis.bm25QueryTermsOn(TextAnalysis.bm25LiveDocs(s, d)))
+    }
+
+  // --- q_stream_ivf_ingest: the vector-side analogue of the BM25
+  // segment ingest. Centroids are trained ONCE on a historical sample
+  // (the even vec_ids) and frozen — the 100 TB discipline: retraining
+  // is a rebuild decision, never an ingest side-effect. The full corpus
+  // then replays as micro-batches, each landing a frozen-centroid-
+  // assigned segment under corpus/epoch=N/c_id=K by epoch-overwrite
+  // (exactly-once on re-delivery). The declared result is a probe-ALL
+  // batch probe of the ingested index, gated by the brute-force cosine
+  // batch oracle — ingest must lose, duplicate, and mis-score nothing.
+  private val ivfIngestInvocation =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  private val stagedEmbs = graft.AppCache[String]()
+
+  private def stageEmbsDir(s: SparkSession, d: String): String =
+    stagedEmbs.get(s, d)({
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|embs|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_embs_$key"
+      Tables.embeddings(s, d).repartition(3)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  private val embsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  val qStreamIvfIngest: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    val inv = ivfIngestInvocation.incrementAndGet()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_ivf_" +
+      s.sparkContext.applicationId + s"_$inv"
+    val ckpt = s"$base/ckpt"
+    Similarity.writeIvfCentroids(
+      Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
+      base, k = 10, iters = 3)
+    val staged = stageEmbsDir(s, d)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    try {
+      val q = s.readStream.schema(embsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          Similarity.ivfIngestSegment(s, base, batch.toDF(), id)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q_stream_ivf_ingest timed out after 300s")
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    Similarity.probeIvfIngested(s, base)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1537,6 +1631,13 @@ object EventsStreaming {
     // the batch search over the whole corpus (oracle BY REFERENCE)
     QueryDef("q_stream_bm25_ingest", qStreamBm25Ingest,
       Some(graft.operators.TextAnalysis.bm25SearchOracle)),
+    // ingest → tombstone-delete → segment-merging compact → probe ≡
+    // the batch search over only the live docs (oracle BY REFERENCE)
+    QueryDef("q_stream_bm25_lifecycle", qStreamBm25Lifecycle,
+      Some(graft.operators.TextAnalysis.bm25LiveOracle)),
+    // frozen-centroid segment ingest, probe-all ≡ brute-force batch
+    QueryDef("q_stream_ivf_ingest", qStreamIvfIngest,
+      Some(graft.operators.Similarity.ivfIngestOracle)),
     QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
       // every event lands in the file sink exactly once across batches
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),

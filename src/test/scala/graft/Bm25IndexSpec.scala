@@ -120,6 +120,41 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows(dirDel) === afterDelete)
   }
 
+  test("delete recovers dl from the dbkt-pruned sidecar — the job " +
+      "reads ZERO postings files") {
+    // The scale lock behind "deletion is a METADATA write": the
+    // tombstone frame's dl recovery must never touch the term-hash
+    // postings tree (a doc_id join there prunes nothing — it would be
+    // a full-index scan per delete batch at 100 TB). The sidecar scan
+    // itself must partition-prune to the batch's doc-hash buckets.
+    val dir = Files.createTempDirectory("graft_bm25_sdel").toString
+    TextAnalysis.writeBm25Index(spark, sf, dir, nBuckets = 64)
+    val ids = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(3L, 17L)).select("doc_id")
+    val tomb = TextAnalysis.bm25DeleteTombstones(spark, dir, ids, 64)
+    val rows = tomb.collect()
+    assert(rows.length === 2)
+    val scans = collectFileScans(tomb.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val scanned = scans.flatMap(_.relation.location.rootPaths)
+      .map(_.toString)
+    assert(!scanned.exists(_.contains("/postings")),
+      s"delete plan scans postings: ${scanned.mkString(", ")}")
+    assert(scanned.exists(_.contains("/doclens")), scanned.mkString(","))
+    // the sidecar read prunes to the 2-doc batch's dbkt directories
+    val plan = tomb.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse("")
+    assert(pf.contains("dbkt"), plan.take(900))
+    // and the recovered dl is the true token count of each doc
+    val want = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(3L, 17L))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === want)
+  }
+
   test("streaming segments: probe across epochs ≡ one-shot index; " +
       "re-delivered segment replaces, not duplicates") {
     // Split the corpus in two "micro-batches", land each as an

@@ -63,4 +63,21 @@ class HybridSearchSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(indexed === rows.map(_.toSeq).toSeq)
   }
+
+  test("pruned serving config: per-query recall vs the exhaustive " +
+      "twin clears the 0.4 floor and is structurally sound") {
+    // The deployed nprobe=3 config can lose vector-leg candidates the
+    // probe-all twin finds — recall is an index property, so the key is
+    // rows-only — but a healthy index at this corpus keeps the fused
+    // overlap far above the vector leg's 0.4 declared floor. A
+    // collapsed index would read as recall→0 here and in the driver
+    // dump.
+    val rec = TextAnalysis.qHybridSearchPrunedRecall(spark, sf)
+      .collect()
+    assert(rec.length === 8)
+    rec.foreach { r =>
+      assert(r.getAs[Long]("truth_k") === 10L, r.toString)
+      assert(r.getAs[Double]("recall") >= 0.4, r.toString)
+    }
+  }
 }

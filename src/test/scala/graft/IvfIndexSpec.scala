@@ -144,4 +144,42 @@ class IvfIndexSpec extends SparkSpec {
     // and both equal the compacted live index (same frozen centroids)
     assert(top(dirLive) === afterDelete)
   }
+
+  test("streaming segments: frozen-centroid epochs probe like the " +
+      "canonical layout; re-delivery replaces; compact merges segments") {
+    // The vector analogue of the BM25 segment test: centroids trained
+    // once on a deterministic sample and frozen, the corpus arriving as
+    // two epoch segments, probed as ONE index ≡ the canonical
+    // appendToIvfIndex layout over the same centroids. Re-delivering
+    // epoch 0 (the at-least-once retry) must replace, not duplicate;
+    // compaction must merge the epoch tree into the canonical c_id
+    // layout without changing a row.
+    val embs = Tables.embeddings(spark, sf)
+    val base = Files.createTempDirectory("graft_ivf_seg").toString
+    val twin = Files.createTempDirectory("graft_ivf_segtw").toString
+    val sampled = pmod(col("vec_id"), lit(2L)) === 0
+    Similarity.writeIvfCentroids(embs.filter(sampled), base,
+      k = 5, iters = 2)
+    spark.read.parquet(s"$base/centroids")
+      .write.parquet(s"$twin/centroids")
+    val half = pmod(col("vec_id"), lit(3L)) === 0
+    Similarity.ivfIngestSegment(spark, base, embs.filter(half), 0L)
+    Similarity.ivfIngestSegment(spark, base, embs.filter(!half), 1L)
+    Similarity.appendToIvfIndex(spark, twin, embs)
+    def rows(dir: String): Seq[Seq[Any]] =
+      Similarity.probeIvfIndexBatch(spark, dir, (1L to 4L),
+        nprobe = Int.MaxValue, topK = 5).collect().map(_.toSeq).toSeq
+    val segmented = rows(base)
+    assert(segmented === rows(twin),
+      "epoch segments must answer like the canonical layout")
+    Similarity.ivfIngestSegment(spark, base, embs.filter(half), 0L)
+    assert(rows(base) === segmented,
+      "epoch re-delivery must replace the segment, not duplicate it")
+    Similarity.compactIvfIndex(spark, base)
+    val dirs = new java.io.File(s"$base/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("c_id=")),
+      s"compact left segment dirs: ${dirs.mkString(",")}")
+    assert(rows(base) === segmented)
+  }
 }

@@ -196,6 +196,37 @@ class IvfPqSpec extends SparkSpec {
     assert(mseOpq < msePq, s"opq mse $mseOpq !< pq mse $msePq")
   }
 
+  test("sampled rotation training ≈ full-corpus training: the deployed " +
+      "hash-capped sample reconstructs within noise of the full pass") {
+    // At sf0.1 the 2000-vector corpus exceeds OpqTrainCap (1024), so
+    // the deployed path genuinely trains the rotation on the salted
+    // hash sample. The rotation is index metadata whose quality
+    // saturates long before corpus scale (the FAISS practice this
+    // mirrors): codebooks trained in the sample-rotated space must
+    // reconstruct the corpus within a few percent of codebooks trained
+    // in the full-covariance-rotated space.
+    val dim = 64; val m = 8; val ksub = 16; val subDim = 8
+    val e = Similarity.prepare(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+      .filter(col("vec_id") =!= 0L).localCheckpoint()
+    val full = e.count()
+    val sample = Similarity.opqTrainSample(e).localCheckpoint()
+    val kept = sample.count()
+    assert(kept < full, s"cap did not engage: $kept of $full")
+    assert(kept > Similarity.OpqTrainCap / 2, s"sample collapsed: $kept")
+    def mseWith(train: org.apache.spark.sql.DataFrame): Double = {
+      val rot = Similarity.opqRotation(
+        Similarity.covarianceMatrix(train, dim), dim, m)
+      val er = Similarity.rotated(e, rot, dim).localCheckpoint()
+      val cb = Similarity.pqCodebook(er, m, ksub, subDim, iters = 2)
+      Similarity.pqReconstructionMse(er, cb, m, subDim)
+    }
+    val mseFull = mseWith(e)
+    val mseSampled = mseWith(sample)
+    assert(mseSampled <= mseFull * 1.10,
+      s"sampled-rotation mse $mseSampled vs full $mseFull")
+  }
+
   test("non-parametric OPQ: the Procrustes alternation is objective-" +
       "monotone and reconstructs at least as well as parametric OPQ " +
       "on anisotropic data") {

@@ -36,6 +36,21 @@ class QualityLrSpec extends SparkSpec {
     assert(acc >= 0.9, s"acc $acc")
   }
 
+  test("the gate GENERALIZES: held-out accuracy at the 0.5 operating " +
+      "point clears 0.85") {
+    // q_quality_lr_holdout trains on the even doc_ids and sweeps the
+    // PR table over the odd half the trainer never saw. Accuracy at
+    // t=0.5 recovers from the declared output: tn = N - tp - fp - fn.
+    val pr = operators.TextAnalysis.qQualityLrHoldout(spark, sf)
+      .filter(col("t") === 0.5).head()
+    val n = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(2L)) === 1).count()
+    val tp = pr.getAs[Long]("tp"); val fp = pr.getAs[Long]("fp")
+    val fn = pr.getAs[Long]("fn")
+    val acc = (tp + (n - tp - fp - fn)).toDouble / n
+    assert(acc >= 0.85, s"held-out acc $acc (tp=$tp fp=$fp fn=$fn n=$n)")
+  }
+
   test("squared loss falls over the training run (first iteration's " +
       "weights vs last)") {
     val docs = Tables.documents(spark, sf)
