@@ -115,6 +115,25 @@ object Bench {
       }.mkString("{", ",", "}")
     val errors = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // LIFECYCLE vs PURE split (VERDICT r10 item 8): lifecycle keys
+    // re-run artifact WRITES inside every timed pass by design — the
+    // streaming replays (a checkpointed micro-batch run per pass) and
+    // the declared write-path keys (landing, migration, day compaction,
+    // shard compaction, the JSON sink roundtrips). Their cost scales
+    // with the artifact work they stage, not with query throughput, so
+    // envelope drift stays attributable: the pure class tracks engine
+    // regression, the lifecycle class tracks surface growth.
+    def isLifecycle(name: String): Boolean =
+      name.startsWith("q_stream_") || Set(
+        "q_compact_shards", "q_landing_partitioned", "q_landing_overwrite",
+        "q_partition_migrate", "q_partition_compact",
+        "q_scan_json", "q_scan_json_corrupt").contains(name)
+    def classJson(pred: String => Boolean): String = {
+      val ts = results.collect { case (k, (v, true)) if pred(k) => v }
+      s"""{"n":${ts.size},"total":${fmt(ts.sum)}}"""
+    }
+    val classes = s""""classes":{"lifecycle":${classJson(isLifecycle)},""" +
+      s""""pure":${classJson(!isLifecycle(_))}}"""
     val okTimes = results.collect { case (_, (v, true)) => v }.toIndexedSeq.sorted
     val total = okTimes.sum
     val medianAll = if (okTimes.isEmpty) 0.0 else median(okTimes)
@@ -137,7 +156,7 @@ object Bench {
       case None => tools.PlanDigest.rollupDigest(spark, sfDir)
     }
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$passes,"queries":${qjson(results)},"min":${qjson(mins)},"spread":${qjson(spreads)},"errors":$errors,"plans_digest":"$plansDigest","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$passes,$classes,"queries":${qjson(results)},"min":${qjson(mins)},"spread":${qjson(spreads)},"errors":$errors,"plans_digest":"$plansDigest","sf":"$sfDir"}"""
     // Resolve against the repo root, not the process CWD (sbt forks the
     // run; an overridden fork directory must not scatter the artifact).
     val repoRoot = sys.env.get("SPARK_GRAFT_REPO")
@@ -146,7 +165,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(repoRoot).resolve("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"runs":$passes,"median":${fmt(medianAll)},"worst":${fmt(worst)},"queries":${qjson(slowest)},"errors":$errors,"plans_digest":"$plansDigest","detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"runs":$passes,"median":${fmt(medianAll)},"worst":${fmt(worst)},$classes,"queries":${qjson(slowest)},"errors":$errors,"plans_digest":"$plansDigest","detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

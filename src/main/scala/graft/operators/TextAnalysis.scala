@@ -505,6 +505,13 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
       .withColumn("dbkt", bm25DocBkt(nBuckets))
+      // co-locate each bucket before the partitionBy write: without
+      // this every INPUT task fans out up to nBuckets files (measured
+      // 12.8k tiny files and a 2× slower build at the ×100 wave —
+      // then every doclens reader pays the file-open storm). One
+      // shuffle of the tiny one-row-per-doc frame caps the layout at
+      // ~nBuckets files per write batch.
+      .repartition(col("dbkt"))
 
   /** One (n_docs, tot_tok) delta row for `docs` — longs, so stats
     * compose additively across appends with no float drift. */
@@ -687,7 +694,8 @@ object TextAnalysis {
       else raw.join(s.read.parquet(s"$path/tombstones")
         .select("doc_id"), Seq("doc_id"), "left_anti")
     }
-    liveDl.write.partitionBy("dbkt").parquet(s"$staging/doclens")
+    liveDl.repartition(col("dbkt"))
+      .write.partitionBy("dbkt").parquet(s"$staging/doclens")
     stats.select(col("n_docs").cast("long").as("n_docs"),
         col("tot_tok").cast("long").as("tot_tok"))
       .write.parquet(s"$staging/stats")

@@ -158,6 +158,33 @@ class BpeSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("training-horizon prefix stability at realistic merge counts: " +
+      "a 1000-merge run opens with the same rounds as a short run, and " +
+      "its cap=1 prefix is exactly greedy") {
+    // The BpeScaleProbe evidence (SCALE §11c) runs 1,000 merges at
+    // cap=64 over the Zipf corpus; this pins the semantic side on the
+    // live corpus: (a) the merge horizon cannot change what is learned
+    // first — the long run's opening rounds equal the short run's
+    // (each round is a pure function of the current symbol table);
+    // (b) the long-run trainer degenerated to cap=1 opens with exactly
+    // the greedy trace (the declared-oracle equivalence, held at depth).
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val (long, _) = operators.TextAnalysis.bpeTrainBatched(words,
+      totalMerges = 64, batchCap = 8)
+    val (short, _) = operators.TextAnalysis.bpeTrainBatched(words,
+      totalMerges = 16, batchCap = 8)
+    assert(long.take(short.size) === short,
+      "merge horizon changed the opening rounds")
+    val (cap1, _) = operators.TextAnalysis.bpeTrainBatched(words,
+      totalMerges = 16, batchCap = 1)
+    val (greedy, _) = operators.TextAnalysis.bpeTrainFull(words, 16)
+    assert(cap1.map(x => (x._2, x._3)).toSeq ===
+      greedy.map(x => (x._2, x._3)).toSeq)
+  }
+
   test("rollup reuse: monthly answer from the daily rollup is " +
       "bit-identical to the direct fact scan") {
     val fromRollup = SparkEntry.queries("q_rollup_reuse")(spark, sf)
