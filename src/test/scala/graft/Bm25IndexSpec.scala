@@ -155,6 +155,33 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === want)
   }
 
+  test("compaction crash recovery: a root stranded at .prev rolls " +
+      "back and the re-run compacts normally") {
+    // Simulate a prior compaction that died between its two renames:
+    // the index exists ONLY at `.prev`. The re-run's preamble must
+    // roll it back and proceed — answers identical to an uninterrupted
+    // delete+compact cycle.
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft_bm25_crash").toString
+    val root = s"$dir/idx"
+    TextAnalysis.writeBm25IndexOn(docs, root)
+    TextAnalysis.deleteFromBm25Index(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 9).select("doc_id"))
+    import spark.implicits._
+    val qterms = Seq((1L, "the"), (2L, "data")).toDF("q_id", "tok")
+    val want = TextAnalysis.probeBm25Index(spark, root, qterms)
+      .collect().map(_.toSeq).toSeq
+    // crash window: root retired to .prev, staging never published
+    assert(new java.io.File(root)
+      .renameTo(new java.io.File(root + ".prev")))
+    TextAnalysis.compactBm25Index(spark, root)
+    assert(new java.io.File(root).exists())
+    assert(!new java.io.File(root + ".prev").exists())
+    assert(!new java.io.File(s"$root/tombstones").exists())
+    assert(TextAnalysis.probeBm25Index(spark, root, qterms)
+      .collect().map(_.toSeq).toSeq === want)
+  }
+
   test("streaming segments: probe across epochs ≡ one-shot index; " +
       "re-delivered segment replaces, not duplicates") {
     // Split the corpus in two "micro-batches", land each as an

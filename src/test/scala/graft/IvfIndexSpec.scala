@@ -145,6 +145,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(top(dirLive) === afterDelete)
   }
 
+  test("compaction crash recovery: a root stranded at .prev rolls " +
+      "back and the re-run compacts normally") {
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
+    val dir = Files.createTempDirectory("graft_ivf_crash").toString
+    val root = s"$dir/idx"
+    Similarity.writeIvfIndex(embs, root, k = 5, iters = 2)
+    Similarity.deleteFromIvfIndex(spark, root,
+      embs.filter(pmod(col("vec_id"), lit(10L)) === 9).select("vec_id"))
+    def top(): Seq[(Long, Double)] =
+      Similarity.probeIvfIndex(spark, root, queryVec,
+        nprobe = 5, topK = 10)
+        .select("vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = top()
+    // crash window: root retired to .prev, staging never published
+    assert(new java.io.File(root)
+      .renameTo(new java.io.File(root + ".prev")))
+    Similarity.compactIvfIndex(spark, root)
+    assert(new java.io.File(root).exists())
+    assert(!new java.io.File(root + ".prev").exists())
+    assert(!new java.io.File(s"$root/tombstones").exists())
+    assert(top() === want)
+  }
+
   test("streaming segments: frozen-centroid epochs probe like the " +
       "canonical layout; re-delivery replaces; compact merges segments") {
     // The vector analogue of the BM25 segment test: centroids trained

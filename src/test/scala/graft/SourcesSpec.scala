@@ -417,5 +417,14 @@ class SourcesSpec extends SparkSpec {
     // version leaves no .prev residue (retired copy deleted only AFTER
     // the swap landed) — the delete-then-rename window is gone
     assert(!fs.exists(new org.apache.hadoop.fs.Path(pub + ".prev")))
+    // crash recovery (round 11): a PRIOR run that died between its two
+    // renames leaves the ONLY copy at .prev — the next cycle must not
+    // delete it, and must leave the new version published with no
+    // residue. Simulate the window, then publish v1 again.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(pub),
+      new org.apache.hadoop.fs.Path(pub + ".prev")))
+    assert(Sources.writeAuditPublish(v1, pub, audit))
+    assert(spark.read.parquet(pub).count() === n1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pub + ".prev")))
   }
 }
