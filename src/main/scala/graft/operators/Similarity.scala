@@ -1968,9 +1968,16 @@ object Similarity {
     probeIvfIndexBatch(s, path, (1L to 8L), nprobe = Int.MaxValue,
       topK = 10)
 
-  // lazy: cosineSql initializes later in this object's body
-  private[graft] lazy val ivfIngestOracle =
-    s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id BETWEEN 1 AND 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY q_id, sim DESC, vec_id"
+  /** Brute-force cosine batch (queries 1..8, top-10) over an arbitrary
+    * embeddings source — the streaming-lifecycle keys replay it over
+    * only the LIVE vectors. lazy: cosineSql initializes later in this
+    * object's body. */
+  private def ivfIngestOracleFrom(src: String) =
+    s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM $src), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id BETWEEN 1 AND 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY q_id, sim DESC, vec_id"
+
+  private[graft] lazy val ivfIngestOracle = ivfIngestOracleFrom("embeddings")
+  private[graft] lazy val ivfIngestLiveOracle = ivfIngestOracleFrom(
+    "(SELECT * FROM embeddings WHERE vec_id % 10 <> 9)")
 
   // --- q_embed_clusters: near-dup collapse over EMBEDDING pairs ---
   // Cross-module composition: the bucketed exact ε-join feeds the same

@@ -1573,7 +1573,10 @@ object EventsStreaming {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  val qStreamIvfIngest: (SparkSession, String) => DataFrame = (s, d) => {
+  /** Run the frozen-centroid segment ingest to completion and return
+    * the index root — factored so the composed lifecycle key shares the
+    * SAME streaming run the declared ingest key uses. */
+  private def runIvfIngestStream(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.Similarity
     val inv = ivfIngestInvocation.incrementAndGet()
@@ -1602,8 +1605,30 @@ object EventsStreaming {
         "q_stream_ivf_ingest timed out after 300s")
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    Similarity.probeIvfIngested(s, base)
+    base
   }
+
+  val qStreamIvfIngest: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.operators.Similarity
+    Similarity.probeIvfIngested(s, runIvfIngestStream(s, d))
+  }
+
+  /** The composed IVF lifecycle over the streaming-segmented layout —
+    * the exact vector analogue of [[qStreamBm25Lifecycle]]: segment
+    * ingest, a tombstone batch deleting vec_id ≡ 9 (mod 10),
+    * compaction merging every epoch into the canonical c_id tree, and
+    * a probe-ALL that must equal brute-force cosine over only the live
+    * vectors (queries 1..8 all survive the delete). */
+  val qStreamIvfLifecycle: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import graft.operators.Similarity
+      val base = runIvfIngestStream(s, d)
+      Similarity.deleteFromIvfIndex(s, base,
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(10L)) === 9).select("vec_id"))
+      Similarity.compactIvfIndex(s, base)
+      Similarity.probeIvfIngested(s, base)
+    }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_join", qStreamJoin, Some(
@@ -1638,6 +1663,10 @@ object EventsStreaming {
     // frozen-centroid segment ingest, probe-all ≡ brute-force batch
     QueryDef("q_stream_ivf_ingest", qStreamIvfIngest,
       Some(graft.operators.Similarity.ivfIngestOracle)),
+    // ingest → tombstone-delete → epoch-merging compact → probe-all ≡
+    // brute force over only the live vectors (oracle BY REFERENCE)
+    QueryDef("q_stream_ivf_lifecycle", qStreamIvfLifecycle,
+      Some(graft.operators.Similarity.ivfIngestLiveOracle)),
     QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
       // every event lands in the file sink exactly once across batches
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),
