@@ -513,12 +513,26 @@ object TextAnalysis {
       // ~nBuckets files per write batch.
       .repartition(col("dbkt"))
 
-  /** One (n_docs, tot_tok) delta row for `docs` — longs, so stats
-    * compose additively across appends with no float drift. */
-  private[graft] def bm25StatsDelta(docs: DataFrame): DataFrame =
-    docs.select(size(split(trim(col("text")), "\\s+")).as("ntok"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("ntok").cast("long")).as("tot_tok"))
+  /** One (postings, doclens, stats) write cycle — the three per-doc
+    * artifacts of a batch of documents, with the corpus tokenized
+    * exactly ONCE beyond the postings pass: the (n_docs, tot_tok) stats
+    * delta aggregates the checkpointed doclens frame (dl IS the token
+    * count) instead of re-splitting the text a third time. Longs
+    * throughout, so stats compose additively across appends/segments
+    * with no float drift. `pathOf` maps each artifact name to its
+    * destination (batch: `$path/<name>`; streaming segment:
+    * `$path/<name>/epoch=N`). */
+  private def writeBm25Artifacts(docs: DataFrame, nBuckets: Int,
+      mode: String, pathOf: String => String): Unit = {
+    bm25TfDl(docs)
+      .withColumn("bkt", bm25Bkt(nBuckets))
+      .write.mode(mode).partitionBy("bkt")
+      .parquet(pathOf("postings"))
+    val dl = bm25DocLens(docs, nBuckets).localCheckpoint()
+    dl.write.mode(mode).partitionBy("dbkt").parquet(pathOf("doclens"))
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
+      .write.mode(mode).parquet(pathOf("stats"))
+  }
 
   /** Build and persist the postings index (postings/bkt=K directories
     * + the stats table). */
@@ -528,32 +542,25 @@ object TextAnalysis {
 
   /** [[writeBm25Index]] over an explicit corpus frame. */
   def writeBm25IndexOn(docs: DataFrame, path: String,
-      nBuckets: Int = 64): Unit = {
-    bm25TfDl(docs)
-      .withColumn("bkt", bm25Bkt(nBuckets))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$path/postings")
-    bm25DocLens(docs, nBuckets)
-      .write.mode("overwrite").partitionBy("dbkt")
-      .parquet(s"$path/doclens")
-    bm25StatsDelta(docs).write.mode("overwrite").parquet(s"$path/stats")
-  }
+      nBuckets: Int = 64): Unit =
+    writeBm25Artifacts(docs, nBuckets, "overwrite", n => s"$path/$n")
 
   /** Append new documents to an existing index: their (tf, dl) postings
     * are per-doc facts (computable from the new docs alone), landed
     * into the same bucket layout; the stats table gains one delta row.
     * df/idf/avgdl are probe-time, so append ≡ rebuild EXACTLY. */
   def appendToBm25Index(s: SparkSession, path: String, newDocs: DataFrame,
-      nBuckets: Int = 64): Unit = {
-    bm25TfDl(newDocs)
-      .withColumn("bkt", bm25Bkt(nBuckets))
-      .write.mode("append").partitionBy("bkt")
-      .parquet(s"$path/postings")
-    bm25DocLens(newDocs, nBuckets)
-      .write.mode("append").partitionBy("dbkt")
-      .parquet(s"$path/doclens")
-    bm25StatsDelta(newDocs).write.mode("append").parquet(s"$path/stats")
-  }
+      nBuckets: Int = 64): Unit =
+    writeBm25Artifacts(newDocs, nBuckets, "append", n => s"$path/$n")
+
+  /** One streaming micro-batch's index segment — each artifact lands
+    * under its `epoch=N` directory by EPOCH-OVERWRITE, so a re-delivered
+    * batch replaces rather than duplicates its segment (exactly-once
+    * without sink transactions). */
+  private[graft] def writeBm25Segment(batch: DataFrame, base: String,
+      id: Long, nBuckets: Int = 64): Unit =
+    writeBm25Artifacts(batch, nBuckets, "overwrite",
+      n => s"$base/$n/epoch=$id")
 
   private def hadoopExists(s: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)

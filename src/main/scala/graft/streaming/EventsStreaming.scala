@@ -1467,22 +1467,12 @@ object EventsStreaming {
     * them when segment-count rent exceeds one reclaim pass. */
   /** One micro-batch's index segment, epoch-overwritten — re-delivery
     * REPLACES the segment instead of duplicating it (the
-    * idempotentEpochWrite discipline, applied to a two-table write:
-    * both live under epoch=N, so the overwrite granularity is the whole
-    * segment). */
+    * idempotentEpochWrite discipline, applied to the whole three-table
+    * segment; the shared writer also tokenizes the batch once for
+    * doclens+stats instead of twice). */
   private[graft] def bm25IngestSegment(batch: DataFrame, base: String,
-      id: Long): Unit = {
-    import graft.operators.TextAnalysis
-    TextAnalysis.bm25TfDl(batch)
-      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(64L)).cast("int"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$base/postings/epoch=$id")
-    TextAnalysis.bm25DocLens(batch, 64)
-      .write.mode("overwrite").partitionBy("dbkt")
-      .parquet(s"$base/doclens/epoch=$id")
-    TextAnalysis.bm25StatsDelta(batch)
-      .write.mode("overwrite").parquet(s"$base/stats/epoch=$id")
-  }
+      id: Long): Unit =
+    graft.operators.TextAnalysis.writeBm25Segment(batch, base, id)
 
   /** Run the micro-batched segment ingest to completion and return the
     * freshly-built index root — factored so the lifecycle key can
