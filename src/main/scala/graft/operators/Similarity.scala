@@ -1315,7 +1315,13 @@ object Similarity {
           .localCheckpoint()
         codes = pqEncode(er, cb, PqM, subDim).localCheckpoint()
         if (it < rounds)
-          rot = procrustesRotation(e, codes, cb, OpqDim, PqM)
+          // the Procrustes fit has the covarianceMatrix shape (corpus ×
+          // dim² exploded cells) — fit it on the same bounded hash
+          // sample so the whole rotation-training loop is
+          // corpus-size-independent; codes/codebooks stay corpus-wide
+          // (they ARE the index)
+          rot = procrustesRotation(opqTrainSample(e), codes, cb,
+            OpqDim, PqM)
       }
       val withN2 = codes
         .join(e.select(col("vec_id"), col("n2")), "vec_id")
