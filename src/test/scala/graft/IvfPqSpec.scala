@@ -227,6 +227,23 @@ class IvfPqSpec extends SparkSpec {
       s"sampled-rotation mse $mseSampled vs full $mseFull")
   }
 
+  test("the rotation-training sample is a pure function of ids: " +
+      "identical membership across partition layouts and runs") {
+    // The corpus-size-independence claim rests on the sample being
+    // DETERMINISTIC — a rand()-style sample would retrain a different
+    // rotation per run and layout, breaking artifact reproducibility.
+    val e = Similarity.prepare(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+      .filter(col("vec_id") =!= 0L)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.opqTrainSample(df).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(e)
+    assert(a === ids(e.repartition(7)), "layout changed the sample")
+    assert(a === ids(e), "re-run changed the sample")
+    assert(a.size < e.count(), "cap did not engage at sf0.1")
+  }
+
   test("non-parametric OPQ: the Procrustes alternation is objective-" +
       "monotone and reconstructs at least as well as parametric OPQ " +
       "on anisotropic data") {
