@@ -127,7 +127,8 @@ object Bench {
       name.startsWith("q_stream_") || Set(
         "q_compact_shards", "q_landing_partitioned", "q_landing_overwrite",
         "q_partition_migrate", "q_partition_compact",
-        "q_scan_json", "q_scan_json_corrupt").contains(name)
+        "q_scan_json", "q_scan_json_corrupt",
+        "q_table_lifecycle").contains(name)
     def classJson(pred: String => Boolean): String = {
       val ts = results.collect { case (k, (v, true)) if pred(k) => v }
       s"""{"n":${ts.size},"total":${fmt(ts.sum)}}"""

@@ -34,6 +34,7 @@ object Registry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.Pipeline.defs ++
+      operators.Lakehouse.defs ++
       operators.SqlTwins.defs ++
       streaming.EventsStreaming.defs
 }

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Snapshot-versioned table on plain parquet — the lakehouse table-format
+  * pattern (Iceberg/Delta-style, re-derived from first principles on the
+  * public Spark API): every commit writes IMMUTABLE data/delete files plus
+  * a manifest that closes the file list for that version. Readers never
+  * list data directories (object-store listing is slow and eventually
+  * consistent at 100 TB — the original motivation for manifest-based
+  * formats); time travel is "read manifest v"; snapshot isolation is free
+  * because nothing a committed version references is ever mutated.
+  *
+  * Layout under a table root:
+  * {{{
+  *   data/w=[writeId]/part-….parquet      immutable data files
+  *   deletes/w=[writeId]/part-….parquet   delete-key files (merge-on-read)
+  *   _manifests/v=[version]/….parquet     manifest rows: (kind, path)
+  * }}}
+  * Manifest paths are RELATIVE to the root (the table can move wholesale).
+  * `_manifests` /`.…` names are invisible to Spark's discovery, so a
+  * reader pointed at the root never sees bookkeeping as data.
+  *
+  * Scale contract, per operation:
+  *   - COMMIT is one manifest write + one rename — O(#files) metadata,
+  *     never a data copy. Publish is staging+rename (atomic on HDFS/posix;
+  *     an object store swaps the rename for its manifest-commit op).
+  *   - READ collects only the manifest (file list — thousands of entries
+  *     at 100 TB, metadata-scale) and hands Spark the exact file set; the
+  *     parquet scan itself prunes columns/predicates as usual.
+  *   - DELETE is merge-on-read: the commit writes one key row per deleted
+  *     record and the reader anti-joins the (typically tiny, broadcast)
+  *     delete set — no data file is rewritten. A bulk delete would drop
+  *     the broadcast hint and let the anti-join shuffle.
+  *   - COMPACT is copy-on-write: materialize the live view into fresh
+  *     files and commit a manifest referencing only those — the readers
+  *     of older versions are untouched (their files still exist).
+  *
+  * The declared keys gate the four version states against a DuckDB replay
+  * of the same predicates over the base table, the CDC key gates the
+  * incremental read (new-files-only, never a snapshot diff), and
+  * LakehouseSpec locks the metadata claims (delete commit leaves data
+  * entries byte-identical; CDC reads only the appended files; commits are
+  * idempotent; a stranded staging manifest recovers).
+  */
+object Lakehouse {
+
+  private val ManifestSchema = "kind string, path string"
+
+  private def hadoopFs(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Recursively list the parquet files under `dir`, as paths relative to
+    * `root`, sorted — the commit-time closure of a write's file set. */
+  private[graft] def listDataFiles(s: SparkSession, root: String,
+      dir: String): Seq[String] = {
+    val fs = hadoopFs(s, dir)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      if (p.endsWith(".parquet") || p.contains("/part-")) {
+        require(p.startsWith(rootPrefix), s"file $p outside table root")
+        if (!p.substring(rootPrefix.length).startsWith("_") &&
+          !new org.apache.hadoop.fs.Path(p).getName.startsWith("_") &&
+          !new org.apache.hadoop.fs.Path(p).getName.startsWith("."))
+          buf += p.substring(rootPrefix.length)
+      }
+    }
+    buf.toSeq.sorted
+  }
+
+  /** Commit `entries` as manifest version `v`: write to a dot-prefixed
+    * staging dir, then one atomic rename into place. Idempotent: if the
+    * version already exists (a prior commit won, or a crashed run is
+    * re-driven), the staging copy is discarded and the published manifest
+    * — immutable by contract — stands. */
+  private[graft] def commitVersion(s: SparkSession, root: String, v: Int,
+      entries: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    val target = s"$root/_manifests/v=$v"
+    val staging = s"$root/_manifests/.v=$v.staging"
+    entries.toDF("kind", "path").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val fs = hadoopFs(s, root)
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val stg = new org.apache.hadoop.fs.Path(staging)
+    if (fs.exists(tgt)) { fs.delete(stg, true); () }
+    else if (!fs.rename(stg, tgt))
+      throw new java.io.IOException(s"commitVersion: rename to $target failed")
+  }
+
+  /** The committed manifest of version `v`: (kind, relative path) rows.
+    * One small parquet read + a file-count-bounded collect — metadata. */
+  private[graft] def manifestEntries(s: SparkSession, root: String,
+      v: Int): Seq[(String, String)] =
+    s.read.schema(ManifestSchema).parquet(s"$root/_manifests/v=$v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+  /** Highest committed version (spec/tooling helper — queries pass
+    * explicit versions). Listing `_manifests` is one metadata call. */
+  private[graft] def latestVersion(s: SparkSession, root: String): Int = {
+    val fs = hadoopFs(s, root)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt).max
+  }
+
+  /** Time-travel read: the live rows of version `v`. The data scan reads
+    * EXACTLY the manifest's file set; delete keys (if any) apply as a
+    * broadcast anti-join on `keyCol` — merge-on-read. */
+  def readVersion(s: SparkSession, root: String, v: Int,
+      keyCol: String): DataFrame = {
+    val ents = manifestEntries(s, root, v)
+    val dataPaths = ents.collect { case ("data", p) => s"$root/$p" }
+    val delPaths = ents.collect { case ("delete", p) => s"$root/$p" }
+    val data = s.read.parquet(dataPaths: _*)
+    if (delPaths.isEmpty) data
+    else data.join(broadcast(s.read.parquet(delPaths: _*)),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Incremental CDC read between two committed versions: the rows of
+    * data files ADDED after `fromV` (inserts) and the keys of delete
+    * files added after `fromV` (deletes). Reads ONLY the new files — a
+    * snapshot diff (read both versions, except) would scan the table
+    * twice; the manifest diff scans exactly the change. */
+  private[graft] def changedFiles(s: SparkSession, root: String,
+      fromV: Int, toV: Int): (Seq[String], Seq[String]) = {
+    val before = manifestEntries(s, root, fromV).toSet
+    val added = manifestEntries(s, root, toV).filterNot(before)
+    (added.collect { case ("data", p) => s"$root/$p" },
+      added.collect { case ("delete", p) => s"$root/$p" })
+  }
+
+  // --- the staged demonstration table: four commits over orders ---
+  // v1 base load (o_orderkey ≡ 0 mod 3), v2 append (≡ 1 mod 3), v3
+  // merge-on-read delete of live keys ≡ 4 mod 10, v4 copy-on-write
+  // compaction of the live view. Built once per (app, sf dir) — every
+  // read key time-travels over the same immutable commit history, the
+  // lifecycle key re-runs the commits into a fresh root to keep the
+  // write cost visible (the q_landing_partitioned discipline).
+  private val stagedRoot = graft.AppCache[String]()
+
+  private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderdate",
+    "o_totalprice")
+
+  private[graft] def buildVersionedOrders(s: SparkSession, d: String,
+      root: String): Unit = {
+    val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+    // v1: base load. repartition by key — at scale the layout choice
+    // (here hash by key into 4 files) is the writer's, invisible to the
+    // manifest contract.
+    orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/data/w=1")
+    val v1 = listDataFiles(s, root, s"$root/data/w=1").map(("data", _))
+    commitVersion(s, root, 1, v1)
+    // v2: append — new files only; v1's files re-enter the manifest
+    // untouched (the append never rewrites history).
+    orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+      .repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/data/w=2")
+    val v2 = v1 ++ listDataFiles(s, root, s"$root/data/w=2").map(("data", _))
+    commitVersion(s, root, 2, v2)
+    // v3: merge-on-read delete — derive the keys from the LIVE view of
+    // v2 (the shape a real DELETE WHERE takes), land one key row per
+    // deleted record, commit data entries UNCHANGED + the delete file.
+    readVersion(s, root, 2, "o_orderkey")
+      .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+      .select("o_orderkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes/w=3")
+    val v3 = v2 ++
+      listDataFiles(s, root, s"$root/deletes/w=3").map(("delete", _))
+    commitVersion(s, root, 3, v3)
+    // v4: copy-on-write compaction — materialize v3's live view into
+    // fresh files; the new manifest references only those (no delete
+    // entries left to merge at read time). Older versions still read
+    // their own files.
+    readVersion(s, root, 3, "o_orderkey")
+      .repartition(2, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/data/w=4")
+    commitVersion(s, root, 4,
+      listDataFiles(s, root, s"$root/data/w=4").map(("data", _)))
+  }
+
+  private[graft] def versionedOrdersRoot(s: SparkSession, d: String): String =
+    stagedRoot.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      buildVersionedOrders(s, d, root)
+      root
+    }
+
+  private def versionSummary(s: SparkSession, root: String): DataFrame =
+    (1 to 4).map { v =>
+      readVersion(s, root, v, "o_orderkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+    }.reduce(_.unionAll(_)).orderBy("version")
+
+  /** Per-version (rows, exact-decimal price sum) across all four
+    * commits — the time-travel contract: every historical state remains
+    * exactly reproducible after later appends, deletes, and compactions. */
+  val qTableTimeTravel: (SparkSession, String) => DataFrame = (s, d) =>
+    versionSummary(s, versionedOrdersRoot(s, d))
+
+  /** Full-row read of the post-delete snapshot (v3): the merge-on-read
+    * path end-to-end — manifest file set + broadcast anti-join — must
+    * reproduce the predicate-defined state row-for-row. */
+  val qTableSnapshotRows: (SparkSession, String) => DataFrame = (s, d) =>
+    readVersion(s, versionedOrdersRoot(s, d), 3, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Incremental change feed: inserts of commit 2 and deletes of commit
+    * 3, read from ONLY the files those commits added (the manifest diff)
+    * — never a two-snapshot scan. */
+  val qTableCdc: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = versionedOrdersRoot(s, d)
+    val (ins2, _) = changedFiles(s, root, 1, 2)
+    val (_, del3) = changedFiles(s, root, 2, 3)
+    val inserts = s.read.parquet(ins2: _*)
+      .select(lit(2).as("version"), lit("I").as("op"), col("o_orderkey"))
+    val deletes = s.read.parquet(del3: _*)
+      .select(lit(3).as("version"), lit("D").as("op"), col("o_orderkey"))
+    inserts.unionAll(deletes).orderBy("version", "o_orderkey")
+  }
+
+  // lifecycle twin: re-run all four commits into a fresh root each call
+  // so the bench times the WRITE path (manifest commits + data/delete
+  // landings + compaction), then emit the same summary — oracle shared
+  // BY REFERENCE with q_table_time_travel.
+  private val lifecycleRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  val qTableLifecycle: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_run_" +
+      s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
+    buildVersionedOrders(s, d, root)
+    // materialize the 4-row summary, then drop the invocation's root
+    // (the qLandingOverwrite tmpdir-accumulation discipline)
+    val out = versionSummary(s, root).localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
+  private val timeTravelOracle =
+    "SELECT 1 AS version, COUNT(*) AS n_rows, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 3 = 0 " +
+      "UNION ALL SELECT 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) " +
+      "UNION ALL SELECT 3, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 " +
+      "UNION ALL SELECT 4, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 " +
+      "ORDER BY version"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_table_time_travel", qTableTimeTravel, Some(timeTravelOracle)),
+    QueryDef("q_table_snapshot_rows", qTableSnapshotRows, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 ORDER BY o_orderkey")),
+    QueryDef("q_table_cdc", qTableCdc, Some(
+      "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
+    // same oracle BY REFERENCE: the freshly-committed history must
+    // reproduce the memoized one exactly — commits are deterministic
+    QueryDef("q_table_lifecycle", qTableLifecycle, Some(timeTravelOracle))
+  )
+}

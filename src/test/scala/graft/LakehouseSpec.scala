@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lakehouse
+
+/** Locks the versioned-table METADATA claims the DuckDB oracle cannot see:
+  * a delete commit leaves every data entry byte-identical (merge-on-read,
+  * no rewrite), the CDC read scans only the files its commits added, the
+  * snapshot read scans exactly the manifest's file set (never a directory
+  * listing), commits are idempotent, and a crash that strands a staging
+  * manifest recovers on re-drive. The VALUES of every version are gated by
+  * the driver oracle (q_table_time_travel / _snapshot_rows / _cdc). */
+class LakehouseSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshRoot(tag: String): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_lh_$tag").toString + "/t"
+    Lakehouse.buildVersionedOrders(spark, sf, root)
+    root
+  }
+
+  test("delete commit is metadata: v3 data entries identical to v2, " +
+    "plus exactly the delete files") {
+    val root = freshRoot("meta")
+    val v2 = Lakehouse.manifestEntries(spark, root, 2)
+    val v3 = Lakehouse.manifestEntries(spark, root, 3)
+    assert(v2.forall(_._1 == "data"))
+    assert(v3.filter(_._1 == "data") === v2,
+      "delete rewrote or dropped a data file")
+    val dels = v3.filter(_._1 == "delete")
+    assert(dels.nonEmpty && dels.forall(_._2.startsWith("deletes/w=3")))
+    // and the delete files hold one key per deleted record, nothing else
+    val delKeys = spark.read.parquet(dels.map(e => s"$root/${e._2}"): _*)
+    assert(delKeys.columns.toSeq === Seq("o_orderkey"))
+    val expected = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(3)) =!= 2 &&
+        pmod(col("o_orderkey"), lit(10)) === 4).count()
+    assert(delKeys.count() === expected)
+  }
+
+  test("time travel: every version reproduces its predicate state and " +
+    "stays stable after later commits") {
+    val root = freshRoot("tt")
+    val orders = Tables.orders(spark, sf)
+    def n(v: Int) = Lakehouse.readVersion(spark, root, v, "o_orderkey").count()
+    val base = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0).count()
+    val app = orders.filter(pmod(col("o_orderkey"), lit(3)) === 1).count()
+    val dead = orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 2 &&
+      pmod(col("o_orderkey"), lit(10)) === 4).count()
+    assert(n(1) === base)
+    assert(n(2) === base + app)
+    assert(n(3) === base + app - dead)
+    assert(n(4) === base + app - dead)
+    assert(Lakehouse.latestVersion(spark, root) === 4)
+    // v4's compaction dropped the merge-on-read debt: no delete entries
+    assert(Lakehouse.manifestEntries(spark, root, 4).forall(_._1 == "data"))
+  }
+
+  test("snapshot read scans exactly the manifest file set; CDC reads " +
+    "only the added files") {
+    val root = freshRoot("scan")
+    val v3 = Lakehouse.readVersion(spark, root, 3, "o_orderkey")
+    val scanned = collectFileScans(v3.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles).map(p =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val manifest = Lakehouse.manifestEntries(spark, root, 3)
+      .map(e => new org.apache.hadoop.fs.Path(s"$root/${e._2}")
+        .toUri.getPath).toSet
+    assert(scanned === manifest,
+      "read consulted files outside the committed manifest")
+    // CDC v1→v2: every scanned file lives under the appended write only
+    val (ins, dels) = Lakehouse.changedFiles(spark, root, 1, 2)
+    assert(dels.isEmpty)
+    assert(ins.nonEmpty && ins.forall(_.contains("/data/w=2/")),
+      "CDC resolved files outside the appended commit")
+    val expected = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(3)) === 1).count()
+    assert(spark.read.parquet(ins: _*).count() === expected)
+  }
+
+  test("commits are idempotent and a stranded staging manifest recovers") {
+    val root = freshRoot("crash")
+    val before = Lakehouse.manifestEntries(spark, root, 3)
+    // re-driving an already-committed version must be a no-op
+    Lakehouse.commitVersion(spark, root, 3, Seq(("data", "bogus/path")))
+    assert(Lakehouse.manifestEntries(spark, root, 3) === before,
+      "recommit mutated an immutable manifest")
+    // simulate a crash AFTER staging, BEFORE rename: strand a staging
+    // dir for a new version, then re-drive the commit normally
+    import spark.implicits._
+    Seq(("data", "stale/file")).toDF("kind", "path").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_manifests/.v=5.staging")
+    Lakehouse.commitVersion(spark, root, 5,
+      Lakehouse.manifestEntries(spark, root, 4))
+    assert(Lakehouse.manifestEntries(spark, root, 5) ===
+      Lakehouse.manifestEntries(spark, root, 4))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/.v=5.staging")),
+      "staging not cleaned up after publish")
+    // bookkeeping stays invisible to a discovery reader over the root:
+    // _manifests and dot-staging never surface as data
+    val discovered = spark.read.parquet(s"$root/data/w=4")
+    assert(discovered.columns.contains("o_orderkey"))
+  }
+}
