@@ -1208,6 +1208,84 @@ object TextAnalysis {
       "round(CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE), 6) END AS " +
       "rec FROM cm ORDER BY t"
 
+  // --- q_quality_lr_train_sampled / _pr_sampled: the DEPLOYED trainer
+  // shape. The full-corpus GD (q_quality_lr_train) pays iters×N rows
+  // per training run — honest, oracled, and exactly what a 100 TB
+  // pipeline must NOT do for a 5-weight model (VERDICT r10 hygiene
+  // note: "a sampled trainer is the deployed shape"). Here the trainer
+  // sees a CORPUS-SIZE-INDEPENDENT deterministic sample: the LrSampleCap
+  // docs with the smallest md5('graft_lrs' ‖ doc_id) — a salted-hash
+  // total order, so the sample is a uniform draw that is identical
+  // across engines, runs, and partition layouts (the OPQ rotation-sample
+  // discipline, Similarity.rotationSampleOn). Selection is
+  // TakeOrdered(cap) — executor-local top-k, no global sort — and the
+  // 24-iteration recurrence then runs over cap rows, so training cost
+  // is O(cap·iters) REGARDLESS of corpus size; the corpus pays exactly
+  // one scoring pass. The PR key sweeps the sampled-trained gate over
+  // the FULL corpus, hash-gating that the cheap trainer still separates
+  // (QualityLrSpec pins accuracy parity with the full-corpus gate).
+  private val LrSampleCap = 256
+
+  private def lrSampleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("__h", md5(to_binary(concat(lit("graft_lrs"),
+        col("doc_id").cast("string")), lit("utf-8"))))
+      .orderBy(col("__h").asc, col("doc_id").asc)
+      .limit(LrSampleCap)
+      .drop("__h")
+
+  private val lrSampledCache = graft.AppCache[Seq[(Int, Array[Double])]]()
+
+  private def lrSampledTrace(s: SparkSession, d: String)
+      : Seq[(Int, Array[Double])] =
+    lrSampledCache.get(s, d)(lrTrainTrace(lrSampleDocs(s, d)))
+
+  val qQualityLrTrainSampled: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import s.implicits._
+      lrSampledTrace(s, d)
+        .map { case (it, w) => (it, w(0), w(1), w(2), w(3), w(4)) }
+        .toDF("iter", "w0", "w1", "w2", "w3", "w4")
+        .orderBy("iter")
+    }
+
+  val qQualityLrPrSampled: (SparkSession, String) => DataFrame = (s, d) =>
+    lrPrSweep(lrFeatures(Tables.documents(s, d)),
+      lrSampledTrace(s, d).last._2)
+
+  // the deterministic sample as a DuckDB predicate: same salted-hash
+  // total order, same cap
+  private val lrSamplePred =
+    "doc_id IN (SELECT doc_id FROM documents ORDER BY " +
+      s"md5('graft_lrs' || CAST(doc_id AS VARCHAR)), doc_id LIMIT $LrSampleCap)"
+
+  private[graft] val lrTrainSampledOracle =
+    s"WITH ${lrFeatureCtesOn(s"fy WHERE $lrSamplePred")}, " +
+      s"${lrIterCtes(LrIters)} " +
+      (1 to LrIters).map(i =>
+        s"SELECT $i AS iter, w0, w1, w2, w3, w4 FROM w$i")
+        .mkString(" UNION ALL ") +
+      " ORDER BY iter"
+
+  private[graft] val lrPrSampledOracle =
+    s"WITH ${lrFeatureCtesOn(s"fy WHERE $lrSamplePred")}, " +
+      s"${lrIterCtes(LrIters)}, " +
+      "sc AS MATERIALIZED (SELECT 0.5 + 0.5*(z/(1.0 + abs(z))) AS p, y " +
+      "FROM (SELECT y, (w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) " +
+      s"AS z FROM fy CROSS JOIN w$LrIters w)), " +
+      "th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, " +
+      "0.8, 0.9]) AS DOUBLE) AS t), " +
+      "cm AS (SELECT t, SUM(CASE WHEN p >= t AND y = 1.0 THEN 1 ELSE 0 " +
+      "END) AS tp, SUM(CASE WHEN p >= t AND y = 0.0 THEN 1 ELSE 0 END) " +
+      "AS fp, SUM(CASE WHEN p < t AND y = 1.0 THEN 1 ELSE 0 END) AS fn " +
+      "FROM sc CROSS JOIN th GROUP BY t) " +
+      "SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+      "CAST(fn AS BIGINT) AS fn, CASE WHEN tp + fp = 0 THEN NULL ELSE " +
+      "round(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE), 6) END AS " +
+      "prec, CASE WHEN tp + fn = 0 THEN NULL ELSE " +
+      "round(CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE), 6) END AS " +
+      "rec FROM cm ORDER BY t"
+
   // --- count-min-sketch token heavy hitters (self-validating) ---
   // Completes the mergeable-sketch family (HLL distinct, MinHash
   // similarity, quantile sketch, Bloom membership): frequency estimation
@@ -1606,6 +1684,14 @@ object TextAnalysis {
     // held-out odds — hash-verified generalization, not memorization
     QueryDef("q_quality_lr_holdout", qQualityLrHoldout,
       Some(lrHoldoutOracle)),
+    // the deployed trainer shape: corpus-size-independent hash-capped
+    // sample trains the gate, the full corpus only pays the scoring
+    // pass — both the sampled weight trace and the full-corpus PR of
+    // the sampled gate are hash-verified
+    QueryDef("q_quality_lr_train_sampled", qQualityLrTrainSampled,
+      Some(lrTrainSampledOracle)),
+    QueryDef("q_quality_lr_pr_sampled", qQualityLrPrSampled,
+      Some(lrPrSampledOracle)),
     QueryDef("q_quality_score", qQualityScore, Some(
       "SELECT doc_id, round(0.4 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100) + 0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500) + 0.2 * (CASE WHEN length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')) > 0 THEN 1.0 ELSE 0.0 END), 4) AS quality FROM documents ORDER BY doc_id")),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(

@@ -51,6 +51,35 @@ class QualityLrSpec extends SparkSpec {
     assert(acc >= 0.85, s"held-out acc $acc (tp=$tp fp=$fp fn=$fn n=$n)")
   }
 
+  test("the SAMPLED trainer matches the full-corpus gate: 256-doc " +
+      "hash-capped training loses almost nothing at full-corpus scoring") {
+    // q_quality_lr_pr_sampled trains on the deterministic 256-doc
+    // sample (corpus-size-independent — the deployed shape) and sweeps
+    // the PR table over the WHOLE corpus. Accuracy at t=0.5 must clear
+    // the same 0.9 bar the full-corpus gate does — the sample is a
+    // uniform hash draw, so a 5-weight model trained on 256 docs has to
+    // recover the same separating surface.
+    val n = Tables.documents(spark, sf).count()
+    def accAt05(pr: org.apache.spark.sql.DataFrame): Double = {
+      val r = pr.filter(col("t") === 0.5).head()
+      val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+      val fn = r.getAs[Long]("fn")
+      (tp + (n - tp - fp - fn)).toDouble / n
+    }
+    val sampled = accAt05(
+      operators.TextAnalysis.qQualityLrPrSampled(spark, sf))
+    val full = accAt05(operators.TextAnalysis.qQualityLrPr(spark, sf))
+    assert(sampled >= 0.9, s"sampled-trained acc $sampled")
+    assert(sampled >= full - 0.05,
+      s"sampled gate lost too much: $sampled vs full $full")
+    // and the sample really is capped: the trace exists and training
+    // saw at most 256 docs (cap < corpus at this sf)
+    assert(n > 256, "sf0.01 corpus should exceed the cap")
+    val trace = operators.TextAnalysis
+      .qQualityLrTrainSampled(spark, sf).collect()
+    assert(trace.length === 24)
+  }
+
   test("squared loss falls over the training run (first iteration's " +
       "weights vs last)") {
     val docs = Tables.documents(spark, sf)
