@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,68 @@ object Temporal {
   val qJoinBand: (SparkSession, String) => DataFrame = (s, d) =>
     bandJoinPairs(Tables.events(s, d), 300L)
       .orderBy("user_id", "e1", "e2")
+
+  /** General interval-OVERLAP join — two tables of arbitrary-length
+    * [start, end] intervals (integer day indexes here), all pairs that
+    * overlap: `l0 <= r1 AND r0 <= l1`. The band join above handles the
+    * keyed within-δ case; this is the unkeyed range-join shape
+    * (sessions × promo windows, readings × maintenance outages) that
+    * native range-join engines ship and Spark would otherwise plan as a
+    * broadcast-nested-loop over the inequality.
+    *
+    * Scale-safe composition: quantize the day line into width-`bucketW`
+    * buckets and explode EACH side into the buckets its interval covers
+    * (⌈span/W⌉+1 rows — bounded by interval length, never by the other
+    * table), join on bucket equality as a plain hash shuffle, refine
+    * with the exact predicate. De-dup is free, not a `distinct`: a
+    * qualifying pair's overlap starts at g = greatest(l0, r0), which
+    * lies in both intervals, so the pair co-occurs in bucket ⌊g/W⌋ —
+    * and ONLY that bucket is allowed to emit it. Exactly-once by
+    * construction, no post-join shuffle.
+    *
+    * At 100 TB: shuffle volume is (rows × avg-buckets-per-interval),
+    * tuned by W against the interval-length distribution; partition
+    * count scales with the covered time span, so a dense span pairs W
+    * with a salt on one side the way the skew-join keys do. No
+    * cartesian, no nested loop — the spec locks the plan. */
+  def intervalOverlapPairs(left: DataFrame, l0: String, l1: String,
+      right: DataFrame, r0: String, r1: String, bucketW: Int): DataFrame = {
+    def bkt(c: Column): Column = floor(c / lit(bucketW)).cast("long")
+    val lb = left.withColumn("__bkt",
+      explode(sequence(bkt(col(l0)), bkt(col(l1)))))
+    val rb = right.withColumn("__bkt2",
+      explode(sequence(bkt(col(r0)), bkt(col(r1)))))
+    lb.join(rb, col("__bkt") === col("__bkt2") &&
+        col(l0) <= col(r1) && col(r0) <= col(l1) &&
+        col("__bkt") === bkt(greatest(col(l0), col(r0))))
+      .drop("__bkt", "__bkt2")
+  }
+
+  /** Declared key: 1996 order-processing intervals (orderdate + up to 6
+    * days) against supplier service windows (1–14 days spread over
+    * 1996), aggregated per window. Day indexes are exact integer
+    * date_diffs from 1990-01-01 in both engines; the oracle states the
+    * plain inequality join. */
+  val qJoinInterval: (SparkSession, String) => DataFrame = (s, d) => {
+    val epoch = lit("1990-01-01").cast("date")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate").cast("date"), epoch).as("a0"))
+      .withColumn("a1", col("a0") + pmod(col("o_orderkey"), lit(7)))
+    val w = Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        (datediff(lit("1996-01-01").cast("date"), epoch) +
+          pmod(col("s_suppkey") * 3, lit(350))).as("b0"))
+      .withColumn("b1", col("b0") + lit(1) + pmod(col("s_suppkey"), lit(14)))
+    intervalOverlapPairs(o, "a0", "a1", w, "b0", "b1", 16)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("s_suppkey")
+  }
 
   /** SCD Type-2 build — turn the per-customer order stream into a
     * versioned dimension history (the warehouse-maintenance staple):
@@ -131,6 +193,8 @@ object Temporal {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_gapfill_forward", qGapfillForward, Some(
       "WITH span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events), cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span), daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), grid AS (SELECT u.user_id, c.day FROM users u CROSS JOIN cal c) SELECT g.user_id AS user_id, strftime(g.day, '%Y-%m-%d') AS day, COALESCE(d.n_events, 0) AS n_events, d.day_value IS NULL AS is_gap, last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day ORDER BY g.user_id, g.day")),
+    QueryDef("q_join_interval", qJoinInterval, Some(
+      "WITH o AS (SELECT o_orderkey, o_totalprice, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a0, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + o_orderkey % 7 AS a1 FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'), w AS (SELECT s_suppkey, date_diff('day', DATE '1990-01-01', DATE '1996-01-01') + (s_suppkey * 3) % 350 AS b0, date_diff('day', DATE '1990-01-01', DATE '1996-01-01') + (s_suppkey * 3) % 350 + 1 + s_suppkey % 14 AS b1 FROM supplier) SELECT w.s_suppkey, COUNT(*) AS n_overlap, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM w JOIN o ON o.a0 <= w.b1 AND w.b0 <= o.a1 GROUP BY 1 ORDER BY 1")),
     QueryDef("q_join_band", qJoinBand, Some(
       "SELECT a.user_id, a.event_id AS e1, b.event_id AS e2, date_diff('second', a.ts, b.ts) AS delta_s FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id AND abs(date_diff('second', a.ts, b.ts)) <= 300 ORDER BY a.user_id, e1, e2")),
     QueryDef("q_scd2", qScd2, Some(
