@@ -178,6 +178,73 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled domain mixture — the pretraining mixture-weight
+    * pattern (GPT-3 / The Pile): target share of domain d ∝ n_d^α with
+    * α = 0.5, so small domains are UP-weighted relative to their raw
+    * share and the web-scrape bulk stops dominating. Against a total
+    * token budget T (= N/2 here), domain d's keep-rate is
+    * min(1, T·n_d^α / (Σ_e n_e^α · n_d)); kept rows carry 1/rate so
+    * downstream loss-weighting can undo the resample (qDomainMix's
+    * contract, now with data-derived rates instead of fixed ones).
+    *
+    * Cross-engine exactness: sqrt is correctly-rounded IEEE in both
+    * engines, so s_d = floor(sqrt(n_d)·1e6) is an exact integer in
+    * both; the acceptance test u < rate (u the md5 hex-quad of the
+    * salted doc id, (v+0.5)/65536) multiplies out to the pure-integer
+    * comparison (2v+1)·total·n_d < 2·65536·s_d·T, evaluated in
+    * DECIMAL(38,0) on the Spark side so the ~1e19 long ceiling of the
+    * raw products can never WRAP silently (the lrTrainTrace lesson —
+    * decimal overflow nulls loudly at verify, long overflow lies);
+    * the weight divides exactly-representable doubles, rounded to 6.
+    *
+    * Plan shape: one tiny per-source aggregate (|domains| rows) joined
+    * back broadcast, then a map-side filter — the corpus is never
+    * shuffled. At 100 TB this is a scan + broadcast-hash-join, and the
+    * decision is reproducible across engines, runs, and layouts.
+    *
+    * The fixture's `source` column is deliberately uniform (25 docs
+    * each — temperature would be a no-op), so the domain is derived
+    * Zipf-skewed from the id: digit-length of doc_id % 500 gives
+    * domains of 10 / 90 / 400 docs — pure string arithmetic, identical
+    * in both engines. Under α = 0.5 the small domain's rate caps at 1
+    * (kept whole, weight 1) while the bulk domain is cut hardest —
+    * exactly the rebalancing the technique exists for (CurationSpec
+    * pins the monotonicity). */
+  val qDomainMixTemperature: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val domCol = concat(lit("d"),
+        length(pmod(col("doc_id"), lit(500)).cast("string")))
+      val docs = Tables.documents(s, d).withColumn("dom", domCol)
+      val dims = docs
+        .groupBy("dom").agg(count(lit(1)).as("n_d"))
+        .withColumn("s_d",
+          floor(sqrt(col("n_d").cast("double")) * 1e6).cast("long"))
+      val tot = dims.agg(sum(col("s_d")).as("total"),
+        (sum(col("n_d")) / 2).cast("long").as("t_budget"))
+      val rates = dims.crossJoin(broadcast(tot))
+      val h = md5(to_binary(concat(lit("graft_temp"),
+        col("doc_id").cast("string")), lit("utf-8")))
+      def digit(i: Int): Column =
+        expr(s"instr('0123456789abcdef', substring(__h, $i, 1))") - 1
+      val v = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val keepAll = col("s_d") * col("t_budget") >= col("total") * col("n_d")
+      val accept = dec(lit(2) * col("v") + 1) * dec(col("total")) *
+        dec(col("n_d")) <
+        dec(lit(131072L)) * dec(col("s_d")) * dec(col("t_budget"))
+      docs
+        .join(broadcast(rates), "dom")
+        .withColumn("__h", h)
+        .withColumn("v", v.cast("long"))
+        .filter(keepAll || accept)
+        .withColumn("weight",
+          when(keepAll, 1.0).otherwise(
+            round(col("total").cast("double") * col("n_d") /
+              (col("s_d").cast("double") * col("t_budget")), 6)))
+        .select("doc_id", "dom", "weight")
+        .orderBy("doc_id")
+    }
+
   private val gramsCte =
     """g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))"""
 
@@ -641,6 +708,8 @@ object Curation {
       "SELECT event_id, regexp_replace(props, '\\d+', '#', 'g') AS masked, len(regexp_extract_all(props, '\\d+')) AS n_ids FROM events ORDER BY event_id")),
     QueryDef("q_outlier_iqr", qOutlierIqr, Some(
       "WITH s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3, COUNT(*) AS n_total FROM events GROUP BY event_type) SELECT e.event_type, s.n_total, COUNT(*) AS n_kept, CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS kept_sum FROM events e JOIN s ON e.event_type = s.event_type WHERE e.value >= s.q1 - (s.q3 - s.q1) * 1.5 AND e.value <= s.q3 + (s.q3 - s.q1) * 1.5 GROUP BY e.event_type, s.n_total ORDER BY e.event_type")),
+    QueryDef("q_domain_mix_temperature", qDomainMixTemperature, Some(
+      "WITH dd AS (SELECT doc_id, 'd' || length(CAST(doc_id % 500 AS VARCHAR)) AS dom FROM documents), c AS (SELECT dom, COUNT(*) AS n_d FROM dd GROUP BY dom), cs AS (SELECT dom, n_d, CAST(floor(sqrt(CAST(n_d AS DOUBLE)) * 1e6) AS BIGINT) AS s_d FROM c), t AS (SELECT SUM(s_d) AS total, SUM(n_d) // 2 AS t_budget FROM cs), h AS (SELECT doc_id, dom, CAST((((instr('0123456789abcdef', substring(hh, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(hh, 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substring(hh, 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substring(hh, 4, 1)) - 1) AS BIGINT) AS v FROM (SELECT doc_id, dom, md5('graft_temp' || CAST(doc_id AS VARCHAR)) AS hh FROM dd)) SELECT doc_id, h.dom, CASE WHEN s_d * t_budget >= total * n_d THEN 1.0 ELSE round(CAST(total AS DOUBLE) * n_d / (CAST(s_d AS DOUBLE) * t_budget), 6) END AS weight FROM h JOIN cs ON h.dom = cs.dom CROSS JOIN t WHERE s_d * t_budget >= total * n_d OR (2 * v + 1) * total * n_d < 131072 * s_d * t_budget ORDER BY doc_id")),
     QueryDef("q_domain_mix", qDomainMix, Some(
       "SELECT doc_id, source, CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 1 THEN 1.0 ELSE round(256.0 / 102.0, 6) END AS weight FROM (SELECT doc_id, source, (instr('0123456789abcdef', substring(md5('graft_mix' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5('graft_mix' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk FROM documents) WHERE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 1 OR bk < 102 ORDER BY doc_id"))
   )

@@ -140,6 +140,34 @@ class CurationSpec extends SparkSpec {
       s"weighted even mass $wSum vs $evenIn")
   }
 
+  test("temperature mixture up-weights small domains: the 10-doc domain " +
+    "keeps everything at weight 1, keep-rates fall with domain size, " +
+    "and weights undo the resample") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Curation.qDomainMixTemperature(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .withColumn("dom", concat(lit("d"),
+        length(pmod(col("doc_id"), lit(500)).cast("string"))))
+    val inSize = docs.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inSize === Map("d1" -> 10L, "d2" -> 90L, "d3" -> 400L))
+    val byDom = out.groupBy(_.getString(1))
+    // the smallest domain's rate caps at 1: all rows kept, weight 1.0
+    assert(byDom("d1").length === 10)
+    assert(byDom("d1").forall(_.getDouble(2) === 1.0))
+    // keep-rate is monotone DECREASING in domain size (the α<1 point)
+    val rate = byDom.map { case (k, rows) =>
+      k -> rows.length.toDouble / inSize(k) }
+    assert(rate("d1") > rate("d2") && rate("d2") > rate("d3"),
+      s"rates not monotone: $rate")
+    // kept rows carry 1/rate: per-domain weight mass ≈ original size
+    Seq("d2", "d3").foreach { k =>
+      val mass = byDom(k).map(_.getDouble(2)).sum
+      assert(math.abs(mass - inSize(k)) / inSize(k) < 0.35,
+        s"$k weighted mass $mass vs ${inSize(k)}")
+    }
+  }
+
   test("DSIR importance weights rank target-language docs above the " +
       "rest on average (length-normalized)") {
     val sf = "/root/testdata/sf0.001"
