@@ -102,6 +102,67 @@ object Lakehouse {
     s.read.schema(ManifestSchema).parquet(s"$root/_manifests/v=$v")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
 
+  /** Has version `v` been committed? One metadata existence check — the
+    * txn-log idempotency test a streaming committer runs before doing
+    * ANY work for a re-delivered epoch (the data files a committed
+    * manifest references must never be rewritten). */
+  private[graft] def versionExists(s: SparkSession, root: String,
+      v: Int): Boolean =
+    hadoopFs(s, root).exists(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/v=$v"))
+
+  /** Merge-on-read DELETE as a commit: land the key rows, publish
+    * manifest fromV+1 = fromV's entries + the delete files. Touches no
+    * data file. Returns the new version. */
+  private[graft] def deleteCommit(s: SparkSession, root: String,
+      fromV: Int, keys: DataFrame): Int = {
+    val v = fromV + 1
+    keys.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/deletes/w=$v")
+    commitVersion(s, root, v, manifestEntries(s, root, fromV) ++
+      listDataFiles(s, root, s"$root/deletes/w=$v").map(("delete", _)))
+    v
+  }
+
+  /** Copy-on-write compaction as a commit: materialize fromV's live
+    * view into fresh files (a namespace no ingest epoch can collide
+    * with), publish a manifest referencing only those. Returns the new
+    * version. The one data-sized lifecycle op, priced explicitly. */
+  private[graft] def compactCommit(s: SparkSession, root: String,
+      fromV: Int, keyCol: String, nFiles: Int = 4): Int = {
+    val v = fromV + 1
+    val dir = s"$root/data/w=compact$v"
+    readVersion(s, root, fromV, keyCol)
+      .repartition(nFiles, col(keyCol))
+      .write.mode("overwrite").parquet(dir)
+    commitVersion(s, root, v,
+      listDataFiles(s, root, dir).map(("data", _)))
+    v
+  }
+
+  /** One streaming micro-batch as an atomic version commit: epoch `id`
+    * becomes version id+1. The idempotency check comes FIRST — a
+    * re-delivered epoch whose manifest already published must skip the
+    * data write too (the committed manifest references the first
+    * attempt's file names; rewriting the directory would strand it) —
+    * the transaction-log discipline streaming table sinks use. A crash
+    * BETWEEN data write and manifest publish retries cleanly: overwrite
+    * mode replaces the half-written directory, then the re-listed files
+    * commit. */
+  private[graft] def ingestCommit(root: String, batch: DataFrame,
+      id: Long, keyCol: String): Unit = {
+    val s = batch.sparkSession
+    val v = id.toInt + 1
+    if (versionExists(s, root, v)) return
+    val dir = s"$root/data/w=$id"
+    batch.repartition(2, col(keyCol))
+      .write.mode("overwrite").parquet(dir)
+    val prev = if (v == 1) Seq.empty[(String, String)]
+      else manifestEntries(s, root, v - 1)
+    commitVersion(s, root, v,
+      prev ++ listDataFiles(s, root, dir).map(("data", _)))
+  }
+
   /** Highest committed version (spec/tooling helper — queries pass
     * explicit versions). Listing `_manifests` is one metadata call. */
   private[graft] def latestVersion(s: SparkSession, root: String): Int = {

@@ -1620,6 +1620,107 @@ object EventsStreaming {
       Similarity.probeIvfIngested(s, base)
     }
 
+  // --- q_stream_table_ingest: streaming ingest into the VERSIONED
+  // table — the third artifact family to get the streaming composition
+  // (BM25 postings, IVF codes, now the lakehouse table). Each
+  // micro-batch is an ATOMIC VERSION COMMIT: epoch N lands immutable
+  // data files and publishes manifest v=N+1 referencing everything so
+  // far. Exactly-once is the transaction-log discipline, not epoch
+  // overwrite: a re-delivered epoch finds its manifest already
+  // published and must skip ALL work (the manifest references the
+  // first attempt's file names — rewriting the directory would strand
+  // it), while a crash between data write and publish retries cleanly
+  // (overwrite replaces the orphaned half-write, the re-listed files
+  // commit). The declared result reads the FINAL version and must
+  // hash-match the whole base table — ingest lost, duplicated, and
+  // reordered nothing. At 100 TB this is the standing CDC/append
+  // pipeline: one manifest commit per trigger, history queryable at
+  // every version for free.
+  private val tableIngestInvocation =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  private val stagedOrdersReplay = graft.AppCache[String]()
+
+  private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderdate",
+    "o_totalprice")
+
+  private def stageOrdersDir(s: SparkSession, d: String): String =
+    stagedOrdersReplay.get(s, d)({
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|orders|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_orders_$key"
+      Tables.orders(s, d).select(ordersCols.map(col): _*).repartition(3)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Run the micro-batched version-commit ingest to completion and
+    * return the table root — factored so the composed lifecycle key
+    * shares the SAME streaming run the declared ingest key uses. */
+  private def runTableIngestStream(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Lakehouse
+    val inv = tableIngestInvocation.incrementAndGet()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_table_" +
+      s.sparkContext.applicationId + s"_$inv"
+    val ckpt = s"$root/ckpt"
+    val staged = stageOrdersDir(s, d)
+    val schema = Tables.orders(s, d).select(ordersCols.map(col): _*).schema
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          Lakehouse.ingestCommit(root, batch.toDF(), id, "o_orderkey")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q_stream_table_ingest timed out after 300s")
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    root
+  }
+
+  private def tableRows(s: SparkSession, root: String, v: Int): DataFrame = {
+    import graft.operators.Lakehouse
+    Lakehouse.readVersion(s, root, v, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val qStreamTableIngest: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.operators.Lakehouse
+    val root = runTableIngestStream(s, d)
+    tableRows(s, root, Lakehouse.latestVersion(s, root))
+  }
+
+  /** The composed table lifecycle over the streaming-committed history:
+    * micro-batched ingest, then a merge-on-read delete commit of keys
+    * ≡ 4 (mod 10) derived from the live view, then copy-on-write
+    * compaction, then a full-row read of the final version — which must
+    * hash-match the base table minus the deleted keys (each stage is a
+    * manifest commit; every intermediate version stays readable). */
+  val qStreamTableLifecycle: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import graft.operators.Lakehouse
+      val root = runTableIngestStream(s, d)
+      val v0 = Lakehouse.latestVersion(s, root)
+      val v1 = Lakehouse.deleteCommit(s, root, v0,
+        Lakehouse.readVersion(s, root, v0, "o_orderkey")
+          .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+          .select("o_orderkey"))
+      val v2 = Lakehouse.compactCommit(s, root, v1, "o_orderkey")
+      tableRows(s, root, v2)
+    }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_join", qStreamJoin, Some(
       // stream-stream interval join over a time-ordered replay == the
@@ -1657,6 +1758,13 @@ object EventsStreaming {
     // brute force over only the live vectors (oracle BY REFERENCE)
     QueryDef("q_stream_ivf_lifecycle", qStreamIvfLifecycle,
       Some(graft.operators.Similarity.ivfIngestLiveOracle)),
+    // per-batch atomic version commits, final version ≡ the base table
+    QueryDef("q_stream_table_ingest", qStreamTableIngest, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders ORDER BY o_orderkey")),
+    // ingest → merge-on-read delete commit → copy-on-write compact →
+    // read ≡ the base table minus the deleted keys
+    QueryDef("q_stream_table_lifecycle", qStreamTableLifecycle, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 4 ORDER BY o_orderkey")),
     QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
       // every event lands in the file sink exactly once across batches
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),

@@ -81,6 +81,47 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.read.parquet(ins: _*).count() === expected)
   }
 
+  test("streaming ingestCommit is transaction-log exactly-once: a " +
+    "re-delivered epoch does no work and strands no manifest reference") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_txn").toString + "/t"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val b0 = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+    val b1 = orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+    Lakehouse.ingestCommit(root, b0, 0L, "o_orderkey")
+    Lakehouse.ingestCommit(root, b1, 1L, "o_orderkey")
+    val before = Lakehouse.manifestEntries(spark, root, 2)
+    val n = Lakehouse.readVersion(spark, root, 2, "o_orderkey").count()
+    assert(n === orders.count())
+    // re-deliver epoch 0 (the at-least-once retry): the committed
+    // manifest's file names must survive — the data directory is not
+    // rewritten, the manifest chain is unchanged, every referenced
+    // file still exists
+    Lakehouse.ingestCommit(root, b0, 0L, "o_orderkey")
+    assert(Lakehouse.manifestEntries(spark, root, 2) === before)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    before.foreach { case (_, p) =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p")),
+        s"re-delivery stranded manifest reference $p")
+    }
+    assert(Lakehouse.readVersion(spark, root, 2, "o_orderkey")
+      .count() === n)
+    // version 1 (epoch 0 alone) stays readable mid-history
+    assert(Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+      .count() === b0.count())
+    // and the delete→compact commits compose on top
+    val v3 = Lakehouse.deleteCommit(spark, root, 2,
+      b0.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select("o_orderkey"))
+    val v4 = Lakehouse.compactCommit(spark, root, v3, "o_orderkey")
+    val dead = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+      pmod(col("o_orderkey"), lit(10)) === 0).count()
+    assert(Lakehouse.readVersion(spark, root, v4, "o_orderkey")
+      .count() === n - dead)
+  }
+
   test("commits are idempotent and a stranded staging manifest recovers") {
     val root = freshRoot("crash")
     val before = Lakehouse.manifestEntries(spark, root, 3)
