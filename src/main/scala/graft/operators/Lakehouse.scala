@@ -163,6 +163,45 @@ object Lakehouse {
       prev ++ listDataFiles(s, root, dir).map(("data", _)))
   }
 
+  /** VACUUM: physically delete every data/delete file not referenced by
+    * any manifest version ≥ `retainFrom` (older files became garbage
+    * when later commits stopped referencing them — compaction rewrites,
+    * superseded deletes). Time travel to retained versions is
+    * untouched; versions before the horizon become unreadable, which is
+    * the documented trade every retention policy makes. Returns the
+    * number of files reclaimed.
+    *
+    * Scale shape: the referenced-set union is manifest metadata
+    * (O(#files) driver work, no data read), the candidate list is one
+    * recursive listing, and deletes are per-file metadata ops — vacuum
+    * never reads a data byte. The retention guard is structural:
+    * files referenced by ANY retained manifest are exempt, so a
+    * concurrent reader of a retained version can never lose a file. */
+  private[graft] def vacuum(s: SparkSession, root: String,
+      retainFrom: Int): Int = {
+    val fs = hadoopFs(s, root)
+    val retained = (retainFrom to latestVersion(s, root))
+      .flatMap(v => manifestEntries(s, root, v)).map(_._2).toSet
+    val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
+    var reclaimed = 0
+    Seq("data", "deletes").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val rel = f.toUri.getPath.stripPrefix(rootPrefix)
+          if (!retained(rel) && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) {
+            fs.delete(f, false)
+            reclaimed += 1
+          }
+        }
+      }
+    }
+    reclaimed
+  }
+
   /** Highest committed version (spec/tooling helper — queries pass
     * explicit versions). Listing `_manifests` is one metadata call. */
   private[graft] def latestVersion(s: SparkSession, root: String): Int = {
@@ -298,6 +337,29 @@ object Lakehouse {
     inserts.unionAll(deletes).orderBy("version", "o_orderkey")
   }
 
+  /** VACUUM under the read oracle: fresh four-commit history, reclaim
+    * everything not referenced by the final compacted version, then
+    * read that version — which must still hash-match the live-state
+    * oracle (vacuum deleted only garbage). The reclaimed files are the
+    * pre-compaction data tree and the superseded delete file;
+    * LakehouseSpec counts them and pins that retained reads survive
+    * while pre-horizon versions are genuinely gone. */
+  val qTableVacuum: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_vac_" +
+      s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
+    buildVersionedOrders(s, d, root)
+    vacuum(s, root, retainFrom = 4)
+    val out = readVersion(s, root, 4, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+      .localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   // lifecycle twin: re-run all four commits into a fresh root each call
   // so the bench times the WRITE path (manifest commits + data/delete
   // landings + compaction), then emit the same summary — oracle shared
@@ -323,10 +385,16 @@ object Lakehouse {
       "UNION ALL SELECT 4, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 " +
       "ORDER BY version"
 
+  private val liveRowsOracle =
+    "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 ORDER BY o_orderkey"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_table_time_travel", qTableTimeTravel, Some(timeTravelOracle)),
-    QueryDef("q_table_snapshot_rows", qTableSnapshotRows, Some(
-      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 ORDER BY o_orderkey")),
+    QueryDef("q_table_snapshot_rows", qTableSnapshotRows,
+      Some(liveRowsOracle)),
+    // same oracle BY REFERENCE: after vacuuming everything the final
+    // version does not reference, the read must be unchanged
+    QueryDef("q_table_vacuum", qTableVacuum, Some(liveRowsOracle)),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
     // same oracle BY REFERENCE: the freshly-committed history must
