@@ -48,7 +48,14 @@ import graft.{QueryDef, Tables}
   */
 object Lakehouse {
 
-  private val ManifestSchema = "kind string, path string"
+  // Manifest rows carry a SEQUENCE number (the version that first
+  // committed the entry): a delete file masks only data files with a
+  // STRICTLY SMALLER seq — the Iceberg-v2 sequence-number rule that
+  // makes merge-on-read UPSERTs sound. Without it, a MERGE that
+  // re-inserts a key it also deletes would anti-join its own new row
+  // away; with it, the delete scopes to history and the fresh row
+  // (same seq as the delete) survives.
+  private val ManifestSchema = "kind string, path string, seq int"
 
   private def hadoopFs(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -81,11 +88,11 @@ object Lakehouse {
     * re-driven), the staging copy is discarded and the published manifest
     * — immutable by contract — stands. */
   private[graft] def commitVersion(s: SparkSession, root: String, v: Int,
-      entries: Seq[(String, String)]): Unit = {
+      entries: Seq[(String, String, Int)]): Unit = {
     import s.implicits._
     val target = s"$root/_manifests/v=$v"
     val staging = s"$root/_manifests/.v=$v.staging"
-    entries.toDF("kind", "path").coalesce(1)
+    entries.toDF("kind", "path", "seq").coalesce(1)
       .write.mode("overwrite").parquet(staging)
     val fs = hadoopFs(s, root)
     val tgt = new org.apache.hadoop.fs.Path(target)
@@ -95,12 +102,14 @@ object Lakehouse {
       throw new java.io.IOException(s"commitVersion: rename to $target failed")
   }
 
-  /** The committed manifest of version `v`: (kind, relative path) rows.
-    * One small parquet read + a file-count-bounded collect — metadata. */
+  /** The committed manifest of version `v`: (kind, relative path, seq)
+    * rows. One small parquet read + a file-count-bounded collect —
+    * metadata. */
   private[graft] def manifestEntries(s: SparkSession, root: String,
-      v: Int): Seq[(String, String)] =
+      v: Int): Seq[(String, String, Int)] =
     s.read.schema(ManifestSchema).parquet(s"$root/_manifests/v=$v")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq.sorted
 
   /** Has version `v` been committed? One metadata existence check — the
     * txn-log idempotency test a streaming committer runs before doing
@@ -120,7 +129,8 @@ object Lakehouse {
     keys.coalesce(1).write.mode("overwrite")
       .parquet(s"$root/deletes/w=$v")
     commitVersion(s, root, v, manifestEntries(s, root, fromV) ++
-      listDataFiles(s, root, s"$root/deletes/w=$v").map(("delete", _)))
+      listDataFiles(s, root, s"$root/deletes/w=$v")
+        .map(("delete", _, v)))
     v
   }
 
@@ -136,7 +146,28 @@ object Lakehouse {
       .repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(dir)
     commitVersion(s, root, v,
-      listDataFiles(s, root, dir).map(("data", _)))
+      listDataFiles(s, root, dir).map(("data", _, v)))
+    v
+  }
+
+  /** Merge-on-read UPSERT as ONE commit (the MERGE shape): the updates
+    * frame lands as fresh data files AND its keys land as a delete
+    * file, both at sequence v — the delete masks every EARLIER version
+    * of a matched key (seq < v) while the fresh rows (seq = v) survive
+    * it. Matched keys are updated, unmatched keys are inserted, and no
+    * existing data file is rewritten. Returns the new version. */
+  private[graft] def mergeCommit(s: SparkSession, root: String,
+      fromV: Int, updates: DataFrame, keyCol: String): Int = {
+    val v = fromV + 1
+    updates.repartition(2, col(keyCol))
+      .write.mode("overwrite").parquet(s"$root/data/w=merge$v")
+    updates.select(keyCol).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/deletes/w=$v")
+    commitVersion(s, root, v, manifestEntries(s, root, fromV) ++
+      listDataFiles(s, root, s"$root/deletes/w=$v")
+        .map(("delete", _, v)) ++
+      listDataFiles(s, root, s"$root/data/w=merge$v")
+        .map(("data", _, v)))
     v
   }
 
@@ -157,10 +188,10 @@ object Lakehouse {
     val dir = s"$root/data/w=$id"
     batch.repartition(2, col(keyCol))
       .write.mode("overwrite").parquet(dir)
-    val prev = if (v == 1) Seq.empty[(String, String)]
+    val prev = if (v == 1) Seq.empty[(String, String, Int)]
       else manifestEntries(s, root, v - 1)
     commitVersion(s, root, v,
-      prev ++ listDataFiles(s, root, dir).map(("data", _)))
+      prev ++ listDataFiles(s, root, dir).map(("data", _, v)))
   }
 
   /** VACUUM: physically delete every data/delete file not referenced by
@@ -213,16 +244,32 @@ object Lakehouse {
 
   /** Time-travel read: the live rows of version `v`. The data scan reads
     * EXACTLY the manifest's file set; delete keys (if any) apply as a
-    * broadcast anti-join on `keyCol` — merge-on-read. */
+    * broadcast anti-join on `keyCol`, SCOPED by sequence number — a
+    * delete masks only data rows from strictly earlier commits, so a
+    * merge-on-read upsert's fresh rows survive their own delete file. */
   def readVersion(s: SparkSession, root: String, v: Int,
       keyCol: String): DataFrame = {
     val ents = manifestEntries(s, root, v)
-    val dataPaths = ents.collect { case ("data", p) => s"$root/$p" }
-    val delPaths = ents.collect { case ("delete", p) => s"$root/$p" }
-    val data = s.read.parquet(dataPaths: _*)
-    if (delPaths.isEmpty) data
-    else data.join(broadcast(s.read.parquet(delPaths: _*)),
-      Seq(keyCol), "left_anti")
+    def bySeq(kind: String): Seq[(Int, Seq[String])] =
+      ents.collect { case (`kind`, p, q) => (q, s"$root/$p") }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val data = bySeq("data").map { case (q, paths) =>
+      s.read.parquet(paths: _*).withColumn("__seq", lit(q))
+    }.reduce(_.unionAll(_))
+    val dels = bySeq("delete")
+    val out =
+      if (dels.isEmpty) data
+      else {
+        val delKeys = dels.map { case (q, paths) =>
+          s.read.parquet(paths: _*)
+            .withColumnRenamed(keyCol, "__delkey")
+            .withColumn("__dseq", lit(q))
+        }.reduce(_.unionAll(_))
+        data.join(broadcast(delKeys),
+          data(keyCol) === delKeys("__delkey") &&
+            col("__seq") < col("__dseq"), "left_anti")
+      }
+    out.drop("__seq")
   }
 
   /** Incremental CDC read between two committed versions: the rows of
@@ -234,8 +281,8 @@ object Lakehouse {
       fromV: Int, toV: Int): (Seq[String], Seq[String]) = {
     val before = manifestEntries(s, root, fromV).toSet
     val added = manifestEntries(s, root, toV).filterNot(before)
-    (added.collect { case ("data", p) => s"$root/$p" },
-      added.collect { case ("delete", p) => s"$root/$p" })
+    (added.collect { case ("data", p, _) => s"$root/$p" },
+      added.collect { case ("delete", p, _) => s"$root/$p" })
   }
 
   // --- the staged demonstration table: four commits over orders ---
@@ -259,14 +306,15 @@ object Lakehouse {
     orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
       .repartition(4, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=1")
-    val v1 = listDataFiles(s, root, s"$root/data/w=1").map(("data", _))
+    val v1 = listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1))
     commitVersion(s, root, 1, v1)
     // v2: append — new files only; v1's files re-enter the manifest
     // untouched (the append never rewrites history).
     orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
       .repartition(4, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=2")
-    val v2 = v1 ++ listDataFiles(s, root, s"$root/data/w=2").map(("data", _))
+    val v2 = v1 ++
+      listDataFiles(s, root, s"$root/data/w=2").map(("data", _, 2))
     commitVersion(s, root, 2, v2)
     // v3: merge-on-read delete — derive the keys from the LIVE view of
     // v2 (the shape a real DELETE WHERE takes), land one key row per
@@ -276,7 +324,7 @@ object Lakehouse {
       .select("o_orderkey")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes/w=3")
     val v3 = v2 ++
-      listDataFiles(s, root, s"$root/deletes/w=3").map(("delete", _))
+      listDataFiles(s, root, s"$root/deletes/w=3").map(("delete", _, 3))
     commitVersion(s, root, 3, v3)
     // v4: copy-on-write compaction — materialize v3's live view into
     // fresh files; the new manifest references only those (no delete
@@ -286,7 +334,21 @@ object Lakehouse {
       .repartition(2, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=4")
     commitVersion(s, root, 4,
-      listDataFiles(s, root, s"$root/data/w=4").map(("data", _)))
+      listDataFiles(s, root, s"$root/data/w=4").map(("data", _, 4)))
+    // v5: merge-on-read UPSERT — one commit both UPDATES the live keys
+    // ≡ 0 (mod 7) (price +10) and INSERTS the never-loaded ≡ 2 (mod 3)
+    // third of the table. Sequence scoping is what makes this sound:
+    // the commit's delete file masks only seq<5 rows, so the fresh
+    // rows it lands survive their own delete.
+    val live = pmod(col("o_orderkey"), lit(3)) =!= 2 &&
+      pmod(col("o_orderkey"), lit(10)) =!= 4
+    val updates = orders
+      .filter(pmod(col("o_orderkey"), lit(3)) === 2 ||
+        (live && pmod(col("o_orderkey"), lit(7)) === 0))
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(3)) =!= 2,
+          col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
+    mergeCommit(s, root, 4, updates, "o_orderkey")
   }
 
   private[graft] def versionedOrdersRoot(s: SparkSession, d: String): String =
@@ -299,7 +361,7 @@ object Lakehouse {
     }
 
   private def versionSummary(s: SparkSession, root: String): DataFrame =
-    (1 to 4).map { v =>
+    (1 to 5).map { v =>
       readVersion(s, root, v, "o_orderkey")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
@@ -307,9 +369,10 @@ object Lakehouse {
         .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
     }.reduce(_.unionAll(_)).orderBy("version")
 
-  /** Per-version (rows, exact-decimal price sum) across all four
+  /** Per-version (rows, exact-decimal price sum) across all five
     * commits — the time-travel contract: every historical state remains
-    * exactly reproducible after later appends, deletes, and compactions. */
+    * exactly reproducible after later appends, deletes, compactions,
+    * and upserts. */
   val qTableTimeTravel: (SparkSession, String) => DataFrame = (s, d) =>
     versionSummary(s, versionedOrdersRoot(s, d))
 
@@ -318,6 +381,17 @@ object Lakehouse {
     * reproduce the predicate-defined state row-for-row. */
   val qTableSnapshotRows: (SparkSession, String) => DataFrame = (s, d) =>
     readVersion(s, versionedOrdersRoot(s, d), 3, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Full-row read of the post-UPSERT snapshot (v5): sequence-scoped
+    * merge-on-read end-to-end — updated keys resolve to their fresh
+    * rows (the delete file masks only earlier sequences), inserted keys
+    * appear, untouched keys pass through. */
+  val qTableMerge: (SparkSession, String) => DataFrame = (s, d) =>
+    readVersion(s, versionedOrdersRoot(s, d), 5, "o_orderkey")
       .select(col("o_orderkey"), col("o_custkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"))
@@ -378,11 +452,17 @@ object Lakehouse {
     out
   }
 
+  // the post-merge state: live keys ≡ 0 (mod 7) updated (+10), the
+  // ≡ 2 (mod 3) third inserted — stated as a CASE over the base table
+  private val mergedStateSql =
+    "SELECT o_orderkey, o_custkey, o_orderdate, CASE WHEN o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 AND o_orderkey % 7 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice FROM orders WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4) OR o_orderkey % 3 = 2"
+
   private val timeTravelOracle =
     "SELECT 1 AS version, COUNT(*) AS n_rows, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 3 = 0 " +
       "UNION ALL SELECT 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) " +
       "UNION ALL SELECT 3, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 " +
       "UNION ALL SELECT 4, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 " +
+      s"UNION ALL SELECT 5, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ($mergedStateSql) " +
       "ORDER BY version"
 
   private val liveRowsOracle =
@@ -395,6 +475,11 @@ object Lakehouse {
     // same oracle BY REFERENCE: after vacuuming everything the final
     // version does not reference, the read must be unchanged
     QueryDef("q_table_vacuum", qTableVacuum, Some(liveRowsOracle)),
+    // sequence-scoped merge-on-read upsert: updates resolve to fresh
+    // rows, inserts appear, nothing rewritten
+    QueryDef("q_table_merge", qTableMerge, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM (" +
+        mergedStateSql + ") ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
     // same oracle BY REFERENCE: the freshly-committed history must

@@ -51,7 +51,7 @@ object LakehouseScaleProbe {
           .write.mode("overwrite").parquet(s"$root/data/w=1")
         Lakehouse.commitVersion(spark, root, 1,
           Lakehouse.listDataFiles(spark, root, s"$root/data/w=1")
-            .map(("data", _)))
+            .map(("data", _, 1)))
       }
       // v2: key-list delete commit — 1000 keys KNOWN upstream (CDC/GDPR
       // shape): write the key file + manifest, touch no data
@@ -63,7 +63,7 @@ object LakehouseScaleProbe {
         Lakehouse.commitVersion(spark, root, 2,
           Lakehouse.manifestEntries(spark, root, 1) ++
             Lakehouse.listDataFiles(spark, root, s"$root/deletes/w=2")
-              .map(("delete", _)))
+              .map(("delete", _, 2)))
       }
       // v3: a small append (the daily-increment shape)
       val (_, tApp) = time {
@@ -74,7 +74,7 @@ object LakehouseScaleProbe {
         Lakehouse.commitVersion(spark, root, 3,
           Lakehouse.manifestEntries(spark, root, 2) ++
             Lakehouse.listDataFiles(spark, root, s"$root/data/w=3")
-              .map(("data", _)))
+              .map(("data", _, 3)))
       }
       // CDC v2→v3 (manifest diff, reads only w=3) vs snapshot diff
       val (cdcN, tCdc) = time {
@@ -94,7 +94,7 @@ object LakehouseScaleProbe {
           .write.mode("overwrite").parquet(s"$root/data/w=4")
         Lakehouse.commitVersion(spark, root, 4,
           Lakehouse.listDataFiles(spark, root, s"$root/data/w=4")
-            .map(("data", _)))
+            .map(("data", _, 4)))
       }
       println(f"k=$k%-3d rows=$n%9d load=$tLoad%6.2fs " +
         f"deleteCommit=$tDel%5.2fs appendCommit=$tApp%5.2fs " +

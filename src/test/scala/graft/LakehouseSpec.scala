@@ -54,9 +54,26 @@ class LakehouseSpec extends SparkSpec {
     assert(n(2) === base + app)
     assert(n(3) === base + app - dead)
     assert(n(4) === base + app - dead)
-    assert(Lakehouse.latestVersion(spark, root) === 4)
+    assert(Lakehouse.latestVersion(spark, root) === 5)
     // v4's compaction dropped the merge-on-read debt: no delete entries
     assert(Lakehouse.manifestEntries(spark, root, 4).forall(_._1 == "data"))
+    // v5's upsert: +inserted third, updated keys resolve to fresh rows
+    val ins = orders.filter(pmod(col("o_orderkey"), lit(3)) === 2).count()
+    assert(n(5) === base + app - dead + ins)
+    val updated = Lakehouse.readVersion(spark, root, 5, "o_orderkey")
+      .filter(pmod(col("o_orderkey"), lit(3)) =!= 2 &&
+        pmod(col("o_orderkey"), lit(7)) === 0)
+    val origSum = orders
+      .filter(pmod(col("o_orderkey"), lit(3)) =!= 2 &&
+        pmod(col("o_orderkey"), lit(10)) =!= 4 &&
+        pmod(col("o_orderkey"), lit(7)) === 0)
+      .agg(sum(col("o_totalprice"))).head().getDouble(0)
+    val newSum = updated.agg(sum(col("o_totalprice"))).head().getDouble(0)
+    val nUpd = updated.count()
+    // every updated row carries exactly the +10 (sequence scoping: the
+    // merge's delete masked the OLD rows, never the fresh ones)
+    assert(math.abs(newSum - origSum - 10.0 * nUpd) < 1e-6,
+      s"updated sum $newSum vs orig $origSum over $nUpd rows")
   }
 
   test("snapshot read scans exactly the manifest file set; CDC reads " +
@@ -102,7 +119,7 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.manifestEntries(spark, root, 2) === before)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    before.foreach { case (_, p) =>
+    before.foreach { case (_, p, _) =>
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p")),
         s"re-delivery stranded manifest reference $p")
     }
@@ -142,16 +159,18 @@ class LakehouseSpec extends SparkSpec {
       }
     }
     val before = live("data") ++ live("deletes")
-    val v4 = Lakehouse.manifestEntries(spark, root, 4)
+    val retained = Seq(4, 5)
+      .flatMap(v => Lakehouse.manifestEntries(spark, root, v))
       .map(e => new org.apache.hadoop.fs.Path(s"$root/${e._2}")
         .toUri.getPath).toSet
-    val expectGone = before -- v4
+    val expectGone = before -- retained
     val n4 = Lakehouse.readVersion(spark, root, 4, "o_orderkey").count()
     val reclaimed = Lakehouse.vacuum(spark, root, retainFrom = 4)
     assert(reclaimed === expectGone.size,
       s"reclaimed $reclaimed != unreferenced ${expectGone.size}")
     val after = live("data") ++ live("deletes")
-    assert(after === v4, "vacuum left garbage or deleted a referenced file")
+    assert(after === retained,
+      "vacuum left garbage or deleted a referenced file")
     // the retained read is byte-equal in cardinality and still scans
     assert(Lakehouse.readVersion(spark, root, 4, "o_orderkey")
       .count() === n4)
@@ -167,22 +186,22 @@ class LakehouseSpec extends SparkSpec {
     val root = freshRoot("crash")
     val before = Lakehouse.manifestEntries(spark, root, 3)
     // re-driving an already-committed version must be a no-op
-    Lakehouse.commitVersion(spark, root, 3, Seq(("data", "bogus/path")))
+    Lakehouse.commitVersion(spark, root, 3, Seq(("data", "bogus/path", 3)))
     assert(Lakehouse.manifestEntries(spark, root, 3) === before,
       "recommit mutated an immutable manifest")
     // simulate a crash AFTER staging, BEFORE rename: strand a staging
     // dir for a new version, then re-drive the commit normally
     import spark.implicits._
-    Seq(("data", "stale/file")).toDF("kind", "path").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/_manifests/.v=5.staging")
-    Lakehouse.commitVersion(spark, root, 5,
+    Seq(("data", "stale/file", 6)).toDF("kind", "path", "seq").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_manifests/.v=6.staging")
+    Lakehouse.commitVersion(spark, root, 6,
       Lakehouse.manifestEntries(spark, root, 4))
-    assert(Lakehouse.manifestEntries(spark, root, 5) ===
+    assert(Lakehouse.manifestEntries(spark, root, 6) ===
       Lakehouse.manifestEntries(spark, root, 4))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$root/_manifests/.v=5.staging")),
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/.v=6.staging")),
       "staging not cleaned up after publish")
     // bookkeeping stays invisible to a discovery reader over the root:
     // _manifests and dot-staging never surface as data
