@@ -253,9 +253,13 @@ object Lakehouse {
     def bySeq(kind: String): Seq[(Int, Seq[String])] =
       ents.collect { case (`kind`, p, q) => (q, s"$root/$p") }
         .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    // name-based union with null-fill: SCHEMA EVOLUTION — a commit may
+    // add columns, and rows from pre-evolution files surface them as
+    // null (the additive-evolution contract; drops/renames are a
+    // rewrite by policy). Identical schemas pay nothing.
     val data = bySeq("data").map { case (q, paths) =>
       s.read.parquet(paths: _*).withColumn("__seq", lit(q))
-    }.reduce(_.unionAll(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val dels = bySeq("delete")
     val out =
       if (dels.isEmpty) data
@@ -349,6 +353,18 @@ object Lakehouse {
         when(pmod(col("o_orderkey"), lit(3)) =!= 2,
           col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
     mergeCommit(s, root, 4, updates, "o_orderkey")
+    // v6: SCHEMA-EVOLVED append — the new batch carries a column the
+    // table never had (o_channel). Nothing is rewritten: the commit is
+    // an ordinary append, and readers of v6 surface pre-evolution rows
+    // with o_channel null (additive evolution via name-based union).
+    orders.filter(pmod(col("o_orderkey"), lit(97)) === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("o_channel",
+        concat(lit("ch"), pmod(col("o_orderkey"), lit(3))))
+      .repartition(2, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/data/w=6")
+    commitVersion(s, root, 6, manifestEntries(s, root, 5) ++
+      listDataFiles(s, root, s"$root/data/w=6").map(("data", _, 6)))
   }
 
   private[graft] def versionedOrdersRoot(s: SparkSession, d: String): String =
@@ -396,6 +412,17 @@ object Lakehouse {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"))
       .orderBy("o_orderkey")
+
+  /** Full-row read of the schema-evolved snapshot (v6): the appended
+    * batch carries o_channel, every pre-evolution row surfaces it as
+    * null, and no historical file was rewritten to make that true. */
+  val qTableSchemaEvolution: (SparkSession, String) => DataFrame =
+    (s, d) =>
+      readVersion(s, versionedOrdersRoot(s, d), 6, "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("o_channel"))
+        .orderBy("o_orderkey")
 
   /** Incremental change feed: inserts of commit 2 and deletes of commit
     * 3, read from ONLY the files those commits added (the manifest diff)
@@ -480,6 +507,13 @@ object Lakehouse {
     QueryDef("q_table_merge", qTableMerge, Some(
       "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM (" +
         mergedStateSql + ") ORDER BY o_orderkey")),
+    // additive schema evolution: appended batch carries a new column,
+    // pre-evolution rows surface it as null, nothing rewritten
+    QueryDef("q_table_schema_evolution", qTableSchemaEvolution, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel FROM (" +
+        mergedStateSql + ") UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_custkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice, 'ch' || CAST((o_orderkey + 10000000) % 3 AS VARCHAR) FROM orders WHERE o_orderkey % 97 = 5 " +
+        "ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
     // same oracle BY REFERENCE: the freshly-committed history must

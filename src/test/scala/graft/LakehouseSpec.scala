@@ -54,7 +54,7 @@ class LakehouseSpec extends SparkSpec {
     assert(n(2) === base + app)
     assert(n(3) === base + app - dead)
     assert(n(4) === base + app - dead)
-    assert(Lakehouse.latestVersion(spark, root) === 5)
+    assert(Lakehouse.latestVersion(spark, root) === 6)
     // v4's compaction dropped the merge-on-read debt: no delete entries
     assert(Lakehouse.manifestEntries(spark, root, 4).forall(_._1 == "data"))
     // v5's upsert: +inserted third, updated keys resolve to fresh rows
@@ -74,6 +74,17 @@ class LakehouseSpec extends SparkSpec {
     // merge's delete masked the OLD rows, never the fresh ones)
     assert(math.abs(newSum - origSum - 10.0 * nUpd) < 1e-6,
       s"updated sum $newSum vs orig $origSum over $nUpd rows")
+    // schema evolution is versioned too: v5 predates o_channel (absent
+    // from its read), v6 surfaces it — null exactly on pre-evolution
+    // rows, populated exactly on the evolved batch
+    assert(!Lakehouse.readVersion(spark, root, 5, "o_orderkey")
+      .columns.contains("o_channel"))
+    val v6 = Lakehouse.readVersion(spark, root, 6, "o_orderkey")
+    assert(v6.columns.contains("o_channel"))
+    val evolved = orders
+      .filter(pmod(col("o_orderkey"), lit(97)) === 5).count()
+    assert(v6.filter(col("o_channel").isNotNull).count() === evolved)
+    assert(v6.filter(col("o_channel").isNull).count() === n(5))
   }
 
   test("snapshot read scans exactly the manifest file set; CDC reads " +
@@ -159,7 +170,7 @@ class LakehouseSpec extends SparkSpec {
       }
     }
     val before = live("data") ++ live("deletes")
-    val retained = Seq(4, 5)
+    val retained = Seq(4, 5, 6)
       .flatMap(v => Lakehouse.manifestEntries(spark, root, v))
       .map(e => new org.apache.hadoop.fs.Path(s"$root/${e._2}")
         .toUri.getPath).toSet
@@ -192,16 +203,16 @@ class LakehouseSpec extends SparkSpec {
     // simulate a crash AFTER staging, BEFORE rename: strand a staging
     // dir for a new version, then re-drive the commit normally
     import spark.implicits._
-    Seq(("data", "stale/file", 6)).toDF("kind", "path", "seq").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/_manifests/.v=6.staging")
-    Lakehouse.commitVersion(spark, root, 6,
+    Seq(("data", "stale/file", 7)).toDF("kind", "path", "seq").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_manifests/.v=7.staging")
+    Lakehouse.commitVersion(spark, root, 7,
       Lakehouse.manifestEntries(spark, root, 4))
-    assert(Lakehouse.manifestEntries(spark, root, 6) ===
+    assert(Lakehouse.manifestEntries(spark, root, 7) ===
       Lakehouse.manifestEntries(spark, root, 4))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$root/_manifests/.v=6.staging")),
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/.v=7.staging")),
       "staging not cleaned up after publish")
     // bookkeeping stays invisible to a discovery reader over the root:
     // _manifests and dot-staging never surface as data
