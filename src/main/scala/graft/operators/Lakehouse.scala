@@ -246,34 +246,42 @@ object Lakehouse {
     * EXACTLY the manifest's file set; delete keys (if any) apply as a
     * broadcast anti-join on `keyCol`, SCOPED by sequence number — a
     * delete masks only data rows from strictly earlier commits, so a
-    * merge-on-read upsert's fresh rows survive their own delete file. */
+    * merge-on-read upsert's fresh rows survive their own delete file.
+    *
+    * Plan fan-out is bounded by DELETE COMMITS, not by commits: data
+    * files are grouped by which delete set applies to them (all files
+    * with seq in the same gap between delete seqs share one group), so
+    * a table with thousands of appends between deletes plans one scan +
+    * one plain key anti-join per live delete commit + 1 — and deletes
+    * themselves retire at the next compaction. Groups union BY NAME
+    * with null-fill: SCHEMA EVOLUTION — a commit may add columns, and
+    * rows from pre-evolution files surface them as null (the
+    * additive-evolution contract; drops/renames are a rewrite by
+    * policy). Identical schemas pay nothing. */
   def readVersion(s: SparkSession, root: String, v: Int,
       keyCol: String): DataFrame = {
     val ents = manifestEntries(s, root, v)
-    def bySeq(kind: String): Seq[(Int, Seq[String])] =
-      ents.collect { case (`kind`, p, q) => (q, s"$root/$p") }
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
-    // name-based union with null-fill: SCHEMA EVOLUTION — a commit may
-    // add columns, and rows from pre-evolution files surface them as
-    // null (the additive-evolution contract; drops/renames are a
-    // rewrite by policy). Identical schemas pay nothing.
-    val data = bySeq("data").map { case (q, paths) =>
-      s.read.parquet(paths: _*).withColumn("__seq", lit(q))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val dels = bySeq("delete")
-    val out =
-      if (dels.isEmpty) data
+    val delBySeq = ents.collect { case ("delete", p, q) => (q, s"$root/$p") }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val delSeqs = delBySeq.map(_._1)
+    // group data files by the set of deletes that apply (dseq > seq):
+    // the group key is the count of later delete commits
+    val groups = ents.collect { case ("data", p, q) => (q, s"$root/$p") }
+      .groupBy { case (q, _) => delSeqs.count(_ > q) }
+      .toSeq.sortBy(_._1)
+    groups.map { case (nDels, files) =>
+      // mergeSchema: one group may span pre- and post-evolution files.
+      // At fixture scale this reads footers; a production table keeps
+      // the schema id in the manifest row and groups by it instead.
+      val data = s.read.option("mergeSchema", "true")
+        .parquet(files.map(_._2): _*)
+      if (nDels == 0) data
       else {
-        val delKeys = dels.map { case (q, paths) =>
-          s.read.parquet(paths: _*)
-            .withColumnRenamed(keyCol, "__delkey")
-            .withColumn("__dseq", lit(q))
-        }.reduce(_.unionAll(_))
-        data.join(broadcast(delKeys),
-          data(keyCol) === delKeys("__delkey") &&
-            col("__seq") < col("__dseq"), "left_anti")
+        val applicable = delBySeq.takeRight(nDels).flatMap(_._2)
+        data.join(broadcast(s.read.parquet(applicable: _*)
+          .select(keyCol)), Seq(keyCol), "left_anti")
       }
-    out.drop("__seq")
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Incremental CDC read between two committed versions: the rows of
