@@ -82,11 +82,23 @@ object Lakehouse {
     buf.toSeq.sorted
   }
 
+  /** Two writers raced to the same version and the loser must NOT be
+    * silently discarded — it holds different entries. Caller rebases on
+    * the winner's manifest and retries at the next version (optimistic
+    * concurrency, the Delta/Iceberg commit protocol). */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   /** Commit `entries` as manifest version `v`: write to a dot-prefixed
-    * staging dir, then one atomic rename into place. Idempotent: if the
-    * version already exists (a prior commit won, or a crashed run is
-    * re-driven), the staging copy is discarded and the published manifest
-    * — immutable by contract — stands. */
+    * staging dir, then one atomic rename into place. If the version
+    * already exists there are two cases the protocol must distinguish:
+    * an IDEMPOTENT re-drive (same entries — a crashed run replayed, a
+    * streaming epoch re-delivered) discards the staging copy and the
+    * published manifest stands; a CONFLICTING commit (different
+    * entries — a concurrent writer won the rename race) throws, because
+    * silently dropping the loser's entries would lose its data — the
+    * caller rebases and retries at the next version. The rename is the
+    * arbiter: exactly one staging ever becomes the manifest. */
   private[graft] def commitVersion(s: SparkSession, root: String, v: Int,
       entries: Seq[(String, String, Int)]): Unit = {
     import s.implicits._
@@ -97,7 +109,14 @@ object Lakehouse {
     val fs = hadoopFs(s, root)
     val tgt = new org.apache.hadoop.fs.Path(target)
     val stg = new org.apache.hadoop.fs.Path(staging)
-    if (fs.exists(tgt)) { fs.delete(stg, true); () }
+    if (fs.exists(tgt)) {
+      val winner = manifestEntries(s, root, v)
+      fs.delete(stg, true)
+      if (winner != entries.sorted)
+        throw new ConcurrentCommitException(
+          s"version $v already committed with different entries — " +
+            "rebase on the published manifest and retry at the next version")
+    }
     else if (!fs.rename(stg, tgt))
       throw new java.io.IOException(s"commitVersion: rename to $target failed")
   }

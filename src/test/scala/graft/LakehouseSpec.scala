@@ -196,10 +196,19 @@ class LakehouseSpec extends SparkSpec {
   test("commits are idempotent and a stranded staging manifest recovers") {
     val root = freshRoot("crash")
     val before = Lakehouse.manifestEntries(spark, root, 3)
-    // re-driving an already-committed version must be a no-op
-    Lakehouse.commitVersion(spark, root, 3, Seq(("data", "bogus/path", 3)))
+    // re-driving an already-committed version with the SAME entries is
+    // the idempotent replay case: a no-op
+    Lakehouse.commitVersion(spark, root, 3, before)
     assert(Lakehouse.manifestEntries(spark, root, 3) === before,
       "recommit mutated an immutable manifest")
+    // a CONFLICTING commit at the same version is a lost race, not a
+    // replay — it must throw so the loser rebases instead of silently
+    // losing its entries
+    intercept[Lakehouse.ConcurrentCommitException] {
+      Lakehouse.commitVersion(spark, root, 3,
+        Seq(("data", "bogus/path", 3)))
+    }
+    assert(Lakehouse.manifestEntries(spark, root, 3) === before)
     // simulate a crash AFTER staging, BEFORE rename: strand a staging
     // dir for a new version, then re-drive the commit normally
     import spark.implicits._
