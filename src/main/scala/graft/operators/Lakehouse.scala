@@ -18,7 +18,7 @@ import graft.{QueryDef, Tables}
   * {{{
   *   data/w=[writeId]/part-….parquet      immutable data files
   *   deletes/w=[writeId]/part-….parquet   delete-key files (merge-on-read)
-  *   _manifests/v=[version]/….parquet     manifest rows: (kind, path)
+  *   _manifests/v=[version]/….parquet     manifest rows: (kind, path, seq)
   * }}}
   * Manifest paths are RELATIVE to the root (the table can move wholesale).
   * `_manifests` /`.…` names are invisible to Spark's discovery, so a
@@ -39,12 +39,20 @@ import graft.{QueryDef, Tables}
   *     files and commit a manifest referencing only those — the readers
   *     of older versions are untouched (their files still exist).
   *
-  * The declared keys gate the four version states against a DuckDB replay
+  *   - MERGE (upsert) is one merge-on-read commit: fresh data files + a
+  *     delete file for the matched keys, sound under sequence scoping.
+  *   - SCHEMA EVOLUTION is additive: a later commit's batch may carry
+  *     new columns; readers null-fill older rows, nothing is rewritten.
+  *   - VACUUM reclaims files unreferenced by any retained version —
+  *     per-file metadata ops, never a data read.
+  *
+  * The declared keys gate every version state against a DuckDB replay
   * of the same predicates over the base table, the CDC key gates the
   * incremental read (new-files-only, never a snapshot diff), and
   * LakehouseSpec locks the metadata claims (delete commit leaves data
-  * entries byte-identical; CDC reads only the appended files; commits are
-  * idempotent; a stranded staging manifest recovers).
+  * entries byte-identical; CDC reads only the appended files; commits
+  * distinguish idempotent replay from concurrent conflict; a stranded
+  * staging manifest recovers; vacuum reclaims exactly the garbage).
   */
 object Lakehouse {
 
@@ -316,10 +324,11 @@ object Lakehouse {
       added.collect { case ("delete", p, _) => s"$root/$p" })
   }
 
-  // --- the staged demonstration table: four commits over orders ---
+  // --- the staged demonstration table: six commits over orders ---
   // v1 base load (o_orderkey ≡ 0 mod 3), v2 append (≡ 1 mod 3), v3
   // merge-on-read delete of live keys ≡ 4 mod 10, v4 copy-on-write
-  // compaction of the live view. Built once per (app, sf dir) — every
+  // compaction of the live view, v5 sequence-scoped MERGE upsert, v6
+  // schema-evolved append. Built once per (app, sf dir) — every
   // read key time-travels over the same immutable commit history, the
   // lifecycle key re-runs the commits into a fresh root to keep the
   // write cost visible (the q_landing_partitioned discipline).
@@ -465,7 +474,7 @@ object Lakehouse {
     inserts.unionAll(deletes).orderBy("version", "o_orderkey")
   }
 
-  /** VACUUM under the read oracle: fresh four-commit history, reclaim
+  /** VACUUM under the read oracle: fresh commit history, reclaim
     * everything not referenced by the final compacted version, then
     * read that version — which must still hash-match the live-state
     * oracle (vacuum deleted only garbage). The reclaimed files are the
@@ -488,10 +497,10 @@ object Lakehouse {
     out
   }
 
-  // lifecycle twin: re-run all four commits into a fresh root each call
+  // lifecycle twin: re-run all six commits into a fresh root each call
   // so the bench times the WRITE path (manifest commits + data/delete
-  // landings + compaction), then emit the same summary — oracle shared
-  // BY REFERENCE with q_table_time_travel.
+  // landings + compaction + merge + evolution), then emit the same
+  // summary — oracle shared BY REFERENCE with q_table_time_travel.
   private val lifecycleRuns = new java.util.concurrent.atomic.AtomicLong()
 
   val qTableLifecycle: (SparkSession, String) => DataFrame = (s, d) => {
