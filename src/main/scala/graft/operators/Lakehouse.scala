@@ -474,6 +474,54 @@ object Lakehouse {
     inserts.unionAll(deletes).orderBy("version", "o_orderkey")
   }
 
+  /** CDC-driven incremental view maintenance WITH RETRACTIONS: a
+    * per-customer rollup is built once over v1, then maintained to v3
+    * purely from the change feed — v2's inserts aggregate from ONLY the
+    * added files, v3's deletes retract by aggregating the deleted ROWS
+    * (delete keys are equality deletes, so the retraction looks the
+    * deleted rows up with a broadcast join against the pre-delete data
+    * — the one pass a delete-aware view maintainer must pay, prunable
+    * by zone maps/blooms at scale) — and groups whose count reaches
+    * zero leave the view. The maintained view must hash-match the
+    * direct aggregate over the v3 state (the oracle), proving
+    * maintained ≡ recomputed without the maintenance path ever
+    * scanning a snapshot. Counts and sums merge additively with signs,
+    * in exact DECIMAL(18,2), so increments commute and the final
+    * double cast is bit-stable.
+    *
+    * At 100 TB this is the standing-rollup story: each commit's delta
+    * costs the CHANGE (added files; deleted rows via pruned lookup),
+    * never the table — the q_rollup_increment discipline extended to
+    * handle deletions. */
+  val qTableMvIncrement: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = versionedOrdersRoot(s, d)
+    def agg(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy("o_custkey")
+        .agg((count(lit(1)) * sign).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * sign)
+            .cast("decimal(18,2)").as("sum_price"))
+    val mv1 = agg(readVersion(s, root, 1, "o_orderkey"), 1)
+    val (ins2, _) = changedFiles(s, root, 1, 2)
+    val insDelta = agg(s.read.parquet(ins2: _*), 1)
+    val (_, del3) = changedFiles(s, root, 2, 3)
+    // equality-delete retraction: look the deleted rows up in the
+    // pre-delete state's data files (broadcast keys, pruned scan)
+    val delKeys = s.read.parquet(del3: _*)
+    val v2Data = manifestEntries(s, root, 2)
+      .collect { case ("data", p, _) => s"$root/$p" }
+    val deletedRows = s.read.parquet(v2Data: _*)
+      .join(broadcast(delKeys), Seq("o_orderkey"))
+    val delDelta = agg(deletedRows, -1)
+    mv1.unionAll(insDelta).unionAll(delDelta)
+      .groupBy("o_custkey")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_price")).cast("decimal(18,2)").as("sum_price"))
+      .filter(col("n_orders") > 0)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
   /** VACUUM under the read oracle: fresh commit history, reclaim
     * everything not referenced by the final compacted version, then
     * read that version — which must still hash-match the live-state
@@ -552,6 +600,10 @@ object Lakehouse {
         "ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
+    // delete-aware incremental view maintenance: the maintained rollup
+    // must equal the direct aggregate over the v3 state
+    QueryDef("q_table_mv_increment", qTableMvIncrement, Some(
+      "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 GROUP BY o_custkey ORDER BY o_custkey")),
     // same oracle BY REFERENCE: the freshly-committed history must
     // reproduce the memoized one exactly — commits are deterministic
     QueryDef("q_table_lifecycle", qTableLifecycle, Some(timeTravelOracle))

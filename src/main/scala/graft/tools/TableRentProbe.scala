@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Lakehouse
+
+/** Commit-count rent for the versioned table: does read latency grow
+  * with APPEND count or only with DELETE count? readVersion groups data
+  * files by applicable-delete set, so the claim is: E append commits
+  * plan ONE scan group (flat read cost as E grows), D delete commits
+  * plan D+1 groups (the real rent), and one compaction resets to a
+  * single group — the merge-cadence economics, measured. */
+object TableRentProbe {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.SparkEntry.configure(
+      SparkSession.builder().master("local[32]"), "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (T, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .localCheckpoint()
+    def bestOf2(root: String, v: Int): Double = {
+      def run() = time {
+        Lakehouse.readVersion(spark, root, v, "o_orderkey").count() }._2
+      run(); math.min(run(), run())
+    }
+    println("== append-count rent: E ingest commits, zero deletes ==")
+    for (e <- Seq(4, 16, 64)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rent_a$e"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val (_, tIngest) = time {
+        for (i <- 0 until e)
+          Lakehouse.ingestCommit(root,
+            base.filter(pmod(col("o_orderkey"), lit(e.toLong)) === i),
+            i.toLong, "o_orderkey")
+      }
+      val tRead = bestOf2(root, e)
+      println(f"E=$e%-4d ingest=$tIngest%7.2fs read=$tRead%5.2fs " +
+        f"(same rows every E — flat read is the claim)")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+    println("== delete-count rent: 16 appends + D delete commits ==")
+    for (dd <- Seq(1, 4, 16)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rent_d$dd"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      for (i <- 0 until 16)
+        Lakehouse.ingestCommit(root,
+          base.filter(pmod(col("o_orderkey"), lit(16L)) === i),
+          i.toLong, "o_orderkey")
+      var v = 16
+      val (_, tDels) = time {
+        for (j <- 0 until dd)
+          v = Lakehouse.deleteCommit(spark, root, v,
+            base.filter(pmod(col("o_orderkey"), lit(100L)) === j)
+              .select("o_orderkey"))
+      }
+      val tRead = bestOf2(root, v)
+      val (_, tCompact) = time {
+        v = Lakehouse.compactCommit(spark, root, v, "o_orderkey", 32) }
+      val tPost = bestOf2(root, v)
+      println(f"D=$dd%-3d deletes=$tDels%6.2fs read=$tRead%5.2fs " +
+        f"compact=$tCompact%6.2fs readPost=$tPost%5.2fs")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+    spark.stop()
+  }
+}
