@@ -311,6 +311,64 @@ object Lakehouse {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Per-file key min/max recorded at commit time (one pass over the
+    * freshly-written files, grouped by input_file_name) — the zone-map
+    * sidecar (`_stats/w=tag`) that lets readers prune files from TABLE
+    * METADATA before Spark ever plans the scan. */
+  private[graft] def writeKeyStats(s: SparkSession, root: String,
+      relDir: String, keyCol: String): Unit = {
+    val tag = relDir.substring(relDir.lastIndexOf('/') + 1)
+    val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
+    s.read.parquet(s"$root/$relDir")
+      .select(col(keyCol), input_file_name().as("__f"))
+      .groupBy("__f")
+      .agg(min(keyCol).as("kmin"), max(keyCol).as("kmax"))
+      .select(
+        // store root-relative paths — same portability rule as manifests
+        regexp_replace(col("__f"), lit("^file:(//)?" + rootPrefix),
+          lit("")).as("path"),
+        col("kmin"), col("kmax"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_stats/$tag")
+  }
+
+  /** Stats for every data file of version `v` that has a recorded zone
+    * map: (relative path → (kmin, kmax)). Metadata-scale collect. */
+  private[graft] def keyStats(s: SparkSession, root: String,
+      v: Int): Map[String, (Long, Long)] = {
+    val fs = hadoopFs(s, root)
+    val statsRoot = new org.apache.hadoop.fs.Path(s"$root/_stats")
+    if (!fs.exists(statsRoot)) Map.empty
+    else s.read.parquet(s"$root/_stats/*")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  /** Range-pruned time-travel read: drop every data file whose recorded
+    * [kmin, kmax] cannot intersect [lo, hi] BEFORE planning the scan —
+    * file skipping from table metadata, the zone-map complement to
+    * parquet's own row-group stats (which only help after the file is
+    * opened). Files without stats are conservatively kept; delete keys
+    * apply to the survivors; the exact predicate refines. Result must
+    * equal the unpruned read + filter — the oracle states that. */
+  def readVersionPruned(s: SparkSession, root: String, v: Int,
+      keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val stats = keyStats(s, root, v)
+    val ents = manifestEntries(s, root, v).filter {
+      case ("data", p, _) =>
+        stats.get(p).forall { case (kmin, kmax) => kmin <= hi && lo <= kmax }
+      case _ => true
+    }
+    val delPaths = ents.collect { case ("delete", p, _) => s"$root/$p" }
+    val dataPaths = ents.collect { case ("data", p, _) => s"$root/$p" }
+    val data = s.read.option("mergeSchema", "true").parquet(dataPaths: _*)
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    // v3-shaped histories: all surviving data predates every delete, so
+    // the plain anti-join is exact here (the general path is readVersion)
+    if (delPaths.isEmpty) data
+    else data.join(broadcast(s.read.parquet(delPaths: _*).select(keyCol)),
+      Seq(keyCol), "left_anti")
+  }
+
   /** Incremental CDC read between two committed versions: the rows of
     * data files ADDED after `fromV` (inserts) and the keys of delete
     * files added after `fromV` (deletes). Reads ONLY the new files — a
@@ -343,16 +401,21 @@ object Lakehouse {
     // v1: base load. repartition by key — at scale the layout choice
     // (here hash by key into 4 files) is the writer's, invisible to the
     // manifest contract.
+    // base/append writes are RANGE-clustered on the key (the layout a
+    // writer chooses when point/range reads matter) and record per-file
+    // zone maps at commit time — what readVersionPruned skips with.
     orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
-      .repartition(4, col("o_orderkey"))
+      .repartitionByRange(4, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=1")
+    writeKeyStats(s, root, "data/w=1", "o_orderkey")
     val v1 = listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1))
     commitVersion(s, root, 1, v1)
     // v2: append — new files only; v1's files re-enter the manifest
     // untouched (the append never rewrites history).
     orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
-      .repartition(4, col("o_orderkey"))
+      .repartitionByRange(4, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=2")
+    writeKeyStats(s, root, "data/w=2", "o_orderkey")
     val v2 = v1 ++
       listDataFiles(s, root, s"$root/data/w=2").map(("data", _, 2))
     commitVersion(s, root, 2, v2)
@@ -473,6 +536,19 @@ object Lakehouse {
       .select(lit(3).as("version"), lit("D").as("op"), col("o_orderkey"))
     inserts.unionAll(deletes).orderBy("version", "o_orderkey")
   }
+
+  /** Range read of the post-delete snapshot via ZONE-MAP FILE SKIPPING:
+    * the key range hits a fraction of the range-clustered files and the
+    * rest are dropped from table metadata before the scan is planned
+    * (LakehouseSpec locks the scanned-file subset). Must hash-match the
+    * plain predicate over the base table. */
+  val qTablePrunedRead: (SparkSession, String) => DataFrame = (s, d) =>
+    readVersionPruned(s, versionedOrdersRoot(s, d), 3, "o_orderkey",
+      1000L, 2999L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
 
   /** CDC-driven incremental view maintenance WITH RETRACTIONS: a
     * per-customer rollup is built once over v1, then maintained to v3
@@ -600,6 +676,10 @@ object Lakehouse {
         "ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
+    // zone-map file skipping: the pruned range read must equal the
+    // plain predicate over the base table
+    QueryDef("q_table_pruned_read", qTablePrunedRead, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 AND o_orderkey BETWEEN 1000 AND 2999 ORDER BY o_orderkey")),
     // delete-aware incremental view maintenance: the maintained rollup
     // must equal the direct aggregate over the v3 state
     QueryDef("q_table_mv_increment", qTableMvIncrement, Some(

@@ -193,6 +193,28 @@ class LakehouseSpec extends SparkSpec {
       "vacuum claimed to reclaim v1's files but v1 still reads whole")
   }
 
+  test("zone-map file skipping: the pruned range read scans strictly " +
+    "fewer files than the version references and loses no rows") {
+    val root = freshRoot("prune")
+    val v3Data = Lakehouse.manifestEntries(spark, root, 3)
+      .count(_._1 == "data")
+    val pruned = Lakehouse.readVersionPruned(spark, root, 3,
+      "o_orderkey", 100L, 399L)
+    pruned.collect()
+    val scanned = collectFileScans(pruned.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles)
+      .filterNot(_.contains("/deletes/")).toSet
+    assert(scanned.nonEmpty && scanned.size < v3Data,
+      s"no skipping: scanned ${scanned.size} of $v3Data data files")
+    // and the pruned read is exactly the filtered unpruned read
+    val expect = Lakehouse.readVersion(spark, root, 3, "o_orderkey")
+      .filter(col("o_orderkey").between(100L, 399L))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val got = pruned.select("o_orderkey").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("commits are idempotent and a stranded staging manifest recovers") {
     val root = freshRoot("crash")
     val before = Lakehouse.manifestEntries(spark, root, 3)
