@@ -228,7 +228,10 @@ object Curation {
         expr(s"instr('0123456789abcdef', substring(__h, $i, 1))") - 1
       val v = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
       def dec(c: Column): Column = c.cast("decimal(38,0)")
-      val keepAll = col("s_d") * col("t_budget") >= col("total") * col("n_d")
+      // decimal on BOTH comparisons: the raw-long form of this one
+      // wraps at the same ~1e19 the accept test is protected against
+      val keepAll = dec(col("s_d")) * dec(col("t_budget")) >=
+        dec(col("total")) * dec(col("n_d"))
       val accept = dec(lit(2) * col("v") + 1) * dec(col("total")) *
         dec(col("n_d")) <
         dec(lit(131072L)) * dec(col("s_d")) * dec(col("t_budget"))

@@ -97,36 +97,47 @@ object Lakehouse {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
-  /** Commit `entries` as manifest version `v`: write to a dot-prefixed
-    * staging dir, then one atomic rename into place. If the version
-    * already exists there are two cases the protocol must distinguish:
-    * an IDEMPOTENT re-drive (same entries — a crashed run replayed, a
-    * streaming epoch re-delivered) discards the staging copy and the
-    * published manifest stands; a CONFLICTING commit (different
-    * entries — a concurrent writer won the rename race) throws, because
-    * silently dropping the loser's entries would lose its data — the
-    * caller rebases and retries at the next version. The rename is the
-    * arbiter: exactly one staging ever becomes the manifest. */
+  /** Commit `entries` as manifest version `v`: write to a PER-ATTEMPT
+    * dot-prefixed staging dir (two racing writers must never share a
+    * staging path — a shared path lets one attempt clobber the other's
+    * staged entries before either renames), attempt the rename, then
+    * decide by READ-BACK: whatever entries are readable at the target
+    * are the winner's, regardless of the filesystem's rename-onto-
+    * existing-directory semantics (LocalFS/HDFS move the source INTO an
+    * existing target rather than failing — a returned `true` there does
+    * NOT mean we won). Identical entries are the idempotent replay
+    * no-op (a crashed run re-driven, a streaming epoch re-delivered);
+    * different entries throw, because silently dropping the loser's
+    * entries would lose its data — the caller rebases and retries at
+    * the next version. Stray staging copies (including one the rename
+    * may have nested inside the target — dot-prefixed, so invisible to
+    * the manifest read) are cleaned up on every exit path. */
   private[graft] def commitVersion(s: SparkSession, root: String, v: Int,
       entries: Seq[(String, String, Int)]): Unit = {
     import s.implicits._
     val target = s"$root/_manifests/v=$v"
-    val staging = s"$root/_manifests/.v=$v.staging"
+    val attempt = s".v=$v.staging.${java.util.UUID.randomUUID}"
+    val staging = s"$root/_manifests/$attempt"
     entries.toDF("kind", "path", "seq").coalesce(1)
       .write.mode("overwrite").parquet(staging)
     val fs = hadoopFs(s, root)
     val tgt = new org.apache.hadoop.fs.Path(target)
     val stg = new org.apache.hadoop.fs.Path(staging)
-    if (fs.exists(tgt)) {
-      val winner = manifestEntries(s, root, v)
-      fs.delete(stg, true)
-      if (winner != entries.sorted)
-        throw new ConcurrentCommitException(
-          s"version $v already committed with different entries — " +
-            "rebase on the published manifest and retry at the next version")
-    }
-    else if (!fs.rename(stg, tgt))
-      throw new java.io.IOException(s"commitVersion: rename to $target failed")
+    if (!fs.exists(tgt)) fs.rename(stg, tgt) // may race; read-back decides
+    val winner = manifestEntries(s, root, v)
+    // sweep every staging for this version — ours, a crashed writer's
+    // stranded attempt, or one a rename-into-directory fallback nested
+    // inside the target. All are garbage once the version is readable;
+    // a live loser whose staging vanishes mid-flight still terminates
+    // correctly (its rename no-ops and ITS read-back decides).
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      .map(_.getPath).filter(_.getName.startsWith(s".v=$v.staging"))
+      .foreach(fs.delete(_, true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$target/$attempt"), true)
+    if (winner != entries.sorted)
+      throw new ConcurrentCommitException(
+        s"version $v already committed with different entries — " +
+          "rebase on the published manifest and retry at the next version")
   }
 
   /** The committed manifest of version `v`: (kind, relative path, seq)
@@ -257,6 +268,18 @@ object Lakehouse {
         }
       }
     }
+    // zone-map sidecars of write dirs with no retained file are dead
+    // metadata — reclaim them with their data (sidecars don't count
+    // toward the returned file total; they are bookkeeping, not table)
+    val retainedTags = retained.collect {
+      case p if p.startsWith("data/") =>
+        p.substring(0, p.lastIndexOf('/')).stripPrefix("data/")
+    }
+    val statsRoot = new org.apache.hadoop.fs.Path(s"$root/_stats")
+    if (fs.exists(statsRoot))
+      fs.listStatus(statsRoot).map(_.getPath)
+        .filterNot(p => retainedTags(p.getName))
+        .foreach(fs.delete(_, true))
     reclaimed
   }
 
@@ -286,8 +309,20 @@ object Lakehouse {
     * additive-evolution contract; drops/renames are a rewrite by
     * policy). Identical schemas pay nothing. */
   def readVersion(s: SparkSession, root: String, v: Int,
-      keyCol: String): DataFrame = {
-    val ents = manifestEntries(s, root, v)
+      keyCol: String): DataFrame =
+    readEntries(s, root, manifestEntries(s, root, v), keyCol)
+
+  /** The seq-scoped group read over an explicit entry set — shared by
+    * [[readVersion]] and [[readVersionPruned]] so range pruning can
+    * never bypass the delete-scoping rules. Known accepted trade: a
+    * group with k applicable delete commits anti-joins the union of
+    * their key files, so across groups each delete file is planned up
+    * to D times (O(D²) tiny key-file scans for D live delete commits) —
+    * delete files are key-only and D is bounded by compaction cadence,
+    * and the alternative (a seq-inequality broadcast join) gives up the
+    * plain equi-anti-join this form keeps. */
+  private def readEntries(s: SparkSession, root: String,
+      ents: Seq[(String, String, Int)], keyCol: String): DataFrame = {
     val delBySeq = ents.collect { case ("delete", p, q) => (q, s"$root/$p") }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
     val delSeqs = delBySeq.map(_._1)
@@ -296,6 +331,13 @@ object Lakehouse {
     val groups = ents.collect { case ("data", p, q) => (q, s"$root/$p") }
       .groupBy { case (q, _) => delSeqs.count(_ > q) }
       .toSeq.sortBy(_._1)
+    // schema lives in the data files in this implementation, so a
+    // version with no data entries has no derivable schema — fail with
+    // the contract instead of an opaque empty.reduce
+    require(groups.nonEmpty,
+      "readVersion: version references no data files (fully-emptied " +
+        "tables need a schema-bearing manifest, the documented " +
+        "production extension)")
     groups.map { case (nDels, files) =>
       // mergeSchema: one group may span pre- and post-evolution files.
       // At fixture scale this reads footers; a production table keeps
@@ -331,14 +373,21 @@ object Lakehouse {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/_stats/$tag")
   }
 
-  /** Stats for every data file of version `v` that has a recorded zone
-    * map: (relative path → (kmin, kmax)). Metadata-scale collect. */
+  /** Zone maps for the data files version `v` references: (relative
+    * path → (kmin, kmax)). Reads ONLY the stats sidecars of the write
+    * dirs the version's manifest actually names — metadata scoped to
+    * the version, never the table's whole stats history. */
   private[graft] def keyStats(s: SparkSession, root: String,
       v: Int): Map[String, (Long, Long)] = {
     val fs = hadoopFs(s, root)
-    val statsRoot = new org.apache.hadoop.fs.Path(s"$root/_stats")
-    if (!fs.exists(statsRoot)) Map.empty
-    else s.read.parquet(s"$root/_stats/*")
+    val tags = manifestEntries(s, root, v)
+      .collect { case ("data", p, _) =>
+        p.substring(0, p.lastIndexOf('/')).stripPrefix("data/") }
+      .distinct
+    val present = tags.map(t => s"$root/_stats/$t")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (present.isEmpty) Map.empty
+    else s.read.parquet(present: _*)
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
   }
@@ -347,26 +396,28 @@ object Lakehouse {
     * [kmin, kmax] cannot intersect [lo, hi] BEFORE planning the scan —
     * file skipping from table metadata, the zone-map complement to
     * parquet's own row-group stats (which only help after the file is
-    * opened). Files without stats are conservatively kept; delete keys
-    * apply to the survivors; the exact predicate refines. Result must
-    * equal the unpruned read + filter — the oracle states that. */
+    * opened). Files without stats are conservatively kept, one data
+    * file survives as a schema carrier when everything prunes, the
+    * shared seq-scoped group read applies the delete files (pruning can
+    * never bypass delete scoping), and the exact predicate refines.
+    * Result must equal the unpruned read + filter — the oracle states
+    * that. */
   def readVersionPruned(s: SparkSession, root: String, v: Int,
       keyCol: String, lo: Long, hi: Long): DataFrame = {
     val stats = keyStats(s, root, v)
-    val ents = manifestEntries(s, root, v).filter {
+    val all = manifestEntries(s, root, v)
+    val kept = all.filter {
       case ("data", p, _) =>
         stats.get(p).forall { case (kmin, kmax) => kmin <= hi && lo <= kmax }
       case _ => true
     }
-    val delPaths = ents.collect { case ("delete", p, _) => s"$root/$p" }
-    val dataPaths = ents.collect { case ("data", p, _) => s"$root/$p" }
-    val data = s.read.option("mergeSchema", "true").parquet(dataPaths: _*)
+    val ents =
+      if (kept.exists(_._1 == "data")) kept
+      else kept :+ all.find(_._1 == "data").getOrElse(
+        throw new IllegalStateException(
+          s"readVersionPruned: version $v has no data files"))
+    readEntries(s, root, ents, keyCol)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
-    // v3-shaped histories: all surviving data predates every delete, so
-    // the plain anti-join is exact here (the general path is readVersion)
-    if (delPaths.isEmpty) data
-    else data.join(broadcast(s.read.parquet(delPaths: _*).select(keyCol)),
-      Seq(keyCol), "left_anti")
   }
 
   /** Incremental CDC read between two committed versions: the rows of
@@ -392,8 +443,19 @@ object Lakehouse {
   // write cost visible (the q_landing_partitioned discipline).
   private val stagedRoot = graft.AppCache[String]()
 
-  private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderdate",
-    "o_totalprice")
+  /** The one orders projection every table key (and the streaming
+    * ingest) shares — a single definition so the ingested schema and
+    * the declared outputs cannot drift apart. */
+  private[graft] val OrdersCols = Seq("o_orderkey", "o_custkey",
+    "o_orderdate", "o_totalprice")
+
+  /** The shared output shape: date formatted engine-stable, rows
+    * ordered by key (the hash-compare determinism sort). */
+  private[graft] def orderedOrdersRows(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
 
   private[graft] def buildVersionedOrders(s: SparkSession, d: String,
       root: String): Unit = {
@@ -495,22 +557,16 @@ object Lakehouse {
     * path end-to-end — manifest file set + broadcast anti-join — must
     * reproduce the predicate-defined state row-for-row. */
   val qTableSnapshotRows: (SparkSession, String) => DataFrame = (s, d) =>
-    readVersion(s, versionedOrdersRoot(s, d), 3, "o_orderkey")
-      .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"))
-      .orderBy("o_orderkey")
+    orderedOrdersRows(
+      readVersion(s, versionedOrdersRoot(s, d), 3, "o_orderkey"))
 
   /** Full-row read of the post-UPSERT snapshot (v5): sequence-scoped
     * merge-on-read end-to-end — updated keys resolve to their fresh
     * rows (the delete file masks only earlier sequences), inserted keys
     * appear, untouched keys pass through. */
   val qTableMerge: (SparkSession, String) => DataFrame = (s, d) =>
-    readVersion(s, versionedOrdersRoot(s, d), 5, "o_orderkey")
-      .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"))
-      .orderBy("o_orderkey")
+    orderedOrdersRows(
+      readVersion(s, versionedOrdersRoot(s, d), 5, "o_orderkey"))
 
   /** Full-row read of the schema-evolved snapshot (v6): the appended
     * batch carries o_channel, every pre-evolution row surfaces it as
@@ -543,12 +599,8 @@ object Lakehouse {
     * (LakehouseSpec locks the scanned-file subset). Must hash-match the
     * plain predicate over the base table. */
   val qTablePrunedRead: (SparkSession, String) => DataFrame = (s, d) =>
-    readVersionPruned(s, versionedOrdersRoot(s, d), 3, "o_orderkey",
-      1000L, 2999L)
-      .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"))
-      .orderBy("o_orderkey")
+    orderedOrdersRows(readVersionPruned(s, versionedOrdersRoot(s, d),
+      3, "o_orderkey", 1000L, 2999L))
 
   /** CDC-driven incremental view maintenance WITH RETRACTIONS: a
     * per-customer rollup is built once over v1, then maintained to v3
@@ -610,11 +662,7 @@ object Lakehouse {
       s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
     buildVersionedOrders(s, d, root)
     vacuum(s, root, retainFrom = 4)
-    val out = readVersion(s, root, 4, "o_orderkey")
-      .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"))
-      .orderBy("o_orderkey")
+    val out = orderedOrdersRows(readVersion(s, root, 4, "o_orderkey"))
       .localCheckpoint()
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

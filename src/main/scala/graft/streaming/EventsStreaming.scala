@@ -1641,8 +1641,9 @@ object EventsStreaming {
 
   private val stagedOrdersReplay = graft.AppCache[String]()
 
-  private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderdate",
-    "o_totalprice")
+  // the SAME projection Lakehouse's keys declare — one definition, so
+  // the ingested schema and the declared outputs cannot drift
+  private def ordersCols = graft.operators.Lakehouse.OrdersCols
 
   private def stageOrdersDir(s: SparkSession, d: String): String =
     stagedOrdersReplay.get(s, d)({
@@ -1689,11 +1690,8 @@ object EventsStreaming {
 
   private def tableRows(s: SparkSession, root: String, v: Int): DataFrame = {
     import graft.operators.Lakehouse
-    Lakehouse.readVersion(s, root, v, "o_orderkey")
-      .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"))
-      .orderBy("o_orderkey")
+    Lakehouse.orderedOrdersRows(Lakehouse.readVersion(s, root, v,
+      "o_orderkey"))
   }
 
   val qStreamTableIngest: (SparkSession, String) => DataFrame = (s, d) => {
