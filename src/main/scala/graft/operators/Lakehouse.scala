@@ -14,20 +14,35 @@ import graft.{QueryDef, Tables}
   * formats); time travel is "read manifest v"; snapshot isolation is free
   * because nothing a committed version references is ever mutated.
   *
+  * Metadata is TWO-LEVEL (the Iceberg manifest-list shape): each commit
+  * writes one immutable MANIFEST holding only the entries it ADDS, and a
+  * SNAPSHOT (manifest list) naming every manifest whose entries the
+  * version references — inherited manifests are reused by name, never
+  * rewritten. A single-level scheme (each version re-listing every live
+  * file) makes commit k cost O(total files at k), i.e. quadratic metadata
+  * over the table's life; here commit cost is O(files added) + an
+  * O(#manifests) list row per live manifest, independent of table size.
+  *
   * Layout under a table root:
   * {{{
   *   data/w=[writeId]/part-….parquet      immutable data files
   *   deletes/w=[writeId]/part-….parquet   delete-key files (merge-on-read)
-  *   _manifests/v=[version]/….parquet     manifest rows: (kind, path, seq)
+  *   _manifests/m=[v]-[uuid]/….parquet    one commit's ADDED entries:
+  *                                        (kind, path, seq) — immutable
+  *   _snapshots/v=[version]/….parquet     manifest list: (mpath) rows
+  *                                        closing the version's file set
   * }}}
-  * Manifest paths are RELATIVE to the root (the table can move wholesale).
-  * `_manifests` /`.…` names are invisible to Spark's discovery, so a
+  * All stored paths are RELATIVE to the root (the table can move
+  * wholesale). `_…`/`.…` names are invisible to Spark's discovery, so a
   * reader pointed at the root never sees bookkeeping as data.
   *
   * Scale contract, per operation:
-  *   - COMMIT is one manifest write + one rename — O(#files) metadata,
-  *     never a data copy. Publish is staging+rename (atomic on HDFS/posix;
-  *     an object store swaps the rename for its manifest-commit op).
+  *   - COMMIT writes one manifest (O(files ADDED) rows) + one snapshot
+  *     (O(#live manifests) rows — one tiny row per manifest) + one
+  *     rename, never a data copy and never a re-listing of inherited
+  *     files. Publish is staging+rename of the SNAPSHOT only (atomic on
+  *     HDFS/posix; an object store swaps the rename for its
+  *     manifest-commit op).
   *   - READ collects only the manifest (file list — thousands of entries
   *     at 100 TB, metadata-scale) and hands Spark the exact file set; the
   *     parquet scan itself prunes columns/predicates as usual.
@@ -64,6 +79,7 @@ object Lakehouse {
   // away; with it, the delete scopes to history and the fresh row
   // (same seq as the delete) survives.
   private val ManifestSchema = "kind string, path string, seq int"
+  private val SnapshotSchema = "mpath string"
 
   private def hadoopFs(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -97,76 +113,127 @@ object Lakehouse {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
-  /** Commit `entries` as manifest version `v`: write to a PER-ATTEMPT
-    * dot-prefixed staging dir (two racing writers must never share a
-    * staging path — a shared path lets one attempt clobber the other's
-    * staged entries before either renames), attempt the rename, then
-    * decide by READ-BACK: whatever entries are readable at the target
-    * are the winner's, regardless of the filesystem's rename-onto-
-    * existing-directory semantics (LocalFS/HDFS move the source INTO an
-    * existing target rather than failing — a returned `true` there does
-    * NOT mean we won). Identical entries are the idempotent replay
-    * no-op (a crashed run re-driven, a streaming epoch re-delivered);
-    * different entries throw, because silently dropping the loser's
-    * entries would lose its data — the caller rebases and retries at
-    * the next version. Stray staging copies (including one the rename
-    * may have nested inside the target — dot-prefixed, so invisible to
-    * the manifest read) are cleaned up on every exit path. */
-  private[graft] def commitVersion(s: SparkSession, root: String, v: Int,
-      entries: Seq[(String, String, Int)]): Unit = {
+  /** Publish version `v` as a SNAPSHOT whose file set = the entries of
+    * `inherited` manifests (reused by name — never rewritten) plus a
+    * fresh manifest holding exactly `added`. The commit's metadata cost
+    * is O(|added|) manifest rows + O(#manifests) one-row-per-manifest
+    * list rows — independent of the table's total file count (the
+    * manifest-list shape; a version re-listing every live file would
+    * make the k-th commit cost O(files at k), quadratic over the
+    * table's life).
+    *
+    * The snapshot write goes to a PER-ATTEMPT dot-prefixed staging dir
+    * (two racing writers must never share a staging path), attempts the
+    * rename, then decides by READ-BACK of the RESOLVED ENTRIES:
+    * whatever entries the target snapshot resolves to are the winner's,
+    * regardless of the filesystem's rename-onto-existing-directory
+    * semantics (LocalFS/HDFS move the source INTO an existing target
+    * rather than failing — a returned `true` there does NOT mean we
+    * won). Identical entries are the idempotent replay no-op (a crashed
+    * run re-driven, a streaming epoch re-delivered); different entries
+    * throw, because silently dropping the loser's entries would lose
+    * its data — the caller rebases and retries at the next version.
+    * On every non-winning exit the attempt's own manifest is reclaimed
+    * (nothing references it); stray snapshot stagings — ours, a crashed
+    * writer's, or one a rename fallback nested inside the target
+    * (dot-prefixed, invisible to the snapshot read) — are swept. A
+    * crash between manifest write and snapshot publish leaves an
+    * unreferenced manifest; vacuum reclaims those. */
+  private[graft] def publishVersion(s: SparkSession, root: String, v: Int,
+      inherited: Seq[String], added: Seq[(String, String, Int)]): Unit = {
     import s.implicits._
-    val target = s"$root/_manifests/v=$v"
-    val attempt = s".v=$v.staging.${java.util.UUID.randomUUID}"
-    val staging = s"$root/_manifests/$attempt"
-    entries.toDF("kind", "path", "seq").coalesce(1)
-      .write.mode("overwrite").parquet(staging)
     val fs = hadoopFs(s, root)
+    val mine: Option[String] =
+      if (added.isEmpty) None
+      else {
+        val name =
+          s"m=$v-${java.util.UUID.randomUUID.toString.take(8)}"
+        added.toDF("kind", "path", "seq").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/_manifests/$name")
+        Some(s"_manifests/$name")
+      }
+    val list = (inherited ++ mine).sorted
+    val intended = (readManifests(s, root, inherited) ++ added).sorted
+    val target = s"$root/_snapshots/v=$v"
+    val attempt = s".v=$v.staging.${java.util.UUID.randomUUID}"
+    val staging = s"$root/_snapshots/$attempt"
+    list.toDF("mpath").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
     val tgt = new org.apache.hadoop.fs.Path(target)
     val stg = new org.apache.hadoop.fs.Path(staging)
     if (!fs.exists(tgt)) fs.rename(stg, tgt) // may race; read-back decides
     val winner = manifestEntries(s, root, v)
-    // sweep every staging for this version — ours, a crashed writer's
-    // stranded attempt, or one a rename-into-directory fallback nested
-    // inside the target. All are garbage once the version is readable;
-    // a live loser whose staging vanishes mid-flight still terminates
-    // correctly (its rename no-ops and ITS read-back decides).
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_snapshots"))
       .map(_.getPath).filter(_.getName.startsWith(s".v=$v.staging"))
       .foreach(fs.delete(_, true))
     fs.delete(new org.apache.hadoop.fs.Path(s"$target/$attempt"), true)
-    if (winner != entries.sorted)
+    if (winner != intended) {
+      // lost race (or replayed with different content): our manifest is
+      // unreferenced garbage — reclaim it before surfacing the conflict
+      mine.foreach(m =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$m"), true))
       throw new ConcurrentCommitException(
         s"version $v already committed with different entries — " +
-          "rebase on the published manifest and retry at the next version")
+          "rebase on the published snapshot and retry at the next version")
+    }
+    // idempotent replay: entries matched but the published list names
+    // the FIRST attempt's manifest — this attempt's duplicate is garbage
+    val published = snapshotManifests(s, root, v).toSet
+    mine.filterNot(published).foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$m"), true))
   }
 
-  /** The committed manifest of version `v`: (kind, relative path, seq)
-    * rows. One small parquet read + a file-count-bounded collect —
-    * metadata. */
-  private[graft] def manifestEntries(s: SparkSession, root: String,
-      v: Int): Seq[(String, String, Int)] =
-    s.read.schema(ManifestSchema).parquet(s"$root/_manifests/v=$v")
+  /** Back-compat single-level shape (specs/tooling): publish `entries`
+    * as a REWRITE snapshot (one fresh manifest, no inheritance). Same
+    * read-back idempotency/conflict semantics as [[publishVersion]]. */
+  private[graft] def commitVersion(s: SparkSession, root: String, v: Int,
+      entries: Seq[(String, String, Int)]): Unit =
+    publishVersion(s, root, v, Seq.empty, entries)
+
+  /** The manifest list of snapshot `v`: root-relative manifest dirs,
+    * sorted. One tiny parquet read — O(#manifests) rows. */
+  private[graft] def snapshotManifests(s: SparkSession, root: String,
+      v: Int): Seq[String] =
+    s.read.schema(SnapshotSchema).parquet(s"$root/_snapshots/v=$v")
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** The entries of an explicit manifest set — the unit CDC and
+    * metadata-diff reads work in (reading only CHANGED manifests is
+    * what keeps those O(change)). */
+  private[graft] def readManifests(s: SparkSession, root: String,
+      mpaths: Seq[String]): Seq[(String, String, Int)] =
+    if (mpaths.isEmpty) Seq.empty
+    else s.read.schema(ManifestSchema)
+      .parquet(mpaths.map(p => s"$root/$p"): _*)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq.sorted
+
+  /** The committed file set of version `v`: (kind, relative path, seq)
+    * rows resolved through the manifest list. Two small parquet reads +
+    * a file-count-bounded collect — metadata. */
+  private[graft] def manifestEntries(s: SparkSession, root: String,
+      v: Int): Seq[(String, String, Int)] =
+    readManifests(s, root, snapshotManifests(s, root, v))
 
   /** Has version `v` been committed? One metadata existence check — the
     * txn-log idempotency test a streaming committer runs before doing
     * ANY work for a re-delivered epoch (the data files a committed
-    * manifest references must never be rewritten). */
+    * snapshot references must never be rewritten). */
   private[graft] def versionExists(s: SparkSession, root: String,
       v: Int): Boolean =
     hadoopFs(s, root).exists(
-      new org.apache.hadoop.fs.Path(s"$root/_manifests/v=$v"))
+      new org.apache.hadoop.fs.Path(s"$root/_snapshots/v=$v"))
 
   /** Merge-on-read DELETE as a commit: land the key rows, publish
-    * manifest fromV+1 = fromV's entries + the delete files. Touches no
-    * data file. Returns the new version. */
+    * snapshot fromV+1 = fromV's manifests (reused by name) + one new
+    * manifest holding only the delete files. Touches no data file and
+    * re-lists no inherited entry. Returns the new version. */
   private[graft] def deleteCommit(s: SparkSession, root: String,
       fromV: Int, keys: DataFrame): Int = {
     val v = fromV + 1
     keys.coalesce(1).write.mode("overwrite")
       .parquet(s"$root/deletes/w=$v")
-    commitVersion(s, root, v, manifestEntries(s, root, fromV) ++
+    publishVersion(s, root, v, snapshotManifests(s, root, fromV),
       listDataFiles(s, root, s"$root/deletes/w=$v")
         .map(("delete", _, v)))
     v
@@ -183,7 +250,9 @@ object Lakehouse {
     readVersion(s, root, fromV, keyCol)
       .repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(dir)
-    commitVersion(s, root, v,
+    // a REWRITE snapshot: one fresh manifest, no inherited list — the
+    // merge-on-read debt and the manifest-count rent both reset here
+    publishVersion(s, root, v, Seq.empty,
       listDataFiles(s, root, dir).map(("data", _, v)))
     v
   }
@@ -201,7 +270,7 @@ object Lakehouse {
       .write.mode("overwrite").parquet(s"$root/data/w=merge$v")
     updates.select(keyCol).coalesce(1).write.mode("overwrite")
       .parquet(s"$root/deletes/w=$v")
-    commitVersion(s, root, v, manifestEntries(s, root, fromV) ++
+    publishVersion(s, root, v, snapshotManifests(s, root, fromV),
       listDataFiles(s, root, s"$root/deletes/w=$v")
         .map(("delete", _, v)) ++
       listDataFiles(s, root, s"$root/data/w=merge$v")
@@ -226,10 +295,10 @@ object Lakehouse {
     val dir = s"$root/data/w=$id"
     batch.repartition(2, col(keyCol))
       .write.mode("overwrite").parquet(dir)
-    val prev = if (v == 1) Seq.empty[(String, String, Int)]
-      else manifestEntries(s, root, v - 1)
-    commitVersion(s, root, v,
-      prev ++ listDataFiles(s, root, dir).map(("data", _, v)))
+    val prev = if (v == 1) Seq.empty[String]
+      else snapshotManifests(s, root, v - 1)
+    publishVersion(s, root, v,
+      prev, listDataFiles(s, root, dir).map(("data", _, v)))
   }
 
   /** VACUUM: physically delete every data/delete file not referenced by
@@ -249,8 +318,10 @@ object Lakehouse {
   private[graft] def vacuum(s: SparkSession, root: String,
       retainFrom: Int): Int = {
     val fs = hadoopFs(s, root)
-    val retained = (retainFrom to latestVersion(s, root))
-      .flatMap(v => manifestEntries(s, root, v)).map(_._2).toSet
+    val retainedManifests = (retainFrom to latestVersion(s, root))
+      .flatMap(v => snapshotManifests(s, root, v)).distinct
+    val retained =
+      readManifests(s, root, retainedManifests).map(_._2).toSet
     val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
     var reclaimed = 0
     Seq("data", "deletes").foreach { sub =>
@@ -280,14 +351,24 @@ object Lakehouse {
       fs.listStatus(statsRoot).map(_.getPath)
         .filterNot(p => retainedTags(p.getName))
         .foreach(fs.delete(_, true))
+    // manifests no retained snapshot names are dead metadata too — the
+    // pre-horizon versions' deltas and any orphan a writer stranded
+    // between manifest write and snapshot publish (bookkeeping, not
+    // counted toward the returned data-file total)
+    val keepM = retainedManifests.toSet
+    val mRoot = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    if (fs.exists(mRoot))
+      fs.listStatus(mRoot).map(_.getPath)
+        .filterNot(p => keepM(s"_manifests/${p.getName}"))
+        .foreach(fs.delete(_, true))
     reclaimed
   }
 
   /** Highest committed version (spec/tooling helper — queries pass
-    * explicit versions). Listing `_manifests` is one metadata call. */
+    * explicit versions). Listing `_snapshots` is one metadata call. */
   private[graft] def latestVersion(s: SparkSession, root: String): Int = {
     val fs = hadoopFs(s, root)
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_snapshots"))
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt).max
   }
@@ -422,13 +503,17 @@ object Lakehouse {
 
   /** Incremental CDC read between two committed versions: the rows of
     * data files ADDED after `fromV` (inserts) and the keys of delete
-    * files added after `fromV` (deletes). Reads ONLY the new files — a
-    * snapshot diff (read both versions, except) would scan the table
-    * twice; the manifest diff scans exactly the change. */
+    * files added after `fromV` (deletes). The diff runs at the
+    * MANIFEST-LIST level — only manifests toV names that fromV does not
+    * are even read (commits between the versions contributed exactly
+    * those), so CDC metadata cost is O(change), and the data read then
+    * scans only the changed files — a snapshot diff (read both
+    * versions, except) would scan the table twice. */
   private[graft] def changedFiles(s: SparkSession, root: String,
       fromV: Int, toV: Int): (Seq[String], Seq[String]) = {
-    val before = manifestEntries(s, root, fromV).toSet
-    val added = manifestEntries(s, root, toV).filterNot(before)
+    val before = snapshotManifests(s, root, fromV).toSet
+    val added = readManifests(s, root,
+      snapshotManifests(s, root, toV).filterNot(before))
     (added.collect { case ("data", p, _) => s"$root/$p" },
       added.collect { case ("delete", p, _) => s"$root/$p" })
   }
@@ -470,35 +555,35 @@ object Lakehouse {
       .repartitionByRange(4, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=1")
     writeKeyStats(s, root, "data/w=1", "o_orderkey")
-    val v1 = listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1))
-    commitVersion(s, root, 1, v1)
-    // v2: append — new files only; v1's files re-enter the manifest
-    // untouched (the append never rewrites history).
+    publishVersion(s, root, 1, Seq.empty,
+      listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1)))
+    // v2: append — the new snapshot reuses v1's manifest by name and
+    // adds one manifest for the new files only (the append never
+    // rewrites history, data OR metadata).
     orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
       .repartitionByRange(4, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=2")
     writeKeyStats(s, root, "data/w=2", "o_orderkey")
-    val v2 = v1 ++
-      listDataFiles(s, root, s"$root/data/w=2").map(("data", _, 2))
-    commitVersion(s, root, 2, v2)
+    publishVersion(s, root, 2, snapshotManifests(s, root, 1),
+      listDataFiles(s, root, s"$root/data/w=2").map(("data", _, 2)))
     // v3: merge-on-read delete — derive the keys from the LIVE view of
     // v2 (the shape a real DELETE WHERE takes), land one key row per
-    // deleted record, commit data entries UNCHANGED + the delete file.
+    // deleted record; the commit's own manifest holds ONLY the delete
+    // files (data manifests inherited untouched).
     readVersion(s, root, 2, "o_orderkey")
       .filter(pmod(col("o_orderkey"), lit(10)) === 4)
       .select("o_orderkey")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes/w=3")
-    val v3 = v2 ++
-      listDataFiles(s, root, s"$root/deletes/w=3").map(("delete", _, 3))
-    commitVersion(s, root, 3, v3)
+    publishVersion(s, root, 3, snapshotManifests(s, root, 2),
+      listDataFiles(s, root, s"$root/deletes/w=3").map(("delete", _, 3)))
     // v4: copy-on-write compaction — materialize v3's live view into
-    // fresh files; the new manifest references only those (no delete
-    // entries left to merge at read time). Older versions still read
-    // their own files.
+    // fresh files; the new snapshot references only the fresh manifest
+    // (no delete entries left to merge at read time, manifest-count
+    // rent reset). Older versions still read their own files.
     readVersion(s, root, 3, "o_orderkey")
       .repartition(2, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=4")
-    commitVersion(s, root, 4,
+    publishVersion(s, root, 4, Seq.empty,
       listDataFiles(s, root, s"$root/data/w=4").map(("data", _, 4)))
     // v5: merge-on-read UPSERT — one commit both UPDATES the live keys
     // ≡ 0 (mod 7) (price +10) and INSERTS the never-loaded ≡ 2 (mod 3)
@@ -524,7 +609,7 @@ object Lakehouse {
         concat(lit("ch"), pmod(col("o_orderkey"), lit(3))))
       .repartition(2, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data/w=6")
-    commitVersion(s, root, 6, manifestEntries(s, root, 5) ++
+    publishVersion(s, root, 6, snapshotManifests(s, root, 5),
       listDataFiles(s, root, s"$root/data/w=6").map(("data", _, 6)))
   }
 

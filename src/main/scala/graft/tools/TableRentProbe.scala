@@ -49,6 +49,37 @@ object TableRentProbe {
         f"(same rows every E — flat read is the claim)")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    println("== metadata rent: manifest rows written per commit " +
+      "(two-level) vs the single-level re-list counterfactual ==")
+    for (e <- Seq(16, 64, 256)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rent_m$e"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val (_, tIngest) = time {
+        for (i <- 0 until e)
+          Lakehouse.ingestCommit(root,
+            base.filter(pmod(col("o_orderkey"), lit(e.toLong)) === i),
+            i.toLong, "o_orderkey")
+      }
+      // rows actually written: each commit's own manifest (delta) plus
+      // its snapshot list (one row per live manifest). Counterfactual:
+      // a single-level scheme re-lists every live entry per commit.
+      var written = 0L; var lists = 0L; var counterfactual = 0L
+      var prev = Set.empty[String]
+      for (v <- 1 to e) {
+        val lst = Lakehouse.snapshotManifests(spark, root, v)
+        written += Lakehouse.readManifests(spark, root,
+          lst.filterNot(prev)).size
+        lists += lst.size
+        counterfactual += Lakehouse.manifestEntries(spark, root, v).size
+        prev = lst.toSet
+      }
+      println(f"E=$e%-4d ingest=$tIngest%7.2fs manifestRows=$written%6d " +
+        f"listRows=$lists%6d vs singleLevel=$counterfactual%8d " +
+        f"(${counterfactual.toDouble / (written + lists)}%5.1fx)")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
     println("== delete-count rent: 16 appends + D delete commits ==")
     for (dd <- Seq(1, 4, 16)) {
       val root = s"${sys.props("java.io.tmpdir")}/graft_rent_d$dd"

@@ -87,6 +87,43 @@ class LakehouseSpec extends SparkSpec {
     assert(v6.filter(col("o_channel").isNull).count() === n(5))
   }
 
+  test("commit metadata is O(delta): snapshots reuse inherited manifests " +
+    "by name, a commit's own manifest holds only its added entries, and " +
+    "compaction resets the manifest count") {
+    val root = freshRoot("delta")
+    def list(v: Int) = Lakehouse.snapshotManifests(spark, root, v)
+    // append: v2's list = v1's manifests (byte-identical names — nothing
+    // inherited is rewritten) + exactly one new manifest
+    assert(list(1).size === 1)
+    assert(list(2).toSet.intersect(list(1).toSet) === list(1).toSet,
+      "append rewrote an inherited manifest")
+    assert(list(2).size === list(1).size + 1)
+    val added2 = Lakehouse.readManifests(spark, root,
+      (list(2).toSet -- list(1).toSet).toSeq)
+    assert(added2.nonEmpty && added2.forall { case (k, p, q) =>
+      k == "data" && p.startsWith("data/w=2") && q == 2 },
+      "the append's own manifest carries more than its added files")
+    // delete commit: one new manifest, delete entries ONLY — the
+    // single-level scheme would re-list every data file here
+    assert(list(3).size === list(2).size + 1)
+    val added3 = Lakehouse.readManifests(spark, root,
+      (list(3).toSet -- list(2).toSet).toSeq)
+    assert(added3.nonEmpty && added3.forall { case (k, p, _) =>
+      k == "delete" && p.startsWith("deletes/w=3") },
+      "the delete commit's manifest re-listed data entries")
+    // compaction is the rewrite: exactly one fresh manifest, rent reset
+    assert(list(4).size === 1)
+    assert(!list(3).contains(list(4).head))
+    // the evolved append's metadata delta is strictly smaller than the
+    // live file set it would have re-listed under a single-level scheme
+    val v5Entries = Lakehouse.manifestEntries(spark, root, 5).size
+    val added6 = Lakehouse.readManifests(spark, root,
+      (list(6).toSet -- list(5).toSet).toSeq).size
+    assert(added6 < v5Entries,
+      s"commit 6 wrote $added6 manifest rows, not less than the " +
+        s"$v5Entries a full re-list would")
+  }
+
   test("snapshot read scans exactly the manifest file set; CDC reads " +
     "only the added files") {
     val root = freshRoot("scan")
@@ -217,25 +254,36 @@ class LakehouseSpec extends SparkSpec {
 
   test("commits are idempotent and a stranded staging manifest recovers") {
     val root = freshRoot("crash")
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestDirs(): Int = fsRoot.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      .count(!_.getPath.getName.startsWith("."))
+    val mBefore = manifestDirs()
     val before = Lakehouse.manifestEntries(spark, root, 3)
     // re-driving an already-committed version with the SAME entries is
-    // the idempotent replay case: a no-op
+    // the idempotent replay case: a no-op — and the replay attempt's
+    // own manifest must not survive as garbage
     Lakehouse.commitVersion(spark, root, 3, before)
     assert(Lakehouse.manifestEntries(spark, root, 3) === before,
       "recommit mutated an immutable manifest")
+    assert(manifestDirs() === mBefore,
+      "idempotent replay left an unreferenced manifest behind")
     // a CONFLICTING commit at the same version is a lost race, not a
     // replay — it must throw so the loser rebases instead of silently
-    // losing its entries
+    // losing its entries (and the loser's manifest is reclaimed)
     intercept[Lakehouse.ConcurrentCommitException] {
       Lakehouse.commitVersion(spark, root, 3,
         Seq(("data", "bogus/path", 3)))
     }
     assert(Lakehouse.manifestEntries(spark, root, 3) === before)
+    assert(manifestDirs() === mBefore,
+      "losing commit left an unreferenced manifest behind")
     // simulate a crash AFTER staging, BEFORE rename: strand a staging
-    // dir for a new version, then re-drive the commit normally
+    // snapshot for a new version, then re-drive the commit normally
     import spark.implicits._
-    Seq(("data", "stale/file", 7)).toDF("kind", "path", "seq").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/_manifests/.v=7.staging")
+    Seq("_manifests/stale").toDF("mpath").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_snapshots/.v=7.staging")
     Lakehouse.commitVersion(spark, root, 7,
       Lakehouse.manifestEntries(spark, root, 4))
     assert(Lakehouse.manifestEntries(spark, root, 7) ===
@@ -243,7 +291,7 @@ class LakehouseSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$root/_manifests/.v=7.staging")),
+      new org.apache.hadoop.fs.Path(s"$root/_snapshots/.v=7.staging")),
       "staging not cleaned up after publish")
     // bookkeeping stays invisible to a discovery reader over the root:
     // _manifests and dot-staging never surface as data
