@@ -364,6 +364,96 @@ object Lakehouse {
     reclaimed
   }
 
+  /** Metadata-only MANIFEST MERGE (the rewrite_manifests maintenance
+    * op): coalesce version fromV's manifest list into ONE manifest
+    * holding the same entries, published as fromV+1. No data or delete
+    * file is touched and the read is row-identical; what changes is
+    * the metadata rent — after E small commits the snapshot list holds
+    * E manifests and every later commit pays an E-row list write, so
+    * periodic manifest merge (or data compaction, which also resets to
+    * one manifest) bounds that growth the way segment merge bounds the
+    * BM25 index. Returns the new version. */
+  private[graft] def mergeManifests(s: SparkSession, root: String,
+      fromV: Int): Int = {
+    val v = fromV + 1
+    publishVersion(s, root, v, Seq.empty, manifestEntries(s, root, fromV))
+    v
+  }
+
+  // --- named refs: mutable pointers into the immutable version
+  // history (branches/tags). A ref is an APPEND-ONLY LOG under
+  // _refs/<name>/r=<k>, each entry one tiny parquet dir holding a
+  // single (version) row; the current value is the highest k. Updates
+  // stage+rename like snapshots (atomic; a stranded dot-prefixed
+  // staging is invisible and swept), and read-back decides a race —
+  // the loser retries at the next log index, so updates serialize
+  // without locks. The log IS the audit history: write-audit-publish
+  // and rollback are both just ref moves over immutable snapshots. ---
+
+  /** The ref's log entries, (idx, version), ascending. Empty if the
+    * ref was never set. One metadata listing + tiny parquet reads. */
+  private[graft] def refLog(s: SparkSession, root: String,
+      name: String): Seq[(Int, Int)] = {
+    val fs = hadoopFs(s, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_refs/$name")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("r=")).map(_.stripPrefix("r=").toInt).sorted
+      .map(k => k -> s.read.schema("version int")
+        .parquet(s"$root/_refs/$name/r=$k").head().getInt(0)).toSeq
+  }
+
+  /** Point `name` at `version` (branch move / tag create / rollback —
+    * a pure metadata write; the snapshot history is immutable under
+    * it). Lost races retry at the next log index. */
+  private[graft] def setRef(s: SparkSession, root: String, name: String,
+      version: Int): Unit = {
+    import s.implicits._
+    val fs = hadoopFs(s, root)
+    val dir = s"$root/_refs/$name"
+    var done = false
+    while (!done) {
+      val k = refLog(s, root, name).lastOption.map(_._1).getOrElse(0) + 1
+      val attempt = s".r=$k.staging.${java.util.UUID.randomUUID}"
+      Seq(version).toDF("version").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$attempt")
+      val tgt = new org.apache.hadoop.fs.Path(s"$dir/r=$k")
+      if (!fs.exists(tgt))
+        fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$attempt"), tgt)
+      // read-back decides; sweep our staging (and any rename-nested copy)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath).filter(_.getName.startsWith(s".r=$k.staging"))
+        .foreach(fs.delete(_, true))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tgt/$attempt"), true)
+      done = s.read.schema("version int").parquet(s"$dir/r=$k")
+        .head().getInt(0) == version
+    }
+  }
+
+  /** The version `name` currently points at. */
+  private[graft] def getRef(s: SparkSession, root: String,
+      name: String): Int = refLog(s, root, name).last._2
+
+  /** WRITE-AUDIT-PUBLISH: audit the STAGED snapshot `v` (committed but
+    * not yet referenced by `ref` — invisible to readers of the ref)
+    * and fast-forward the ref only on a clean audit. The audit here is
+    * the integrity pair every ingest gate needs — no null keys, no
+    * duplicate live keys — computed over the staged snapshot's live
+    * view (one scan, zone-map/partition-prunable at scale). Returns
+    * whether the snapshot was published. A rejected snapshot stays in
+    * history for forensics until vacuum reclaims it. */
+  private[graft] def auditAndPublish(s: SparkSession, root: String,
+      v: Int, ref: String, keyCol: String): Boolean = {
+    val staged = readVersion(s, root, v, keyCol)
+    val r = staged.agg(
+      coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L))
+        .as("nulls"),
+      (count(lit(1)) - count_distinct(col(keyCol))).as("dups")).head()
+    val ok = r.getLong(0) == 0L && r.getLong(1) == 0L
+    if (ok) setRef(s, root, ref, v)
+    ok
+  }
+
   /** Highest committed version (spec/tooling helper — queries pass
     * explicit versions). Listing `_snapshots` is one metadata call. */
   private[graft] def latestVersion(s: SparkSession, root: String): Int = {
@@ -622,6 +712,123 @@ object Lakehouse {
       root
     }
 
+  // --- the refs demonstration table: an independent commit history
+  // over orders exercising write-audit-publish and rollback. Version
+  // numbers are linear; PARENTS branch (a snapshot is a closed file
+  // set — it needs no parent pointer, so the history is free to be a
+  // DAG):
+  //   v1 base (%3==0)                          wap_main r1 → 1
+  //   v2 append (%3==1) from v1; audit OK   →  wap_main r2 → 2
+  //   v3 delete (%10==4) from v2               rb_main  r1 → 3
+  //   rollback (pure ref move)                 rb_main  r2 → 2
+  //   v4 append (%3==2) from v2 — DIVERGENT    rb_main  r3 → 4
+  //   v5 bad append (duplicated keys) from v2; audit REJECTS —
+  //      wap_main stays at 2, v5 stays in history for forensics
+  private val refsRoot = graft.AppCache[String]()
+
+  private[graft] def buildRefsDemo(s: SparkSession, d: String,
+      root: String): Unit = {
+    val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+    def land(tag: String, df: DataFrame,
+        seq: Int): Seq[(String, String, Int)] = {
+      df.repartition(2, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/data/w=$tag")
+      listDataFiles(s, root, s"$root/data/w=$tag").map(("data", _, seq))
+    }
+    publishVersion(s, root, 1, Seq.empty,
+      land("1", orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), 1))
+    setRef(s, root, "wap_main", 1)
+    // WAP: stage the append as v2 — committed, auditable, but readers
+    // of wap_main still see v1 until the audit fast-forwards the ref
+    publishVersion(s, root, 2, snapshotManifests(s, root, 1),
+      land("2", orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), 2))
+    require(auditAndPublish(s, root, 2, "wap_main", "o_orderkey"),
+      "refs demo: the clean append must pass its audit")
+    // rollback arc: delete commit on top of v2, then abandon it
+    deleteCommit(s, root, 2,
+      readVersion(s, root, 2, "o_orderkey")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+        .select("o_orderkey"))
+    setRef(s, root, "rb_main", 3)
+    setRef(s, root, "rb_main", 2) // the rollback: a pure metadata move
+    publishVersion(s, root, 4, snapshotManifests(s, root, 2),
+      land("rb4", orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), 4))
+    setRef(s, root, "rb_main", 4)
+    // WAP rejection: a batch that duplicates its own keys — staged as
+    // v5, audited, refused; wap_main never moves
+    val bad = orders.filter(pmod(col("o_orderkey"), lit(97)) === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+    publishVersion(s, root, 5, snapshotManifests(s, root, 2),
+      land("bad5", bad.unionAll(bad), 5))
+    require(!auditAndPublish(s, root, 5, "wap_main", "o_orderkey"),
+      "refs demo: the duplicate-key batch must fail its audit")
+  }
+
+  private[graft] def refsDemoRoot(s: SparkSession, d: String): String =
+    refsRoot.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_refs_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      buildRefsDemo(s, d, root)
+      root
+    }
+
+  private def refStepStats(s: SparkSession, root: String, step: String,
+      v: Int): DataFrame =
+    readVersion(s, root, v, "o_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .select(lit(step).as("step"), lit(v).as("version"),
+        col("n_rows"), col("sum_price"))
+
+  /** WRITE-AUDIT-PUBLISH over the versioned table: the staged snapshot
+    * is invisible to main-ref readers until its audit passes (fast
+    * forward = one metadata write), and a batch that fails the audit
+    * never surfaces — main re-reads identical after the rejection.
+    * Every step's state is read THROUGH the ref log. */
+  val qTableWap: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = refsDemoRoot(s, d)
+    val log = refLog(s, root, "wap_main").map(_._2)
+    refStepStats(s, root, "01_base", log.head)
+      .unionAll(refStepStats(s, root, "02_staged", 2))
+      .unionAll(refStepStats(s, root, "03_main_after_publish", log(1)))
+      .unionAll(refStepStats(s, root, "04_rejected_staged", 5))
+      .unionAll(refStepStats(s, root, "05_main_after_reject",
+        getRef(s, root, "wap_main")))
+      .orderBy("step")
+  }
+
+  /** ROLLBACK + divergent history: moving the ref back is a pure
+    * metadata write (no data op), the next commit diverges from the
+    * rolled-back snapshot, and the abandoned version stays readable
+    * for time travel until vacuum's horizon passes it. */
+  val qTableRollback: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = refsDemoRoot(s, d)
+    val log = refLog(s, root, "rb_main").map(_._2)
+    refStepStats(s, root, "01_deleted", log.head)
+      .unionAll(refStepStats(s, root, "02_rolled_back", log(1)))
+      .unionAll(refStepStats(s, root, "03_diverged",
+        getRef(s, root, "rb_main")))
+      .unionAll(refStepStats(s, root, "04_abandoned_readable", 3))
+      .orderBy("step")
+  }
+
+  /** Metadata-only manifest merge on the six-commit table: v7 holds
+    * v6's exact entries behind ONE manifest (rewrite_manifests), so
+    * the read is row-identical — the oracle is v6's, shared by
+    * reference — while the per-commit list rent resets. Idempotent on
+    * replay (same entries → read-back no-op). */
+  val qTableManifestMerge: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = versionedOrdersRoot(s, d)
+    val v = mergeManifests(s, root, 6)
+    readVersion(s, root, v, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("o_channel"))
+      .orderBy("o_orderkey")
+  }
+
   private def versionSummary(s: SparkSession, root: String): DataFrame =
     (1 to 5).map { v =>
       readVersion(s, root, v, "o_orderkey")
@@ -819,6 +1026,31 @@ object Lakehouse {
       "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 GROUP BY o_custkey ORDER BY o_custkey")),
     // same oracle BY REFERENCE: the freshly-committed history must
     // reproduce the memoized one exactly — commits are deterministic
-    QueryDef("q_table_lifecycle", qTableLifecycle, Some(timeTravelOracle))
+    QueryDef("q_table_lifecycle", qTableLifecycle, Some(timeTravelOracle)),
+    // metadata-only manifest merge: v7 must read row-identically to v6
+    // — the schema-evolution oracle shared BY REFERENCE
+    QueryDef("q_table_manifest_merge", qTableManifestMerge, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel FROM (" +
+        mergedStateSql + ") UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_custkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice, 'ch' || CAST((o_orderkey + 10000000) % 3 AS VARCHAR) FROM orders WHERE o_orderkey % 97 = 5 " +
+        "ORDER BY o_orderkey")),
+    // write-audit-publish: staged snapshots surface through the ref
+    // only after a clean audit; the rejected batch never moves main
+    QueryDef("q_table_wap", qTableWap, Some(
+      "WITH s AS (SELECT '01_base' AS step, 1 AS version, COUNT(*) AS n_rows, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT '02_staged', 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) " +
+        "UNION ALL SELECT '03_main_after_publish', 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) " +
+        "UNION ALL SELECT '04_rejected_staged', 5, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT o_totalprice FROM orders WHERE o_orderkey % 97 = 5 UNION ALL SELECT o_totalprice FROM orders WHERE o_orderkey % 97 = 5) " +
+        "UNION ALL SELECT '05_main_after_reject', 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1)) " +
+        "SELECT * FROM s ORDER BY step")),
+    // rollback is a ref move: the delete vanishes from main, the next
+    // commit diverges from the rolled-back snapshot, the abandoned
+    // version stays readable
+    QueryDef("q_table_rollback", qTableRollback, Some(
+      "WITH s AS (SELECT '01_deleted' AS step, 3 AS version, COUNT(*) AS n_rows, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 " +
+        "UNION ALL SELECT '02_rolled_back', 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) " +
+        "UNION ALL SELECT '03_diverged', 4, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders " +
+        "UNION ALL SELECT '04_abandoned_readable', 3, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4) " +
+        "SELECT * FROM s ORDER BY step"))
   )
 }

@@ -1998,6 +1998,86 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("canonical"))
       .orderBy("vec_id")
 
+  // --- SemDeDup: cluster-scoped semantic deduplication ---
+  // The published SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+  // k-means the embedding space, compare pairs ONLY within a cluster,
+  // drop every vector that has a smaller-id duplicate in its cluster
+  // (keep-first-occurrence — deterministic, engine-replayable). The
+  // scale trade is explicit and MEASURED: candidate volume falls from
+  // n² to Σ|cluster|² (at 100 TB: k grows with the corpus so cluster
+  // size stays bounded → linear pair volume, an equi-join on c_id that
+  // shuffles each side once), paid for in recall against the EXACT
+  // pair set — `q_semdedup` is rows-only by contract (the assignment
+  // is engine-internal) with `q_semdedup_recall` self-validating it,
+  // and the k=1 EXHAUSTIVE twin (one cluster ⇒ all pairs ⇒ brute-force
+  // dedup) takes the hard DuckDB oracle.
+
+  /** Corpus vectors assigned to the cached IVF centroids (the same
+    * trained quantizer the ANN keys probe — zero extra training). */
+  private def semAssigned(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfCentroids(s, d, 10, 3)
+    prepared(s, d)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("cn2") - lit(2.0) * dotd(col("ce"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("ce"), col("n2"), col("c_id")),
+        struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
+        col("m.c_id").as("c_id"))
+  }
+
+  /** Intra-cluster duplicate pairs at `threshold` — the candidate set
+    * SemDeDup evaluates (an equi-join on the cluster id; the cosine
+    * predicate refines inside the join so misses never materialize). */
+  private[graft] def semDupPairs(assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = assigned.select(col("c_id"), col("vec_id").as("vec_a"),
+      col("ce").as("ce_a"), col("n2").as("n2_a"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("vec_b"),
+      col("ce").as("ce_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("c_id"))
+      .filter(col("vec_a") < col("vec_b") &&
+        sim(col("ce_a"), col("n2_a"), col("ce_b"), col("n2_b"))
+          >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** The kept corpus: every vector WITHOUT a smaller-id duplicate in
+    * its own cluster survives. */
+  private[graft] def semDedupKept(assigned: DataFrame,
+      threshold: Double): DataFrame =
+    assigned.join(
+      semDupPairs(assigned, threshold)
+        .select(col("vec_b").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("c_id"))
+      .orderBy("vec_id")
+
+  // deployed shape: k=10 clusters, rows-only (recall twin validates)
+  val qSemDedup: (SparkSession, String) => DataFrame = (s, d) =>
+    semDedupKept(semAssigned(s, d), threshold = 0.4)
+
+  // k=1 exhaustive twin: one cluster = every pair considered = the
+  // brute-force keep-first dedup — the hard oracle
+  val qSemDedupExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => semDedupKept(
+      prepared(s, d).withColumn("c_id", lit(0)), threshold = 0.4)
+
+  /** Recall of the cluster-scoped pass against the EXACT duplicate
+    * pair set (the bucketed ε-join, ≡ brute force): the fraction of
+    * true pairs that landed in the same cluster. Self-validating row;
+    * SemDedupSpec pins the floor. */
+  val qSemDedupRecall: (SparkSession, String) => DataFrame = (s, d) => {
+    val truePairs = cachedEmbedPairs(s, d).select("vec_a", "vec_b")
+    val caught = semDupPairs(semAssigned(s, d), threshold = 0.4)
+    truePairs.join(caught, Seq("vec_a", "vec_b"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+      .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+      .select(col("n_true"), col("n_caught"),
+        round(col("n_caught") / col("n_true"), 4).as("recall"))
+  }
+
   // --- q_embed_norm_stats: per-label vector-norm profile ---
   // The embedding-quality screen a pipeline runs before indexing (norm
   // collapse / outlier labels). Norms are rounded to 9 decimals BEFORE the
@@ -2132,6 +2212,13 @@ object Similarity {
         // (the single-query probe is not in the codes corpus)
         s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id BETWEEN 1 AND 16), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id AND e.vec_id <> 0), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 10 ORDER BY q_id, sim DESC, vec_id")),
     QueryDef("q_ann_ivfpq_batch_recall", qAnnIvfPqBatchRecall, None),
+    // SemDeDup deployed shape: cluster-scoped, rows-only by contract
+    // (the k-means assignment is engine-internal); the recall twin and
+    // SemDedupSpec validate it, the k=1 twin takes the hard oracle
+    QueryDef("q_semdedup", qSemDedup, None),
+    QueryDef("q_semdedup_recall", qSemDedupRecall, None),
+    QueryDef("q_semdedup_exhaustive", qSemDedupExhaustive, Some(
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), d AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4) SELECT vec_id, 0 AS c_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id")),
     QueryDef("q_embed_clusters", qEmbedClusters, Some(
       "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src) SELECT src AS vec_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src ORDER BY vec_id")),
     QueryDef("q_embed_norm_stats", qEmbedNormStats, Some(

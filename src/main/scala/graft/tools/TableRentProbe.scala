@@ -80,6 +80,38 @@ object TableRentProbe {
         f"(${counterfactual.toDouble / (written + lists)}%5.1fx)")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    println("== metadata rent at realistic commit width: f=64 entries " +
+      "per commit (synthetic paths — pure metadata, no data written) ==")
+    for (e <- Seq(64, 256)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rent_s$e"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val f = 64
+      val (_, tCommit) = time {
+        for (v <- 1 to e) {
+          val prev = if (v == 1) Seq.empty[String]
+            else Lakehouse.snapshotManifests(spark, root, v - 1)
+          Lakehouse.publishVersion(spark, root, v, prev,
+            (0 until f).map(i => ("data", s"data/w=$v/f$i.parquet", v)))
+        }
+      }
+      var written = 0L; var lists = 0L; var counterfactual = 0L
+      var prev = Set.empty[String]
+      for (v <- 1 to e) {
+        val lst = Lakehouse.snapshotManifests(spark, root, v)
+        written += Lakehouse.readManifests(spark, root,
+          lst.filterNot(prev)).size
+        lists += lst.size
+        counterfactual += Lakehouse.manifestEntries(spark, root, v).size
+        prev = lst.toSet
+      }
+      println(f"E=$e%-4d f=$f commits=$tCommit%7.2fs " +
+        f"manifestRows=$written%7d listRows=$lists%7d " +
+        f"vs singleLevel=$counterfactual%9d " +
+        f"(${counterfactual.toDouble / (written + lists)}%5.1fx)")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
     println("== delete-count rent: 16 appends + D delete commits ==")
     for (dd <- Seq(1, 4, 16)) {
       val root = s"${sys.props("java.io.tmpdir")}/graft_rent_d$dd"

@@ -124,6 +124,71 @@ class LakehouseSpec extends SparkSpec {
         s"$v5Entries a full re-list would")
   }
 
+  test("manifest merge is metadata-only: entries identical behind one " +
+    "manifest, no data file touched, replay idempotent") {
+    val root = freshRoot("mm")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/data"), true)
+      val b = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val f = it.next(); b += f.getPath.toUri.getPath -> f.getModificationTime
+      }
+      b.toMap
+    }
+    val filesBefore = dataFiles()
+    val before = Lakehouse.manifestEntries(spark, root, 6)
+    assert(Lakehouse.snapshotManifests(spark, root, 6).size > 1)
+    val v = Lakehouse.mergeManifests(spark, root, 6)
+    assert(v === 7)
+    assert(Lakehouse.manifestEntries(spark, root, 7) === before,
+      "manifest merge changed the referenced file set")
+    assert(Lakehouse.snapshotManifests(spark, root, 7).size === 1)
+    assert(dataFiles() === filesBefore, "manifest merge touched data")
+    // replay: same entries → read-back no-op, no duplicate manifest
+    val mDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests")).length
+    Lakehouse.mergeManifests(spark, root, 6)
+    assert(Lakehouse.manifestEntries(spark, root, 7) === before)
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests")).length === mDirs,
+      "manifest-merge replay left garbage metadata")
+  }
+
+  test("refs: the log orders updates, a stranded ref staging is " +
+    "invisible, and a failed audit never moves the ref") {
+    val root = freshRoot("refs")
+    Lakehouse.setRef(spark, root, "main", 3)
+    Lakehouse.setRef(spark, root, "main", 2) // rollback
+    Lakehouse.setRef(spark, root, "main", 6)
+    assert(Lakehouse.refLog(spark, root, "main").map(_._2) === Seq(3, 2, 6))
+    assert(Lakehouse.getRef(spark, root, "main") === 6)
+    // strand a staging write (crash before rename): invisible to the log
+    import spark.implicits._
+    Seq(99).toDF("version").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_refs/main/.r=4.staging.dead")
+    assert(Lakehouse.getRef(spark, root, "main") === 6)
+    Lakehouse.setRef(spark, root, "main", 4)
+    assert(Lakehouse.refLog(spark, root, "main").map(_._2) ===
+      Seq(3, 2, 6, 4))
+    // audit gate: v3 has merge-on-read deletes but clean keys → passes;
+    // a version staged with duplicate keys must be refused
+    assert(Lakehouse.auditAndPublish(spark, root, 3, "aud", "o_orderkey"))
+    assert(Lakehouse.getRef(spark, root, "aud") === 3)
+    val dup = Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+      .limit(10)
+    dup.unionAll(dup).repartition(1, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/data/w=dup")
+    Lakehouse.commitVersion(spark, root, 9,
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=dup")
+        .map(("data", _, 9)))
+    assert(!Lakehouse.auditAndPublish(spark, root, 9, "aud", "o_orderkey"),
+      "duplicate keys passed the audit")
+    assert(Lakehouse.getRef(spark, root, "aud") === 3,
+      "a failed audit moved the ref")
+  }
+
   test("snapshot read scans exactly the manifest file set; CDC reads " +
     "only the added files") {
     val root = freshRoot("scan")
