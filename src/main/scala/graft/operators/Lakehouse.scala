@@ -301,6 +301,19 @@ object Lakehouse {
       prev, listDataFiles(s, root, dir).map(("data", _, v)))
   }
 
+  /** One streaming micro-batch applied as an atomic MERGE commit —
+    * the CDC-upsert ingest shape (each epoch carries full new rows for
+    * updated AND inserted keys; sequence scoping makes the per-epoch
+    * delete file mask only earlier versions of the matched keys). Same
+    * transaction-log idempotency as [[ingestCommit]]: a re-delivered
+    * epoch whose snapshot already published skips all work. */
+  private[graft] def mergeIngestCommit(root: String, batch: DataFrame,
+      id: Long, keyCol: String): Unit = {
+    val s = batch.sparkSession
+    if (versionExists(s, root, id.toInt + 1)) return
+    mergeCommit(s, root, id.toInt, batch, keyCol): Unit
+  }
+
   /** VACUUM: physically delete every data/delete file not referenced by
     * any manifest version ≥ `retainFrom` (older files became garbage
     * when later commits stopped referencing them — compaction rewrites,

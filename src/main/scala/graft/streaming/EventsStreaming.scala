@@ -1719,6 +1719,106 @@ object EventsStreaming {
       tableRows(s, root, v2)
     }
 
+  // --- q_stream_table_merge: streaming CDC-UPSERT ingest ---
+  // The production change-capture shape (a Debezium-style feed applied
+  // to a lakehouse table): epoch 0 is the base load, every later epoch
+  // is a batch of FULL NEW ROWS for updated and inserted keys, applied
+  // as ONE sequence-scoped merge commit (fresh data files + a delete
+  // file masking only earlier versions of the matched keys) — no data
+  // file is ever rewritten, replays are idempotent by the txn-log
+  // check. The replay stages one file per epoch with ordered mtimes so
+  // the upsert sequence is deterministic:
+  //   e0 base  = keys ≡ 0 (mod 3)
+  //   e1 upsert = update %7≡0 of the base (+10) ∪ insert keys ≡ 1
+  //   e2 upsert = update %5≡0 of the live (+5)  ∪ insert keys ≡ 2
+  private val stagedCdcReplay = graft.AppCache[String]()
+
+  private def stageCdcDir(s: SparkSession, d: String): String =
+    stagedCdcReplay.get(s, d)({
+      val key = Integer.toHexString(
+        (s.sparkContext.applicationId + "|cdc|" + d).hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_cdc_$key"
+      val orders = Tables.orders(s, d).select(ordersCols.map(col): _*)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"${dir}_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(dir, s"$name.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(mtime): Unit
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      val k = col("o_orderkey")
+      val price = col("o_totalprice")
+      val t0 = System.currentTimeMillis()
+      writeOne(orders.filter(pmod(k, lit(3)) === 0), "00_base",
+        t0 - 180000)
+      writeOne(
+        orders.filter(pmod(k, lit(3)) === 0 && pmod(k, lit(7)) === 0)
+          .withColumn("o_totalprice", price + lit(10.0))
+          .unionAll(orders.filter(pmod(k, lit(3)) === 1)),
+        "01_upsert", t0 - 120000)
+      writeOne(
+        orders.filter(pmod(k, lit(3)).isin(0, 1) && pmod(k, lit(5)) === 0)
+          .withColumn("o_totalprice",
+            when(pmod(k, lit(3)) === 0 && pmod(k, lit(7)) === 0,
+              price + lit(10.0)).otherwise(price))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+          .unionAll(orders.filter(pmod(k, lit(3)) === 2)),
+        "02_upsert", t0 - 60000)
+      dir
+    })
+
+  /** Each micro-batch is one atomic version commit: epoch 0 the base
+    * load, later epochs MERGE upserts (sequence-scoped delete + fresh
+    * rows). Returns the table root. */
+  private def runTableMergeStream(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Lakehouse
+    val inv = tableIngestInvocation.incrementAndGet()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_tmerge_" +
+      s.sparkContext.applicationId + s"_$inv"
+    val ckpt = s"$root/ckpt"
+    val staged = stageCdcDir(s, d)
+    val schema = Tables.orders(s, d).select(ordersCols.map(col): _*).schema
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          if (id == 0L)
+            Lakehouse.ingestCommit(root, batch.toDF(), 0L, "o_orderkey")
+          else
+            Lakehouse.mergeIngestCommit(root, batch.toDF(), id,
+              "o_orderkey")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q_stream_table_merge timed out after 300s")
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    root
+  }
+
+  val qStreamTableMerge: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.operators.Lakehouse
+    val root = runTableMergeStream(s, d)
+    tableRows(s, root, Lakehouse.latestVersion(s, root))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_join", qStreamJoin, Some(
       // stream-stream interval join over a time-ordered replay == the
@@ -1763,6 +1863,11 @@ object EventsStreaming {
     // read ≡ the base table minus the deleted keys
     QueryDef("q_stream_table_lifecycle", qStreamTableLifecycle, Some(
       "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 4 ORDER BY o_orderkey")),
+    // streaming CDC-upsert: base load + two merge-commit epochs ≡ the
+    // base table with both update waves applied and all keys present;
+    // float arithmetic ordered identically on both sides ((p+10)+5)
+    QueryDef("q_stream_table_merge", qStreamTableMerge, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, (o_totalprice + CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0 THEN 10.0 ELSE 0.0 END) + CASE WHEN o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 0 THEN 5.0 ELSE 0.0 END AS o_totalprice FROM orders ORDER BY o_orderkey")),
     QueryDef("q_stream_foreach_sink", qStreamForeachSink, Some(
       // every event lands in the file sink exactly once across batches
       "SELECT event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY event_type ORDER BY event_type")),

@@ -252,6 +252,38 @@ class LakehouseSpec extends SparkSpec {
       .count() === n - dead)
   }
 
+  test("streaming merge commits are exactly-once: a re-delivered upsert " +
+    "epoch does no work, intermediate versions stay readable") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_cdc").toString + "/t"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val base = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+    val upsert = orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionAll(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .limit(50))
+    Lakehouse.ingestCommit(root, base, 0L, "o_orderkey")
+    Lakehouse.mergeIngestCommit(root, upsert, 1L, "o_orderkey")
+    val before = Lakehouse.manifestEntries(spark, root, 2)
+    val n2 = Lakehouse.readVersion(spark, root, 2, "o_orderkey").count()
+    assert(n2 === base.count() + 50)
+    // re-delivery: no entry changes, every referenced file survives
+    Lakehouse.mergeIngestCommit(root, upsert, 1L, "o_orderkey")
+    assert(Lakehouse.manifestEntries(spark, root, 2) === before)
+    // sequence scoping: every matched key resolves to its FRESH row
+    val updSum = Lakehouse.readVersion(spark, root, 2, "o_orderkey")
+      .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .agg(sum("o_totalprice")).head().getDouble(0)
+    val origSum = orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .agg(sum("o_totalprice")).head().getDouble(0)
+    val nUpd = orders.filter(pmod(col("o_orderkey"), lit(4)) === 0).count()
+    assert(math.abs(updSum - origSum - nUpd) < 1e-6)
+    // the pre-merge version is untouched history
+    assert(Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+      .count() === base.count())
+  }
+
   test("vacuum reclaims exactly the unreferenced files: retained reads " +
     "survive, pre-horizon versions are gone, nothing referenced is lost") {
     val root = freshRoot("vac")
