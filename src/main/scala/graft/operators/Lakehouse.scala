@@ -359,11 +359,13 @@ object Lakehouse {
       case p if p.startsWith("data/") =>
         p.substring(0, p.lastIndexOf('/')).stripPrefix("data/")
     }
-    val statsRoot = new org.apache.hadoop.fs.Path(s"$root/_stats")
-    if (fs.exists(statsRoot))
-      fs.listStatus(statsRoot).map(_.getPath)
-        .filterNot(p => retainedTags(p.getName))
-        .foreach(fs.delete(_, true))
+    Seq("_stats", "_blooms").foreach { sub =>
+      val sidecarRoot = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      if (fs.exists(sidecarRoot))
+        fs.listStatus(sidecarRoot).map(_.getPath)
+          .filterNot(p => retainedTags(p.getName))
+          .foreach(fs.delete(_, true))
+    }
     // manifests no retained snapshot names are dead metadata too — the
     // pre-horizon versions' deltas and any orphan a writer stranded
     // between manifest write and snapshot publish (bookkeeping, not
@@ -604,6 +606,78 @@ object Lakehouse {
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** Per-file BLOOM sidecar over a (typically non-clustered) lookup
+    * column, recorded at commit time (`_blooms/w=tag`) — the EQUALITY
+    * complement to the zone-map sidecar: zone maps skip files by RANGE
+    * on the clustering key; blooms skip files by point predicate on any
+    * other column, from TABLE METADATA, before the scan is planned.
+    * Parquet's own column blooms only help after the file footer is
+    * opened — at object-store scale the saved open round-trip is the
+    * point. One distributed pass over the freshly-written files
+    * (groupBy input_file_name), one fixed-size binary per file
+    * (Spark's own mergeable BloomFilterAggregate). */
+  private[graft] def writeBloomStats(s: SparkSession, root: String,
+      relDir: String, lookupCol: String): Unit = {
+    val tag = relDir.substring(relDir.lastIndexOf('/') + 1)
+    val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
+    s.read.parquet(s"$root/$relDir")
+      .select(col(lookupCol), input_file_name().as("__f"))
+      .groupBy("__f")
+      .agg(graft.functions.SketchFunctions
+        .bloomAgg(xxhash64(col(lookupCol)), 100000L).as("bloom"))
+      .select(
+        regexp_replace(col("__f"), lit("^file:(//)?" + rootPrefix),
+          lit("")).as("path"),
+        col("bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_blooms/$tag")
+  }
+
+  /** Point-lookup read via BLOOM FILE SKIPPING: probe each file's bloom
+    * with the lookup value (a metadata-scale job over the sidecars the
+    * version's manifest names — might_contain false ⇒ the file
+    * definitely has no matching row), plan the scan over only the
+    * surviving files, and refine with the exact predicate (bloom
+    * positives may be false). Files without a sidecar are
+    * conservatively kept; one file survives as a schema carrier when
+    * everything prunes; the shared seq-scoped group read applies any
+    * delete files. Result must equal the plain predicate — the oracle
+    * states that. */
+  def readVersionBloomLookup(s: SparkSession, root: String, v: Int,
+      keyCol: String, lookupCol: String, value: Long): DataFrame = {
+    val fs = hadoopFs(s, root)
+    val all = manifestEntries(s, root, v)
+    val tags = all.collect { case ("data", p, _) =>
+      p.substring(0, p.lastIndexOf('/')).stripPrefix("data/") }.distinct
+    val present = tags.map(t => s"$root/_blooms/$t")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    // the probe is DRIVER-SIDE planner metadata (one sidecar row per
+    // file, the same altitude as Iceberg/Delta file-stats pruning):
+    // deserialize each file's fixed-size filter, test the xxhash64 of
+    // the lookup value (hashed by the engine expression so sidecar
+    // writer and prober can never disagree on the hash)
+    val rows =
+      if (present.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else s.read.parquet(present: _*).collect()
+    val covered: Set[String] = rows.map(_.getString(0)).toSet
+    val hashed = s.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    val kept: Set[String] = rows.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        .mightContainLong(hashed)
+    }.map(_.getString(0)).toSet
+    val keptEnts = all.filter {
+      case ("data", p, _) => !covered(p) || kept(p)
+      case _ => true
+    }
+    val ents =
+      if (keptEnts.exists(_._1 == "data")) keptEnts
+      else keptEnts :+ all.find(_._1 == "data").getOrElse(
+        throw new IllegalStateException(
+          s"readVersionBloomLookup: version $v has no data files"))
+    readEntries(s, root, ents, keyCol)
+      .filter(col(lookupCol) === value)
+  }
+
   /** Incremental CDC read between two committed versions: the rows of
     * data files ADDED after `fromV` (inserts) and the keys of delete
     * files added after `fromV` (deletes). The diff runs at the
@@ -842,6 +916,42 @@ object Lakehouse {
       .orderBy("o_orderkey")
   }
 
+  // --- the bloom demonstration table: orders hash-clustered into 16
+  // files BY THE LOOKUP COLUMN (the writer's layout when point reads
+  // on o_custkey matter — every custkey's rows land in exactly one
+  // file) with a per-file bloom sidecar committed alongside. Zone maps
+  // are useless here by construction (hash layout ⇒ every file spans
+  // the whole key range); the bloom is what skips.
+  private val bloomDemoRoot = graft.AppCache[String]()
+
+  private[graft] def buildBloomDemo(s: SparkSession, d: String,
+      root: String): Unit = {
+    Tables.orders(s, d).select(OrdersCols.map(col): _*)
+      .repartition(16, col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$root/data/w=1")
+    writeBloomStats(s, root, "data/w=1", "o_custkey")
+    publishVersion(s, root, 1, Seq.empty,
+      listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1)))
+  }
+
+  private[graft] def bloomDemoTable(s: SparkSession, d: String): String =
+    bloomDemoRoot.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_bloom_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      buildBloomDemo(s, d, root)
+      root
+    }
+
+  /** Point lookup on the non-clustering column via bloom file skipping:
+    * the hash layout routes each custkey to one file, the bloom probe
+    * keeps that file (plus any false positives) out of 16, and the
+    * exact predicate refines — must hash-match the plain predicate over
+    * the base table (LakehouseSpec locks the scanned-file subset). */
+  val qTableBloomLookup: (SparkSession, String) => DataFrame = (s, d) =>
+    orderedOrdersRows(readVersionBloomLookup(
+      s, bloomDemoTable(s, d), 1, "o_orderkey", "o_custkey", 5L))
+
   private def versionSummary(s: SparkSession, root: String): DataFrame =
     (1 to 5).map { v =>
       readVersion(s, root, v, "o_orderkey")
@@ -1029,6 +1139,10 @@ object Lakehouse {
         "ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
+    // bloom file skipping: the point lookup must equal the plain
+    // predicate over the base table
+    QueryDef("q_table_bloom_lookup", qTableBloomLookup, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_custkey = 5 ORDER BY o_orderkey")),
     // zone-map file skipping: the pruned range read must equal the
     // plain predicate over the base table
     QueryDef("q_table_pruned_read", qTablePrunedRead, Some(

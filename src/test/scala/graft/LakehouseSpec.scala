@@ -349,6 +349,38 @@ class LakehouseSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("bloom file skipping: the point lookup scans a strict subset of " +
+    "the hash-clustered files and loses no rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_bloom").toString + "/t"
+    Lakehouse.buildBloomDemo(spark, sf, root)
+    val nData = Lakehouse.manifestEntries(spark, root, 1).size
+    assert(nData === 16)
+    val looked = Lakehouse.readVersionBloomLookup(
+      spark, root, 1, "o_orderkey", "o_custkey", 5L)
+    looked.collect()
+    val scanned = collectFileScans(looked.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles).toSet
+    // hash layout routes custkey 5 to ONE file; blooms keep it plus any
+    // false positives — well under the full 16 at the sized ndv
+    assert(scanned.nonEmpty && scanned.size < nData / 2,
+      s"no skipping: scanned ${scanned.size} of $nData")
+    val expect = spark.read.parquet(s"$root/data/w=1")
+      .filter(col("o_custkey") === 5L)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(looked.select("o_orderkey").collect().map(_.getLong(0))
+      .sorted.toSeq === expect.toSeq)
+    // a custkey absent from the table prunes everything but the schema
+    // carrier and returns empty
+    val none = Lakehouse.readVersionBloomLookup(
+      spark, root, 1, "o_orderkey", "o_custkey", 99999999L)
+    assert(none.count() === 0)
+    val noneScanned = collectFileScans(none.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles).toSet
+    assert(noneScanned.size <= 2,
+      s"absent key still scanned ${noneScanned.size} files")
+  }
+
   test("commits are idempotent and a stranded staging manifest recovers") {
     val root = freshRoot("crash")
     val fsRoot = new org.apache.hadoop.fs.Path(root)
