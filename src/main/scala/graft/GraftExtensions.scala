@@ -62,5 +62,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))))
+    // TABLE-VALUED time travel: `SELECT … FROM graft_orders_version(dir,
+    // v)` resolves to the versioned table's snapshot read — the SQL
+    // surface of the table format (Iceberg's `VERSION AS OF` shape as a
+    // TVF), so pure-SQL jobs can time-travel without touching the Scala
+    // API. Arguments must be foldable (a table identifier is planner
+    // input); the staged demo table is memoized per (session, dir), so
+    // analysis pays the build at most once per app.
+    e.injectTableFunction((
+      FunctionIdentifier("graft_orders_version"),
+      info("graft_orders_version",
+        "graft_orders_version(sf_dir, version) - snapshot read of the staged versioned orders table at `version`"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs.forall(_.foldable),
+          "graft_orders_version(sf_dir, version) takes two literals")
+        val dir = exprs(0).eval().toString
+        val v = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case x => x.toString.toInt
+        }
+        val s = org.apache.spark.sql.SparkSession.active
+        operators.Lakehouse.readVersion(
+          s, operators.Lakehouse.versionedOrdersRoot(s, dir), v,
+          "o_orderkey").queryExecution.logical
+      }))
   }
 }

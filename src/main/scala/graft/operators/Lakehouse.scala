@@ -952,6 +952,16 @@ object Lakehouse {
     orderedOrdersRows(readVersionBloomLookup(
       s, bloomDemoTable(s, d), 1, "o_orderkey", "o_custkey", 5L))
 
+  /** Time travel from PURE SQL via the injected table-valued function
+    * (GraftExtensions.graft_orders_version — the `VERSION AS OF` shape):
+    * the same post-delete snapshot as q_table_snapshot_rows, reached
+    * without touching the Scala API; oracle shared BY REFERENCE. */
+  val qTableSqlTimeTravel: (SparkSession, String) => DataFrame = (s, d) =>
+    s.sql("SELECT o_orderkey, o_custkey, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate, " +
+      s"o_totalprice FROM graft_orders_version('$d', 3) " +
+      "ORDER BY o_orderkey")
+
   private def versionSummary(s: SparkSession, root: String): DataFrame =
     (1 to 5).map { v =>
       readVersion(s, root, v, "o_orderkey")
@@ -1121,6 +1131,10 @@ object Lakehouse {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_table_time_travel", qTableTimeTravel, Some(timeTravelOracle)),
     QueryDef("q_table_snapshot_rows", qTableSnapshotRows,
+      Some(liveRowsOracle)),
+    // the same snapshot reached from pure SQL through the injected TVF
+    // — oracle shared BY REFERENCE
+    QueryDef("q_table_sql_time_travel", qTableSqlTimeTravel,
       Some(liveRowsOracle)),
     // same oracle BY REFERENCE: after vacuuming everything the final
     // version does not reference, the read must be unchanged

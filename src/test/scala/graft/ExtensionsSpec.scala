@@ -39,4 +39,24 @@ class ExtensionsSpec extends SparkSpec {
     val viaSql = df.selectExpr("graft_dot(a, b)").head().getDouble(0)
     assert(viaCol === viaSql)
   }
+
+  test("graft_orders_version TVF: SQL time travel matches the Scala " +
+    "API read, and non-literal arguments are rejected") {
+    val sf = "/root/testdata/sf0.001"
+    val viaSql = spark.sql(
+      s"SELECT count(*) FROM graft_orders_version('$sf', 2)")
+      .head().getLong(0)
+    val viaApi = operators.Lakehouse.readVersion(spark,
+      operators.Lakehouse.versionedOrdersRoot(spark, sf), 2,
+      "o_orderkey").count()
+    assert(viaSql === viaApi)
+    // a table identifier is planner input — non-foldable args must fail
+    // analysis, not silently resolve against some row-dependent value
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_orders_version(rand()::string, 2)")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      err.getMessage.contains("foldable"), err.getMessage.take(200))
+  }
 }
