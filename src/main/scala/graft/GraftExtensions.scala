@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))))
+    // Transparent materialized-view rewrite (plans.MvRewriteRule): an
+    // optimizer rule that answers a whole-fact-table aggregate from the
+    // registered daily rollup when every expression is semantically
+    // derivable — an empty registry makes it a single map lookup.
+    e.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
     // TABLE-VALUED time travel: `SELECT … FROM graft_orders_version(dir,
     // v)` resolves to the versioned table's snapshot read — the SQL
     // surface of the table format (Iceberg's `VERSION AS OF` shape as a

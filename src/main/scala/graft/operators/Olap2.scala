@@ -300,11 +300,29 @@ object Olap2 {
         sum(col("n_items")).as("n_items"))
       .orderBy("month", "l_returnflag")
 
+  /** TRANSPARENT materialized-view rewrite: the query here is written
+    * against the FACT table (the same monthly aggregate the oracle
+    * states); the injected optimizer rule (plans.MvRewriteRule) proves
+    * it derivable from the registered daily rollup and swaps the plan
+    * to re-aggregate the rollup — MvRewriteSpec locks that the executed
+    * plan scans the rollup and never lineitem, and the driver hash
+    * proves the rewrite exact (decimal partials are associative). The
+    * 100 TB shape: the user's fact query costs days×flags rows. */
+  val qRollupRewrite: (SparkSession, String) => DataFrame = (s, d) => {
+    graft.plans.MvRewrite.register(s, "/lineitem",
+      dailyRollupPath(s, d))
+    graft.plans.MvRewrite.monthlyOverFact(Tables.lineitem(s, d))
+      .orderBy("month", "l_returnflag")
+  }
+
   private val rollupOracle =
     "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_rollup_reuse", qRollupReuse, Some(rollupOracle)),
+    // the fact-table query answered FROM the rollup by the optimizer
+    // rule — same oracle; MvRewriteSpec locks the plan swap
+    QueryDef("q_rollup_rewrite", qRollupRewrite, Some(rollupOracle)),
     // shares the full-rebuild oracle BY REFERENCE: the driver hash-match
     // proves the additive partial-merge reconstructs the identical rollup
     QueryDef("q_rollup_increment", qRollupIncrement, Some(rollupOracle)),

@@ -1,0 +1,221 @@
+package graft.plans
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** Transparent materialized-view rewrite — the summary-table answer
+  * without the user knowing the summary exists: a Catalyst optimizer
+  * rule (injected through SparkSessionExtensions) recognizes an
+  * aggregate over the WHOLE lineitem fact relation whose groupings and
+  * aggregates are derivable from the maintained daily rollup, and
+  * rewrites the plan to re-aggregate the rollup instead. The rollup
+  * partials are exact decimals, so the rewrite is bit-identical to the
+  * fact scan (the declared key's DuckDB oracle states the direct
+  * aggregate; MvRewriteSpec locks that the executed plan scans the
+  * rollup and never the fact table).
+  *
+  * Safety is structural, not heuristic:
+  *   - the child must be the BARE fact relation (attribute-only
+  *     projections and aliases stripped; any Filter/Join/expression
+  *     disqualifies — a filtered aggregate must never be answered from
+  *     an unfiltered summary);
+  *   - every grouping and aggregate expression must be SEMANTICALLY
+  *     EQUAL (Catalyst canonicalization over the candidate's own
+  *     attribute ids) to a template built from the registered view
+  *     definition — so a near-miss (different rounding, extra column,
+  *     another date bucket) simply does not match;
+  *   - the output attributes keep the original names AND expr ids, so
+  *     the parent plan resolves unchanged.
+  *
+  * At 100 TB this turns a fact-table scan into a days×flags metadata
+  * read — the standing-rollup serving story with zero query rewrite
+  * burden on the user. The registry is session-scoped and explicit
+  * (registering the MV is the materialization step's job); an empty
+  * registry makes the rule a single map lookup.
+  */
+object MvRewrite {
+
+  /** (applicationId) → (fact-path marker, rollup parquet path). One MV
+    * in this engine's demo; a production catalog keys by view id. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def register(s: SparkSession, factMarker: String,
+      rollupPath: String): Unit =
+    registry.put(s.sparkContext.applicationId, (factMarker, rollupPath)): Unit
+
+  def unregister(s: SparkSession): Unit =
+    registry.remove(s.sparkContext.applicationId): Unit
+
+  private[plans] def registered(s: SparkSession): Option[(String, String)] =
+    Option(registry.get(s.sparkContext.applicationId))
+
+  // Matching must compare like with like: the candidate reaches the
+  // rule CONSTANT-FOLDED (1.00, cast-as-date …), so the template must
+  // run through the full optimizer as well — and this guard keeps the
+  // rule from firing on its own template (the template is itself an
+  // eligible fact aggregate; without the guard it recurses). STATIC on
+  // the companion: the optimizer may hold more than one rule instance,
+  // and all of them must honor one thread's in-progress template build.
+  private[plans] val buildingTemplate = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Columns the view definition reads — a candidate whose projection
+    * lacks any of them cannot be the registered aggregate. */
+  private[plans] val ViewInputs = Set("l_shipdate", "l_returnflag",
+    "l_quantity", "l_extendedprice", "l_discount")
+
+  /** The view definition both the materialization and the template
+    * share — month/flag monthly re-aggregation in exact decimals. Must
+    * stay in lockstep with Olap2.rollupOf's partials. */
+  private def d12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  private[graft] def monthlyOverFact(df: Dataset[org.apache.spark.sql.Row])
+      : Dataset[org.apache.spark.sql.Row] = {
+    val one = lit(1).cast("decimal(4,2)")
+    val disc = d12(col("l_extendedprice")) *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    df.groupBy(
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"),
+        col("l_returnflag"))
+      .agg(sum(d12(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(disc).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private[graft] def monthlyOverRollup(s: SparkSession, rollupPath: String)
+      : Dataset[org.apache.spark.sql.Row] =
+    s.read.parquet(rollupPath)
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"),
+        col("l_returnflag"))
+      .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
+        sum(col("rev_d")).cast("double").as("revenue"),
+        sum(col("n_items")).as("n_items"))
+}
+
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Strip attribute-only wrappers down to the relation; None if the
+    * subtree contains anything that changes row content (a Filter, a
+    * computed projection, a join …). */
+  private def bareRelation(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case r: LogicalRelation => Some(r)
+      case SubqueryAlias(_, child) => bareRelation(child)
+      case Project(exprs, child)
+          if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        bareRelation(child)
+      case _ => None
+    }
+
+  private def relationFiles(r: LogicalRelation): Seq[String] =
+    r.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.inputFiles.toSeq
+      case _ => Seq.empty
+    }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => stripAlias(a.child)
+    case other => other
+  }
+
+  private def buildingTemplate = MvRewrite.buildingTemplate
+
+  /** The optimizer's PullOutGroupingExpressions (which runs before
+    * user rules) moves computed groupings into a Project of
+    * `_groupingexpression` aliases below the Aggregate — inline them
+    * back so matching sees the aggregate the user wrote. Bails unless
+    * the Project is pure (attributes + deterministic aliases only). */
+  private def inlined(agg: Aggregate): Option[(Aggregate, LogicalPlan)] =
+    agg.child match {
+      case Project(projList, inner)
+          if projList.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.deterministic
+            case _ => false
+          } && projList.exists(_.isInstanceOf[Alias]) =>
+        val aliasMap = projList.collect {
+          case a: Alias => a.toAttribute.exprId -> a.child
+        }.toMap
+        def sub(e: Expression): Expression = e.transform {
+          case a: Attribute if aliasMap.contains(a.exprId) =>
+            aliasMap(a.exprId)
+        }
+        Some((Aggregate(
+          agg.groupingExpressions.map(sub),
+          agg.aggregateExpressions.map(sub(_).asInstanceOf[NamedExpression]),
+          inner), inner))
+      case other => Some((agg, other))
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    MvRewrite.registered(spark) match {
+      case None => plan
+      case _ if buildingTemplate.get() => plan
+      case Some((factMarker, rollupPath)) =>
+        plan.transformUp {
+          case agg @ Aggregate(groupings, aggExprs, _, _)
+              if groupings.size == 2 && aggExprs.size == 5 =>
+            // a rewrite is an optimization: ANY failure to match —
+            // including a template that cannot even analyze because the
+            // candidate's projection lacks the view's columns — must
+            // leave the query untouched, never break it
+            scala.util.Try(for {
+              (flat, base) <- inlined(agg)
+              rel <- bareRelation(base)
+              if relationFiles(rel).exists(_.contains(factMarker))
+              if MvRewrite.ViewInputs.subsetOf(
+                base.output.map(_.name).toSet)
+              rewritten <- rewriteIfDerivable(flat, base, rollupPath)
+            } yield rewritten).toOption.flatten.getOrElse(agg)
+        }
+    }
+
+  private def rewriteIfDerivable(agg: Aggregate, child: LogicalPlan,
+      rollupPath: String): Option[LogicalPlan] = {
+    // template: the registered view definition planned AND OPTIMIZED
+    // over the candidate's OWN child, so semantic equality runs over
+    // identical attribute ids and identically-folded constants; the
+    // thread-local guard keeps this nested optimize from re-entering
+    // the rule
+    val templateRaw = {
+      buildingTemplate.set(true)
+      try MvRewrite
+        .monthlyOverFact(org.apache.spark.sql.GraftBridge.ofRows(
+          spark, child))
+        .queryExecution.optimizedPlan
+      finally buildingTemplate.set(false)
+    }
+    val template = templateRaw match {
+      case a: Aggregate => inlined(a).map(_._1).getOrElse(a)
+      case _ => return None
+    }
+    // every candidate output must semantically equal exactly one
+    // template output; record the template position for each
+    val tExprs = template.aggregateExpressions.map(stripAlias)
+    val positions = agg.aggregateExpressions.map { ne =>
+      tExprs.indexWhere(_.semanticEquals(stripAlias(ne)))
+    }
+    if (positions.contains(-1) || positions.distinct.size != positions.size)
+      return None
+    if (!agg.groupingExpressions.forall(g =>
+        template.groupingExpressions.exists(_.semanticEquals(g))))
+      return None
+    // the rollup re-aggregation, column i ≡ template output i; surface
+    // it under the candidate's names and expr ids so the parent plan
+    // resolves unchanged
+    val rewritten = MvRewrite.monthlyOverRollup(spark, rollupPath)
+      .queryExecution.analyzed
+    val out: Seq[NamedExpression] =
+      agg.aggregateExpressions.zip(positions).map { case (orig, p) =>
+        Alias(rewritten.output(p), orig.name)(exprId = orig.exprId)
+      }
+    Some(Project(out, rewritten))
+  }
+}

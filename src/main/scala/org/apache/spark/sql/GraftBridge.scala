@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** A DataFrame over an already-analyzed logical plan (Spark 4.x moved
+    * `Dataset.ofRows` behind the classic module) — used by optimizer
+    * rules that plan a helper frame over a matched subtree. */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Dataset[Row] =
+    classic.Dataset.ofRows(
+      s.asInstanceOf[classic.SparkSession], plan)
 }

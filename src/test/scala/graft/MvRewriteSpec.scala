@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRewrite
+
+/** Plan locks for the transparent materialized-view rewrite
+  * (plans.MvRewriteRule): the declared fact-table query must execute
+  * against the ROLLUP (never lineitem), the rewrite must be
+  * row-identical to the rule-free plan, and the safety bails must hold —
+  * a filtered aggregate, a different grouping, and an unregistered
+  * session all keep the fact scan. */
+class MvRewriteSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    df.collect()
+    collectFileScans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles).toSet
+  }
+
+  test("the registered monthly aggregate executes against the rollup, " +
+    "never the fact table, with identical rows") {
+    val viaRule = SparkEntry.queries("q_rollup_rewrite")(spark, sf)
+    val scanned = scannedFiles(viaRule)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("graft_rollup_")),
+      s"rewrite did not swap the scan: $scanned")
+    assert(!scanned.exists(_.contains("lineitem")),
+      "rewritten plan still scans the fact table")
+    // row-identical to the direct fact computation with the MV
+    // unregistered (the rule-free plan)
+    try {
+      MvRewrite.unregister(spark)
+      val direct = MvRewrite.monthlyOverFact(Tables.lineitem(spark, sf))
+        .orderBy("month", "l_returnflag")
+      val directScan = scannedFiles(direct)
+      assert(directScan.exists(_.contains("lineitem")),
+        "control plan unexpectedly avoided the fact table")
+      assert(viaRule.collect().toSeq === direct.collect().toSeq)
+    } finally {
+      // restore for any later key in this shared session
+      SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect(): Unit
+    }
+  }
+
+  test("safety bails: filters, different groupings, and near-miss " +
+    "aggregates keep the fact scan") {
+    SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect() // register
+    val li = Tables.lineitem(spark, sf)
+    // a FILTERED aggregate must never be answered from the summary
+    val filtered = MvRewrite.monthlyOverFact(
+      li.filter(col("l_quantity") > 10))
+    assert(scannedFiles(filtered).exists(_.contains("lineitem")))
+    // an extra grouping column is not derivable
+    val extraGroup = li.groupBy(
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"))
+    assert(scannedFiles(extraGroup).exists(_.contains("lineitem")))
+    // same shape, different aggregate semantics (sum of RAW double vs
+    // the view's exact-decimal sum) — semantic equality must refuse it
+    val nearMiss = li.groupBy(
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"),
+        col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_items"),
+        max(col("l_discount")).as("x"),
+        min(col("l_discount")).as("y"))
+    assert(scannedFiles(nearMiss).exists(_.contains("lineitem")))
+  }
+}
