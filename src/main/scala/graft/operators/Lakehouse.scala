@@ -224,6 +224,21 @@ object Lakehouse {
     hadoopFs(s, root).exists(
       new org.apache.hadoop.fs.Path(s"$root/_snapshots/v=$v"))
 
+  /** Driver-side commit ops (delete/compact/merge) are NOT replayable
+    * the way epoch-identified streaming commits are: re-driving one
+    * against an already-committed version would OVERWRITE its write
+    * directory with freshly-named part files BEFORE the publish
+    * conflict could throw — stranding the published manifest's file
+    * references. Fail fast, before any data is touched; the caller
+    * rebases on latestVersion. (Streaming ingest/merge replay safely
+    * via their versionExists-FIRST epoch check instead.) */
+  private def requireUncommitted(s: SparkSession, root: String, v: Int,
+      op: String): Unit =
+    require(!versionExists(s, root, v),
+      s"$op: version $v is already committed — driver-side commits are " +
+        "not replayable; rebase on latestVersion and retry at the next " +
+        "version")
+
   /** Merge-on-read DELETE as a commit: land the key rows, publish
     * snapshot fromV+1 = fromV's manifests (reused by name) + one new
     * manifest holding only the delete files. Touches no data file and
@@ -231,6 +246,7 @@ object Lakehouse {
   private[graft] def deleteCommit(s: SparkSession, root: String,
       fromV: Int, keys: DataFrame): Int = {
     val v = fromV + 1
+    requireUncommitted(s, root, v, "deleteCommit")
     keys.coalesce(1).write.mode("overwrite")
       .parquet(s"$root/deletes/w=$v")
     publishVersion(s, root, v, snapshotManifests(s, root, fromV),
@@ -246,6 +262,7 @@ object Lakehouse {
   private[graft] def compactCommit(s: SparkSession, root: String,
       fromV: Int, keyCol: String, nFiles: Int = 4): Int = {
     val v = fromV + 1
+    requireUncommitted(s, root, v, "compactCommit")
     val dir = s"$root/data/w=compact$v"
     readVersion(s, root, fromV, keyCol)
       .repartition(nFiles, col(keyCol))
@@ -266,6 +283,7 @@ object Lakehouse {
   private[graft] def mergeCommit(s: SparkSession, root: String,
       fromV: Int, updates: DataFrame, keyCol: String): Int = {
     val v = fromV + 1
+    requireUncommitted(s, root, v, "mergeCommit")
     updates.repartition(2, col(keyCol))
       .write.mode("overwrite").parquet(s"$root/data/w=merge$v")
     updates.select(keyCol).coalesce(1).write.mode("overwrite")

@@ -250,6 +250,20 @@ class LakehouseSpec extends SparkSpec {
       pmod(col("o_orderkey"), lit(10)) === 0).count()
     assert(Lakehouse.readVersion(spark, root, v4, "o_orderkey")
       .count() === n - dead)
+    // driver-side commits are NOT replayable: re-driving the delete
+    // against its committed version must fail BEFORE touching the
+    // delete dir (an overwrite would strand the published manifest's
+    // file references), and the committed read stays intact
+    val delDir = new org.apache.hadoop.fs.Path(s"$root/deletes/w=$v3")
+    val mtimeBefore = fs.listStatus(delDir).map(_.getModificationTime).toSeq
+    intercept[IllegalArgumentException] {
+      Lakehouse.deleteCommit(spark, root, 2,
+        b0.limit(3).select("o_orderkey"))
+    }
+    assert(fs.listStatus(delDir).map(_.getModificationTime).toSeq ===
+      mtimeBefore, "failed replay still rewrote the committed delete dir")
+    assert(Lakehouse.readVersion(spark, root, v3, "o_orderkey")
+      .count() === n - dead)
   }
 
   test("streaming merge commits are exactly-once: a re-delivered upsert " +
