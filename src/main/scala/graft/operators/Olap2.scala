@@ -315,6 +315,34 @@ object Olap2 {
       .orderBy("month", "l_returnflag")
   }
 
+  /** Coarser queries answered from the SAME rollup by the rule — the
+    * derivability lattice: a grouping SUBSET of the view's dimensions
+    * re-aggregates from the partials (decimal sums associative, counts
+    * exact). Flag-only with a partial aggregate list, and the global
+    * (no-grouping) pair. MvRewriteSpec locks both plan swaps. */
+  val qRollupRewriteCoarse: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graft.plans.MvRewrite.register(s, "/lineitem",
+        dailyRollupPath(s, d))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(d12(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    }
+
+  val qRollupRewriteGlobal: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graft.plans.MvRewrite.register(s, "/lineitem",
+        dailyRollupPath(s, d))
+      val one = lit(1).cast("decimal(4,2)")
+      val disc = d12(col("l_extendedprice")) *
+        (one - col("l_discount").cast("decimal(4,2)"))
+      Tables.lineitem(s, d)
+        .agg(sum(disc).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }
+
   private val rollupOracle =
     "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
 
@@ -323,6 +351,13 @@ object Olap2 {
     // the fact-table query answered FROM the rollup by the optimizer
     // rule — same oracle; MvRewriteSpec locks the plan swap
     QueryDef("q_rollup_rewrite", qRollupRewrite, Some(rollupOracle)),
+    // derivability lattice: a flag-only grouping with a partial
+    // aggregate list, and the global pair, both re-aggregated from the
+    // same rollup by the rule; oracles state the direct fact SQL
+    QueryDef("q_rollup_rewrite_coarse", qRollupRewriteCoarse, Some(
+      "SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_items FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("q_rollup_rewrite_global", qRollupRewriteGlobal, Some(
+      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem")),
     // shares the full-rebuild oracle BY REFERENCE: the driver hash-match
     // proves the additive partial-merge reconstructs the identical rollup
     QueryDef("q_rollup_increment", qRollupIncrement, Some(rollupOracle)),

@@ -88,11 +88,20 @@ object MvRewrite {
         count(lit(1)).as("n_items"))
   }
 
-  private[graft] def monthlyOverRollup(s: SparkSession, rollupPath: String)
-      : Dataset[org.apache.spark.sql.Row] =
+  /** The rollup re-aggregation for ANY grouping subset of the view's
+    * dimensions (the derivability lattice: monthly partials re-sum to
+    * month-only, flag-only, or global answers — decimal partials are
+    * associative, counts are exact). `groupNames` index into
+    * [[GroupCols]]; all three aggregates are always computed and the
+    * caller projects the ones the candidate asked for. */
+  private[plans] val GroupCols = Seq("month", "l_returnflag")
+  private[plans] val AggCols = Seq("sum_qty", "revenue", "n_items")
+
+  private[plans] def aggOverRollup(s: SparkSession, rollupPath: String,
+      groupNames: Seq[String]): Dataset[org.apache.spark.sql.Row] =
     s.read.parquet(rollupPath)
-      .groupBy(date_format(col("day"), "yyyy-MM").as("month"),
-        col("l_returnflag"))
+      .withColumn("month", date_format(col("day"), "yyyy-MM"))
+      .groupBy(groupNames.map(col): _*)
       .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
         sum(col("rev_d")).cast("double").as("revenue"),
         sum(col("n_items")).as("n_items"))
@@ -161,18 +170,24 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some((factMarker, rollupPath)) =>
         plan.transformUp {
           case agg @ Aggregate(groupings, aggExprs, _, _)
-              if groupings.size == 2 && aggExprs.size == 5 =>
+              if groupings.size <= 2 && aggExprs.size <= 5 &&
+                aggExprs.size > groupings.size =>
             // a rewrite is an optimization: ANY failure to match —
             // including a template that cannot even analyze because the
             // candidate's projection lacks the view's columns — must
             // leave the query untouched, never break it
+            // the template plans over the RELATION itself, not any
+            // pruned pass-through projection above it — attribute-only
+            // projections preserve expr ids, so semantic comparison
+            // still runs over identical attributes while the template
+            // keeps access to every view input the candidate pruned
             scala.util.Try(for {
               (flat, base) <- inlined(agg)
               rel <- bareRelation(base)
               if relationFiles(rel).exists(_.contains(factMarker))
               if MvRewrite.ViewInputs.subsetOf(
-                base.output.map(_.name).toSet)
-              rewritten <- rewriteIfDerivable(flat, base, rollupPath)
+                rel.output.map(_.name).toSet)
+              rewritten <- rewriteIfDerivable(flat, rel, rollupPath)
             } yield rewritten).toOption.flatten.getOrElse(agg)
         }
     }
@@ -196,25 +211,37 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: Aggregate => inlined(a).map(_._1).getOrElse(a)
       case _ => return None
     }
-    // every candidate output must semantically equal exactly one
-    // template output; record the template position for each
-    val tExprs = template.aggregateExpressions.map(stripAlias)
-    val positions = agg.aggregateExpressions.map { ne =>
-      tExprs.indexWhere(_.semanticEquals(stripAlias(ne)))
+    // derivability: every candidate GROUPING must be one of the view's
+    // dimensions (a grouping SUBSET re-aggregates from the partials —
+    // the MV lattice), and every candidate output must semantically
+    // equal either a grouped dimension or one of the view's aggregates
+    val gIdx: Seq[Int] = agg.groupingExpressions.map(g =>
+      template.groupingExpressions.indexWhere(_.semanticEquals(g)))
+    if (gIdx.contains(-1) || gIdx.distinct.size != gIdx.size) return None
+    val tAggChildren = template.aggregateExpressions
+      .drop(template.groupingExpressions.size).map(stripAlias)
+    // each candidate output → a rollup re-aggregation column name
+    val outNames: Seq[String] = agg.aggregateExpressions.map { ne =>
+      val e = stripAlias(ne)
+      val g = template.groupingExpressions.indexWhere(_.semanticEquals(e))
+      if (g >= 0) {
+        if (!gIdx.contains(g)) return None // output not in GROUP BY
+        MvRewrite.GroupCols(g)
+      } else {
+        val a = tAggChildren.indexWhere(_.semanticEquals(e))
+        if (a < 0) return None
+        MvRewrite.AggCols(a)
+      }
     }
-    if (positions.contains(-1) || positions.distinct.size != positions.size)
-      return None
-    if (!agg.groupingExpressions.forall(g =>
-        template.groupingExpressions.exists(_.semanticEquals(g))))
-      return None
-    // the rollup re-aggregation, column i ≡ template output i; surface
-    // it under the candidate's names and expr ids so the parent plan
-    // resolves unchanged
-    val rewritten = MvRewrite.monthlyOverRollup(spark, rollupPath)
-      .queryExecution.analyzed
+    // the rollup re-aggregation over exactly the candidate's grouping
+    // subset; surface it under the candidate's names and expr ids so
+    // the parent plan resolves unchanged
+    val rewritten = MvRewrite.aggOverRollup(spark, rollupPath,
+      gIdx.map(MvRewrite.GroupCols)).queryExecution.analyzed
+    val byName = rewritten.output.map(a => a.name -> a).toMap
     val out: Seq[NamedExpression] =
-      agg.aggregateExpressions.zip(positions).map { case (orig, p) =>
-        Alias(rewritten.output(p), orig.name)(exprId = orig.exprId)
+      agg.aggregateExpressions.zip(outNames).map { case (orig, n) =>
+        Alias(byName(n), orig.name)(exprId = orig.exprId)
       }
     Some(Project(out, rewritten))
   }

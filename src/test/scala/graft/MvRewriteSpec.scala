@@ -44,6 +44,25 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("derivability lattice: coarser groupings and the global pair " +
+    "re-aggregate from the rollup") {
+    for (key <- Seq("q_rollup_rewrite_coarse", "q_rollup_rewrite_global")) {
+      val df = SparkEntry.queries(key)(spark, sf)
+      val scanned = scannedFiles(df)
+      assert(scanned.nonEmpty && scanned.forall(_.contains("graft_rollup_")),
+        s"$key did not swap the scan: $scanned")
+    }
+    // the raw-double sum shape (no exact-decimal cast) is NOT the
+    // view's aggregate — it must keep the fact scan even though it
+    // groups by a view dimension
+    SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect() // register
+    val raw = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+    assert(scannedFiles(raw).exists(_.contains("lineitem")),
+      "a raw-double aggregate was wrongly answered from the rollup")
+  }
+
   test("safety bails: filters, different groupings, and near-miss " +
     "aggregates keep the fact scan") {
     SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect() // register
