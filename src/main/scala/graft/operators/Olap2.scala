@@ -309,7 +309,7 @@ object Olap2 {
     * proves the rewrite exact (decimal partials are associative). The
     * 100 TB shape: the user's fact query costs days×flags rows. */
   val qRollupRewrite: (SparkSession, String) => DataFrame = (s, d) => {
-    graft.plans.MvRewrite.register(s, "/lineitem",
+    graft.plans.MvRewrite.register(s, s"$d/lineitem",
       dailyRollupPath(s, d))
     graft.plans.MvRewrite.monthlyOverFact(Tables.lineitem(s, d))
       .orderBy("month", "l_returnflag")
@@ -322,7 +322,7 @@ object Olap2 {
     * (no-grouping) pair. MvRewriteSpec locks both plan swaps. */
   val qRollupRewriteCoarse: (SparkSession, String) => DataFrame =
     (s, d) => {
-      graft.plans.MvRewrite.register(s, "/lineitem",
+      graft.plans.MvRewrite.register(s, s"$d/lineitem",
         dailyRollupPath(s, d))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -333,7 +333,7 @@ object Olap2 {
 
   val qRollupRewriteGlobal: (SparkSession, String) => DataFrame =
     (s, d) => {
-      graft.plans.MvRewrite.register(s, "/lineitem",
+      graft.plans.MvRewrite.register(s, s"$d/lineitem",
         dailyRollupPath(s, d))
       val one = lit(1).cast("decimal(4,2)")
       val disc = d12(col("l_extendedprice")) *

@@ -63,6 +63,21 @@ class MvRewriteSpec extends SparkSpec {
       "a raw-double aggregate was wrongly answered from the rollup")
   }
 
+  test("the MV binds to its fact-table INSTANCE: a different scale " +
+    "factor's lineitem is never answered from the registered rollup") {
+    // register against sf0.001, then aggregate sf0.01's lineitem — the
+    // exact failure the full suite caught when the marker was the bare
+    // table name: count() over one SF answered from the OTHER SF's
+    // rollup (60000 read back as 6000)
+    SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect() // register
+    val other = "/root/testdata/sf0.01"
+    val n = Tables.lineitem(spark, other).count()
+    assert(n === 60000L, s"cross-instance rewrite corrupted count: $n")
+    val df = MvRewrite.monthlyOverFact(Tables.lineitem(spark, other))
+    assert(scannedFiles(df).exists(_.contains("sf0.01/lineitem")),
+      "the other instance's aggregate left its own fact table")
+  }
+
   test("safety bails: filters, different groupings, and near-miss " +
     "aggregates keep the fact scan") {
     SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect() // register
