@@ -99,6 +99,34 @@ case class SimHash64(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** Per-row Bloom membership probe of a CONSTANT pre-hashed value — the
+  * sidecar-planning shape (one serialized filter per row = one per data
+  * file), which Spark's own BloomFilterMightContain cannot express: its
+  * analysis check requires the FILTER side to be the constant/subquery
+  * and the probe side the column, exactly backwards from file-skipping
+  * metadata where the filters are the rows. CodegenFallback is fine
+  * here — the expression evaluates once per SIDECAR row (metadata
+  * scale, one row per file), never per data row. */
+case class BloomContainsValue(child: Expression, hashed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_value requires binary, got ${t.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains_value"
+
+  override protected def nullSafeEval(bloom: Any): Any =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom.asInstanceOf[Array[Byte]]))
+      .mightContainLong(hashed)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object SketchFunctions {
   def minhashSig(hashes: Column, a: Array[Long], b: Array[Long], p: Long)
       : Column =
@@ -127,4 +155,10 @@ object SketchFunctions {
     GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         GraftBridge.expression(bloom), GraftBridge.expression(hashedValue)))
+
+  /** Probe a COLUMN of [[bloomAgg]] filters with one constant pre-hashed
+    * value (per-file sidecar planning — see [[BloomContainsValue]]). */
+  def bloomContainsValue(bloom: Column, hashed: Long): Column =
+    GraftBridge.column(
+      BloomContainsValue(GraftBridge.expression(bloom), hashed))
 }

@@ -225,13 +225,17 @@ object Lakehouse {
       new org.apache.hadoop.fs.Path(s"$root/_snapshots/v=$v"))
 
   /** Driver-side commit ops (delete/compact/merge) are NOT replayable
-    * the way epoch-identified streaming commits are: re-driving one
-    * against an already-committed version would OVERWRITE its write
-    * directory with freshly-named part files BEFORE the publish
-    * conflict could throw — stranding the published manifest's file
-    * references. Fail fast, before any data is touched; the caller
-    * rebases on latestVersion. (Streaming ingest/merge replay safely
-    * via their versionExists-FIRST epoch check instead.) */
+    * the way epoch-identified streaming commits are: the data a
+    * replayed run would stage can differ from what the committed
+    * version references. Fail fast, before any data is written; the
+    * caller rebases on latestVersion. (Streaming ingest/merge replay
+    * safely via their versionExists-FIRST epoch check instead.) This
+    * check is advisory — the RACE between two drivers passing it
+    * simultaneously is closed structurally: every attempt writes to
+    * its own UUID-suffixed directory (below), so racing writers never
+    * share a write path and the publish read-back alone decides; the
+    * loser's staged files are unreferenced orphans vacuum reclaims
+    * after the grace window. */
   private def requireUncommitted(s: SparkSession, root: String, v: Int,
       op: String): Unit =
     require(!versionExists(s, root, v),
@@ -239,31 +243,37 @@ object Lakehouse {
         "not replayable; rebase on latestVersion and retry at the next " +
         "version")
 
+  private def attemptTag(): String =
+    java.util.UUID.randomUUID.toString.take(8)
+
   /** Merge-on-read DELETE as a commit: land the key rows, publish
     * snapshot fromV+1 = fromV's manifests (reused by name) + one new
     * manifest holding only the delete files. Touches no data file and
-    * re-lists no inherited entry. Returns the new version. */
+    * re-lists no inherited entry. Returns the new version. The write
+    * dir is per-attempt (UUID-suffixed): two racing drivers from the
+    * same fromV can never overwrite each other's staged files — the
+    * loser's land as vacuum-reclaimable orphans. */
   private[graft] def deleteCommit(s: SparkSession, root: String,
       fromV: Int, keys: DataFrame): Int = {
     val v = fromV + 1
     requireUncommitted(s, root, v, "deleteCommit")
-    keys.coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/deletes/w=$v")
+    val dir = s"$root/deletes/w=$v-${attemptTag()}"
+    keys.coalesce(1).write.mode("overwrite").parquet(dir)
     publishVersion(s, root, v, snapshotManifests(s, root, fromV),
-      listDataFiles(s, root, s"$root/deletes/w=$v")
-        .map(("delete", _, v)))
+      listDataFiles(s, root, dir).map(("delete", _, v)))
     v
   }
 
   /** Copy-on-write compaction as a commit: materialize fromV's live
-    * view into fresh files (a namespace no ingest epoch can collide
-    * with), publish a manifest referencing only those. Returns the new
-    * version. The one data-sized lifecycle op, priced explicitly. */
+    * view into fresh files (a per-attempt namespace no other writer
+    * can collide with), publish a manifest referencing only those.
+    * Returns the new version. The one data-sized lifecycle op, priced
+    * explicitly. */
   private[graft] def compactCommit(s: SparkSession, root: String,
       fromV: Int, keyCol: String, nFiles: Int = 4): Int = {
     val v = fromV + 1
     requireUncommitted(s, root, v, "compactCommit")
-    val dir = s"$root/data/w=compact$v"
+    val dir = s"$root/data/w=compact$v-${attemptTag()}"
     readVersion(s, root, fromV, keyCol)
       .repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(dir)
@@ -279,20 +289,22 @@ object Lakehouse {
     * file, both at sequence v — the delete masks every EARLIER version
     * of a matched key (seq < v) while the fresh rows (seq = v) survive
     * it. Matched keys are updated, unmatched keys are inserted, and no
-    * existing data file is rewritten. Returns the new version. */
+    * existing data file is rewritten. Returns the new version. Both
+    * write dirs are per-attempt (UUID-suffixed) — see [[deleteCommit]]. */
   private[graft] def mergeCommit(s: SparkSession, root: String,
       fromV: Int, updates: DataFrame, keyCol: String): Int = {
     val v = fromV + 1
     requireUncommitted(s, root, v, "mergeCommit")
+    val tag = attemptTag()
+    val dataDir = s"$root/data/w=merge$v-$tag"
+    val delDir = s"$root/deletes/w=$v-$tag"
     updates.repartition(2, col(keyCol))
-      .write.mode("overwrite").parquet(s"$root/data/w=merge$v")
+      .write.mode("overwrite").parquet(dataDir)
     updates.select(keyCol).coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/deletes/w=$v")
+      .parquet(delDir)
     publishVersion(s, root, v, snapshotManifests(s, root, fromV),
-      listDataFiles(s, root, s"$root/deletes/w=$v")
-        .map(("delete", _, v)) ++
-      listDataFiles(s, root, s"$root/data/w=merge$v")
-        .map(("data", _, v)))
+      listDataFiles(s, root, delDir).map(("delete", _, v)) ++
+      listDataFiles(s, root, dataDir).map(("data", _, v)))
     v
   }
 
@@ -332,6 +344,10 @@ object Lakehouse {
     mergeCommit(s, root, id.toInt, batch, keyCol): Unit
   }
 
+  /** Default vacuum grace: an unreferenced file younger than this is
+    * presumed to belong to an IN-FLIGHT commit and is left alone. */
+  private[graft] val DefaultVacuumGraceMs: Long = 60L * 60L * 1000L
+
   /** VACUUM: physically delete every data/delete file not referenced by
     * any manifest version ≥ `retainFrom` (older files became garbage
     * when later commits stopped referencing them — compaction rewrites,
@@ -340,6 +356,16 @@ object Lakehouse {
     * the documented trade every retention policy makes. Returns the
     * number of files reclaimed.
     *
+    * `graceMs` is the concurrent-writer guard (the Iceberg
+    * orphan-cleanup age cutoff): a writer stages its data files and its
+    * manifest BEFORE its snapshot publishes, so for that window they
+    * are unreferenced-but-live — an unconditional reclaim would delete
+    * them and the writer would then publish a snapshot referencing
+    * missing files. Only candidates whose mtime is at least `graceMs`
+    * old are reclaimed (default one hour — far past any commit's
+    * stage→publish gap); pass 0 only when the caller KNOWS no commit is
+    * in flight (single-writer maintenance windows, tests).
+    *
     * Scale shape: the referenced-set union is manifest metadata
     * (O(#files) driver work, no data read), the candidate list is one
     * recursive listing, and deletes are per-file metadata ops — vacuum
@@ -347,8 +373,11 @@ object Lakehouse {
     * files referenced by ANY retained manifest are exempt, so a
     * concurrent reader of a retained version can never lose a file. */
   private[graft] def vacuum(s: SparkSession, root: String,
-      retainFrom: Int): Int = {
+      retainFrom: Int, graceMs: Long = DefaultVacuumGraceMs): Int = {
     val fs = hadoopFs(s, root)
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - st.getModificationTime >= graceMs
     val retainedManifests = (retainFrom to latestVersion(s, root))
       .flatMap(v => snapshotManifests(s, root, v)).distinct
     val retained =
@@ -360,9 +389,10 @@ object Lakehouse {
       if (fs.exists(p)) {
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
-          val f = it.next().getPath
+          val st = it.next()
+          val f = st.getPath
           val rel = f.toUri.getPath.stripPrefix(rootPrefix)
-          if (!retained(rel) && !f.getName.startsWith("_") &&
+          if (!retained(rel) && aged(st) && !f.getName.startsWith("_") &&
             !f.getName.startsWith(".")) {
             fs.delete(f, false)
             reclaimed += 1
@@ -380,20 +410,23 @@ object Lakehouse {
     Seq("_stats", "_blooms").foreach { sub =>
       val sidecarRoot = new org.apache.hadoop.fs.Path(s"$root/$sub")
       if (fs.exists(sidecarRoot))
-        fs.listStatus(sidecarRoot).map(_.getPath)
-          .filterNot(p => retainedTags(p.getName))
-          .foreach(fs.delete(_, true))
+        fs.listStatus(sidecarRoot)
+          .filter(st => !retainedTags(st.getPath.getName) && aged(st))
+          .foreach(st => fs.delete(st.getPath, true))
     }
     // manifests no retained snapshot names are dead metadata too — the
     // pre-horizon versions' deltas and any orphan a writer stranded
     // between manifest write and snapshot publish (bookkeeping, not
-    // counted toward the returned data-file total)
+    // counted toward the returned data-file total). The grace guard
+    // matters MOST here: a concurrent writer's manifest is exactly
+    // this shape between its write and its snapshot publish.
     val keepM = retainedManifests.toSet
     val mRoot = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     if (fs.exists(mRoot))
-      fs.listStatus(mRoot).map(_.getPath)
-        .filterNot(p => keepM(s"_manifests/${p.getName}"))
-        .foreach(fs.delete(_, true))
+      fs.listStatus(mRoot)
+        .filter(st => !keepM(s"_manifests/${st.getPath.getName}") &&
+          aged(st))
+        .foreach(st => fs.delete(st.getPath, true))
     reclaimed
   }
 
@@ -641,8 +674,13 @@ object Lakehouse {
     s.read.parquet(s"$root/$relDir")
       .select(col(lookupCol), input_file_name().as("__f"))
       .groupBy("__f")
+      // hash the column AS LONG: the prober hashes a Long literal, and
+      // Spark's xxhash64 yields different hashes for IntegerType vs
+      // LongType — without the cast a non-Long lookup column would make
+      // every probe miss and silently prune files with matching rows
       .agg(graft.functions.SketchFunctions
-        .bloomAgg(xxhash64(col(lookupCol)), 100000L).as("bloom"))
+        .bloomAgg(xxhash64(col(lookupCol).cast("long")), 100000L)
+        .as("bloom"))
       .select(
         regexp_replace(col("__f"), lit("^file:(//)?" + rootPrefix),
           lit("")).as("path"),
@@ -650,12 +688,30 @@ object Lakehouse {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/_blooms/$tag")
   }
 
+  /** The sidecar probe as a DISTRIBUTED plan: (path, hit) — one row per
+    * bloomed file, the serialized filter deserialized and tested
+    * EXECUTOR-SIDE (BloomContainsValue), so the driver never
+    * materializes a bloom byte: at a few hundred thousand files the
+    * collected planning metadata is O(kept + covered) short strings,
+    * not #files × ~90 KB of filter payload. The lookup value is hashed
+    * by the same engine xxhash64 (over a Long) the sidecar writer used,
+    * so writer and prober can never disagree on the hash. */
+  private[graft] def bloomProbeFrame(s: SparkSession,
+      sidecars: Seq[String], value: Long): DataFrame = {
+    val hashed = s.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    s.read.parquet(sidecars: _*)
+      .select(col("path"), graft.functions.SketchFunctions
+        .bloomContainsValue(col("bloom"), hashed).as("hit"))
+  }
+
   /** Point-lookup read via BLOOM FILE SKIPPING: probe each file's bloom
     * with the lookup value (a metadata-scale job over the sidecars the
     * version's manifest names — might_contain false ⇒ the file
     * definitely has no matching row), plan the scan over only the
     * surviving files, and refine with the exact predicate (bloom
-    * positives may be false). Files without a sidecar are
+    * positives may be false). The probe itself is a distributed job
+    * ([[bloomProbeFrame]]) — the driver collects only (path, boolean)
+    * planning rows, never the filters. Files without a sidecar are
     * conservatively kept; one file survives as a schema carrier when
     * everything prunes; the shared seq-scoped group read applies any
     * delete files. Result must equal the plain predicate — the oracle
@@ -668,21 +724,12 @@ object Lakehouse {
       p.substring(0, p.lastIndexOf('/')).stripPrefix("data/") }.distinct
     val present = tags.map(t => s"$root/_blooms/$t")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    // the probe is DRIVER-SIDE planner metadata (one sidecar row per
-    // file, the same altitude as Iceberg/Delta file-stats pruning):
-    // deserialize each file's fixed-size filter, test the xxhash64 of
-    // the lookup value (hashed by the engine expression so sidecar
-    // writer and prober can never disagree on the hash)
-    val rows =
-      if (present.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else s.read.parquet(present: _*).collect()
-    val covered: Set[String] = rows.map(_.getString(0)).toSet
-    val hashed = s.range(1).select(xxhash64(lit(value))).head().getLong(0)
-    val kept: Set[String] = rows.filter { r =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        .mightContainLong(hashed)
-    }.map(_.getString(0)).toSet
+    val probed: Array[(String, Boolean)] =
+      if (present.isEmpty) Array.empty
+      else bloomProbeFrame(s, present, value).collect()
+        .map(r => (r.getString(0), r.getBoolean(1)))
+    val covered: Set[String] = probed.map(_._1).toSet
+    val kept: Set[String] = probed.collect { case (p, true) => p }.toSet
     val keptEnts = all.filter {
       case ("data", p, _) => !covered(p) || kept(p)
       case _ => true
@@ -703,12 +750,23 @@ object Lakehouse {
     * are even read (commits between the versions contributed exactly
     * those), so CDC metadata cost is O(change), and the data read then
     * scans only the changed files — a snapshot diff (read both
-    * versions, except) would scan the table twice. */
+    * versions, except) would scan the table twice.
+    *
+    * The manifest-level diff alone over-reports across METADATA-ONLY
+    * rewrites: mergeManifests / rewriteDeletes publish row-identical
+    * states behind fresh manifests, so every live entry would look
+    * "added" and a consumer applying the feed would duplicate the
+    * table. The seq refinement closes that: publishVersion's invariant
+    * is that entries first committed at version v carry seq = v, and
+    * the rewrites PRESERVE original seqs — so `seq > fromV` keeps
+    * exactly the entries commits after fromV actually introduced, at
+    * zero extra reads (the filter runs on rows already in hand). */
   private[graft] def changedFiles(s: SparkSession, root: String,
       fromV: Int, toV: Int): (Seq[String], Seq[String]) = {
     val before = snapshotManifests(s, root, fromV).toSet
     val added = readManifests(s, root,
       snapshotManifests(s, root, toV).filterNot(before))
+      .filter(_._3 > fromV)
     (added.collect { case ("data", p, _) => s"$root/$p" },
       added.collect { case ("delete", p, _) => s"$root/$p" })
   }
@@ -1104,7 +1162,10 @@ object Lakehouse {
     val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_vac_" +
       s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
     buildVersionedOrders(s, d, root)
-    vacuum(s, root, retainFrom = 4)
+    // graceMs=0: this root's history was just built by this single
+    // writer, so no in-flight commit can exist — the one situation the
+    // default one-hour orphan grace exists to protect
+    vacuum(s, root, retainFrom = 4, graceMs = 0L)
     val out = orderedOrdersRows(readVersion(s, root, 4, "o_orderkey"))
       .localCheckpoint()
     val p = new org.apache.hadoop.fs.Path(root)

@@ -253,8 +253,11 @@ class LakehouseSpec extends SparkSpec {
     // driver-side commits are NOT replayable: re-driving the delete
     // against its committed version must fail BEFORE touching the
     // delete dir (an overwrite would strand the published manifest's
-    // file references), and the committed read stays intact
-    val delDir = new org.apache.hadoop.fs.Path(s"$root/deletes/w=$v3")
+    // file references), and the committed read stays intact. The dir
+    // is per-attempt (UUID-suffixed) — resolve it from the manifest.
+    val delRel = Lakehouse.manifestEntries(spark, root, v3)
+      .collectFirst { case ("delete", p, _) => p }.get
+    val delDir = new org.apache.hadoop.fs.Path(s"$root/$delRel").getParent
     val mtimeBefore = fs.listStatus(delDir).map(_.getModificationTime).toSeq
     intercept[IllegalArgumentException] {
       Lakehouse.deleteCommit(spark, root, 2,
@@ -324,7 +327,25 @@ class LakehouseSpec extends SparkSpec {
         .toUri.getPath).toSet
     val expectGone = before -- retained
     val n4 = Lakehouse.readVersion(spark, root, 4, "o_orderkey").count()
-    val reclaimed = Lakehouse.vacuum(spark, root, retainFrom = 4)
+    // the default one-hour orphan grace treats EVERY fresh unreferenced
+    // file as a possibly-in-flight commit: on this seconds-old history
+    // a default vacuum must reclaim nothing (the concurrent-writer
+    // guard), and the stranded-manifest shape it protects survives too
+    import spark.implicits._
+    Seq(("data", "data/w=inflight/x.parquet", 99)).toDF("k", "p", "s")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_manifests/m=99-inflight")
+    assert(Lakehouse.vacuum(spark, root, retainFrom = 4) === 0,
+      "default-grace vacuum reclaimed a fresh (possibly in-flight) file")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/m=99-inflight")),
+      "default-grace vacuum deleted a fresh unreferenced manifest — " +
+        "the concurrent-writer stage-then-publish window")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/m=99-inflight"), true)
+    // graceMs=0 is the single-writer maintenance window: reclaim now
+    val reclaimed = Lakehouse.vacuum(spark, root, retainFrom = 4,
+      graceMs = 0L)
     assert(reclaimed === expectGone.size,
       s"reclaimed $reclaimed != unreferenced ${expectGone.size}")
     val after = live("data") ++ live("deletes")
@@ -393,6 +414,67 @@ class LakehouseSpec extends SparkSpec {
       .flatMap(_.relation.location.inputFiles).toSet
     assert(noneScanned.size <= 2,
       s"absent key still scanned ${noneScanned.size} files")
+  }
+
+  test("CDC across a metadata-only manifest merge reports zero changes; " +
+    "a commit after the merge reports only its own files") {
+    val root = freshRoot("cdcmm")
+    // v7 = mergeManifests(v6): row-identical behind one manifest. The
+    // manifest-level diff alone would re-list every live entry as an
+    // insert (a consumer would duplicate the table); the seq refinement
+    // must report NOTHING.
+    val v7 = Lakehouse.mergeManifests(spark, root, 6)
+    val (ins, dels) = Lakehouse.changedFiles(spark, root, 6, v7)
+    assert(ins.isEmpty && dels.isEmpty,
+      s"CDC across a row-identical manifest merge reported " +
+        s"${ins.size} inserts / ${dels.size} deletes")
+    // and an append on top of the merged snapshot reports exactly its
+    // own files — the refinement filters rewrites, not real commits
+    val batch = Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+      .limit(7).select("o_orderkey", "o_custkey", "o_orderdate",
+        "o_totalprice")
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$root/data/w=8x")
+    Lakehouse.publishVersion(spark, root, 8,
+      Lakehouse.snapshotManifests(spark, root, 7),
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=8x")
+        .map(("data", _, 8)))
+    val (ins8, dels8) = Lakehouse.changedFiles(spark, root, v7, 8)
+    assert(dels8.isEmpty && ins8.nonEmpty &&
+      ins8.forall(_.contains("/data/w=8x/")),
+      "post-merge CDC lost or over-reported the real append")
+    // spanning the merge (6 → 8) still reports only the real change
+    val (ins68, dels68) = Lakehouse.changedFiles(spark, root, 6, 8)
+    assert(dels68.isEmpty && ins68.toSet === ins8.toSet)
+  }
+
+  test("bloom sidecar probe is a distributed plan: the driver collects " +
+    "(path, hit) planning rows, never filter bytes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_bloomplan").toString + "/t"
+    Lakehouse.buildBloomDemo(spark, sf, root)
+    val probe = Lakehouse.bloomProbeFrame(
+      spark, Seq(s"$root/_blooms/w=1"), 5L)
+    // plan lock: the probe's OUTPUT carries no binary column — the
+    // ~90 KB-per-file filters are deserialized and tested executor-side
+    assert(probe.schema.fields.map(f => f.name -> f.dataType.typeName)
+      .toSeq === Seq("path" -> "string", "hit" -> "boolean"),
+      s"probe output materializes more than planning rows: " +
+        probe.schema.simpleString)
+    val rows = probe.collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(rows.length === 16, "one probe row per bloomed file")
+    // semantic lock: executor-side verdicts match a driver-side
+    // deserialization of the same sidecars
+    val hashed = spark.range(1)
+      .select(xxhash64(lit(5L))).head().getLong(0)
+    val reference = spark.read.parquet(s"$root/_blooms/w=1").collect()
+      .map { r =>
+        (r.getString(0), org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(
+            r.getAs[Array[Byte]]("bloom"))).mightContainLong(hashed))
+      }.toMap
+    rows.foreach { case (p, hit) => assert(reference(p) === hit) }
+    assert(rows.exists(_._2) && rows.exists(!_._2),
+      "fixture should have both kept and pruned files")
   }
 
   test("commits are idempotent and a stranded staging manifest recovers") {
