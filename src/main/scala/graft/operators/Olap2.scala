@@ -237,7 +237,7 @@ object Olap2 {
   // partials re-aggregate associatively, which is what the oracle proves.
   private val stagedRollups = graft.AppCache[String]()
 
-  private def dailyRollupPath(s: SparkSession, d: String): String =
+  private[graft] def dailyRollupPath(s: SparkSession, d: String): String =
     stagedRollups.get(s, d)({
       val path = s"${sys.props("java.io.tmpdir")}/graft_rollup_" +
         s"${s.sparkContext.applicationId.hashCode.toHexString}_" +
@@ -343,6 +343,26 @@ object Olap2 {
           count(lit(1)).as("n_items"))
     }
 
+  /** FILTERED rewrite — the lattice extended one step toward production
+    * shape: the fact query carries predicates on the view's DIMENSIONS
+    * (flag equality + a month range), and the rule answers it by
+    * applying the SAME predicates to the rollup before re-aggregating
+    * (dimension predicates commute with the partial aggregation; a
+    * predicate touching a measure keeps the fact scan — MvRewriteSpec
+    * pins that bail). Oracle states the direct filtered fact SQL. */
+  val qRollupRewriteFiltered: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graft.plans.MvRewrite.register(s, s"$d/lineitem",
+        dailyRollupPath(s, d))
+      val month = date_format(to_date(col("l_shipdate")), "yyyy-MM")
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && month >= "1994-01")
+        .groupBy(month.as("month"))
+        .agg(sum(d12(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month")
+    }
+
   private val rollupOracle =
     "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
 
@@ -358,6 +378,10 @@ object Olap2 {
       "SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_items FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("q_rollup_rewrite_global", qRollupRewriteGlobal, Some(
       "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem")),
+    // filtered lattice: dimension predicates (flag + month range) move
+    // to the rollup; the oracle states the direct filtered fact SQL
+    QueryDef("q_rollup_rewrite_filtered", qRollupRewriteFiltered, Some(
+      "SELECT strftime(l_shipdate, '%Y-%m') AS month, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_items FROM lineitem WHERE l_returnflag = 'R' AND strftime(l_shipdate, '%Y-%m') >= '1994-01' GROUP BY 1 ORDER BY 1")),
     // shares the full-rebuild oracle BY REFERENCE: the driver hash-match
     // proves the additive partial-merge reconstructs the identical rollup
     QueryDef("q_rollup_increment", qRollupIncrement, Some(rollupOracle)),

@@ -93,18 +93,33 @@ object MvRewrite {
     * month-only, flag-only, or global answers — decimal partials are
     * associative, counts are exact). `groupNames` index into
     * [[GroupCols]]; all three aggregates are always computed and the
-    * caller projects the ones the candidate asked for. */
+    * caller projects the ones the candidate asked for. n_items
+    * re-aggregates COUNT partials with sum — coalesce preserves count
+    * semantics on an empty (or filtered-to-empty) input, where the
+    * original count(*) yields 0, never NULL. */
   private[plans] val GroupCols = Seq("month", "l_returnflag")
   private[plans] val AggCols = Seq("sum_qty", "revenue", "n_items")
 
-  private[plans] def aggOverRollup(s: SparkSession, rollupPath: String,
-      groupNames: Seq[String]): Dataset[org.apache.spark.sql.Row] =
+  /** The rollup with its derived month dimension — the frame the
+    * filtered-rewrite path applies dimension predicates to BEFORE the
+    * re-aggregation (same lattice soundness: a predicate over grouping
+    * dimensions commutes with the partial aggregation). */
+  private[plans] def rollupBase(s: SparkSession, rollupPath: String)
+      : Dataset[org.apache.spark.sql.Row] =
     s.read.parquet(rollupPath)
       .withColumn("month", date_format(col("day"), "yyyy-MM"))
-      .groupBy(groupNames.map(col): _*)
+
+  private[plans] def aggOverRollupFrom(
+      base: Dataset[org.apache.spark.sql.Row], groupNames: Seq[String])
+      : Dataset[org.apache.spark.sql.Row] =
+    base.groupBy(groupNames.map(col): _*)
       .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
         sum(col("rev_d")).cast("double").as("revenue"),
-        sum(col("n_items")).as("n_items"))
+        coalesce(sum(col("n_items")), lit(0L)).as("n_items"))
+
+  private[plans] def aggOverRollup(s: SparkSession, rollupPath: String,
+      groupNames: Seq[String]): Dataset[org.apache.spark.sql.Row] =
+    aggOverRollupFrom(rollupBase(s, rollupPath), groupNames)
 }
 
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -122,12 +137,37 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Strip the row-content-preserving wrappers only (attribute pruning
+    * projections, aliases), WITHOUT requiring a bare relation below —
+    * so a Filter wrapped in column pruning (the shape a global count
+    * leaves) is still recognized as the Filter it is. */
+  private def stripAttrWrappers(plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case SubqueryAlias(_, child) => stripAttrWrappers(child)
+      case Project(exprs, child)
+          if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        stripAttrWrappers(child)
+      case other => other
+    }
+
   private def relationFiles(r: LogicalRelation): Seq[String] =
     r.relation match {
       case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
         h.location.inputFiles.toSeq
       case _ => Seq.empty
     }
+
+  /** Marker match at a PATH BOUNDARY: the char after the marker must be
+    * a path separator, an extension dot, or end-of-string — a bare
+    * substring test would bind a sibling table sharing the prefix
+    * (`…/lineitem_sample.parquet`) to the registered rollup and answer
+    * the WRONG table's aggregate. */
+  private def atTableBoundary(file: String, marker: String): Boolean = {
+    val i = file.indexOf(marker)
+    i >= 0 && (i + marker.length == file.length ||
+      file.charAt(i + marker.length) == '/' ||
+      file.charAt(i + marker.length) == '.')
+  }
 
   private def stripAlias(e: Expression): Expression = e match {
     case a: Alias => stripAlias(a.child)
@@ -180,19 +220,32 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // pruned pass-through projection above it — attribute-only
             // projections preserve expr ids, so semantic comparison
             // still runs over identical attributes while the template
-            // keeps access to every view input the candidate pruned
+            // keeps access to every view input the candidate pruned.
+            // A Filter directly over the (possibly attr-projected)
+            // relation is admissible IF its predicate rewrites to pure
+            // view dimensions — see rewriteIfDerivable; anything else
+            // in the subtree still disqualifies.
             scala.util.Try(for {
               (flat, base) <- inlined(agg)
-              rel <- bareRelation(base)
-              if relationFiles(rel).exists(_.contains(factMarker))
+              (cond, rel) <- stripAttrWrappers(base) match {
+                case org.apache.spark.sql.catalyst.plans.logical
+                    .Filter(c, fchild) =>
+                  bareRelation(fchild)
+                    .map(r => (Some(c): Option[Expression], r))
+                case other =>
+                  bareRelation(other)
+                    .map(r => (None: Option[Expression], r))
+              }
+              if relationFiles(rel).exists(atTableBoundary(_, factMarker))
               if MvRewrite.ViewInputs.subsetOf(
                 rel.output.map(_.name).toSet)
-              rewritten <- rewriteIfDerivable(flat, rel, rollupPath)
+              rewritten <- rewriteIfDerivable(flat, cond, rel, rollupPath)
             } yield rewritten).toOption.flatten.getOrElse(agg)
         }
     }
 
-  private def rewriteIfDerivable(agg: Aggregate, child: LogicalPlan,
+  private def rewriteIfDerivable(agg: Aggregate,
+      cond: Option[Expression], child: LogicalPlan,
       rollupPath: String): Option[LogicalPlan] = {
     // template: the registered view definition planned AND OPTIMIZED
     // over the candidate's OWN child, so semantic equality runs over
@@ -233,10 +286,41 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         MvRewrite.AggCols(a)
       }
     }
+    // FILTERED candidates: a predicate over the fact rewrites to the
+    // same predicate over the rollup IFF every fact reference in it is
+    // one of the view's grouping DIMENSIONS (substituted by semantic
+    // equality with the template's grouping expressions) — dimension
+    // predicates commute with the partial aggregation, so filtering
+    // the rollup then re-aggregating ≡ filtering the fact then
+    // aggregating. A predicate touching anything else (a measure, a
+    // non-view column, a non-deterministic term) keeps the fact scan.
+    val base = MvRewrite.rollupBase(spark, rollupPath)
+    val baseOut = base.queryExecution.analyzed.output
+    val dims: Seq[Attribute] =
+      MvRewrite.GroupCols.map(n => baseOut.find(_.name == n).get)
+    val filteredBase = cond match {
+      case None => base
+      case Some(c) =>
+        def dimOf(e: Expression): Option[Attribute] =
+          MvRewrite.GroupCols.indices.collectFirst {
+            case i if template.groupingExpressions(i).semanticEquals(e) =>
+              dims(i)
+          }
+        val mapped = c.transform {
+          case e if dimOf(e).isDefined => dimOf(e).get
+        }
+        val dimIds = dims.map(_.exprId).toSet
+        if (!mapped.deterministic ||
+          !mapped.references.forall(a => dimIds.contains(a.exprId)))
+          return None // filter-on-measure (or unknown column): bail
+        org.apache.spark.sql.GraftBridge.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.Filter(
+            mapped, base.queryExecution.analyzed))
+    }
     // the rollup re-aggregation over exactly the candidate's grouping
     // subset; surface it under the candidate's names and expr ids so
     // the parent plan resolves unchanged
-    val rewritten = MvRewrite.aggOverRollup(spark, rollupPath,
+    val rewritten = MvRewrite.aggOverRollupFrom(filteredBase,
       gIdx.map(MvRewrite.GroupCols)).queryExecution.analyzed
     val byName = rewritten.output.map(a => a.name -> a).toMap
     val out: Seq[NamedExpression] =

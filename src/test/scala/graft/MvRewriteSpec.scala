@@ -78,11 +78,77 @@ class MvRewriteSpec extends SparkSpec {
       "the other instance's aggregate left its own fact table")
   }
 
+  test("filtered lattice: dimension predicates move to the rollup, and " +
+    "a filtered-to-empty global count stays 0, never NULL") {
+    val viaRule = SparkEntry.queries("q_rollup_rewrite_filtered")(spark, sf)
+    val scanned = scannedFiles(viaRule)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("graft_rollup_")),
+      s"filtered rewrite did not swap the scan: $scanned")
+    // row-identical to the rule-free filtered fact computation
+    val got = viaRule.collect().toSeq
+    try {
+      MvRewrite.unregister(spark)
+      val month = date_format(to_date(col("l_shipdate")), "yyyy-MM")
+      val direct = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === "R" && month >= "1994-01")
+        .groupBy(month.as("month"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy("month")
+      assert(scannedFiles(direct).exists(_.contains("lineitem")))
+      assert(got === direct.collect().toSeq)
+    } finally {
+      SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect(): Unit
+    }
+    // count semantics on an empty rewrite input: an impossible
+    // dimension predicate leaves ZERO rollup rows, and the global
+    // count must still come back 0 (the coalesce) — exactly what the
+    // unfiltered fact count would return over zero matching rows
+    val month = date_format(to_date(col("l_shipdate")), "yyyy-MM")
+    val empty = Tables.lineitem(spark, sf)
+      .filter(month >= "2999-01")
+      .agg(count(lit(1)).as("n_items"))
+    assert(scannedFiles(empty).forall(_.contains("graft_rollup_")),
+      "impossible-dimension filter did not rewrite")
+    val r = empty.collect()
+    assert(r.length === 1 && !r.head.isNullAt(0) && r.head.getLong(0) === 0L,
+      s"empty-input count(*) must be 0, got ${r.toSeq}")
+  }
+
+  test("fact binding is path-boundary exact: a sibling table sharing " +
+    "the marker prefix is never answered from the rollup") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mv_boundary").toString
+    val li = Tables.lineitem(spark, sf)
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    // same schema, DIFFERENT content — a prefix-substring match would
+    // silently answer this table's aggregate from the other's rollup
+    li.limit(500).write.mode("overwrite")
+      .parquet(s"$tmp/lineitem_sample.parquet")
+    try {
+      MvRewrite.register(spark, s"$tmp/lineitem",
+        graft.operators.Olap2.dailyRollupPath(spark, sf))
+      val agg = MvRewrite.monthlyOverFact(
+        spark.read.parquet(s"$tmp/lineitem_sample.parquet"))
+      assert(scannedFiles(agg).exists(_.contains("lineitem_sample")),
+        "sibling-prefix table was wrongly bound to the registered MV")
+      assert(agg.agg(sum(col("n_items"))).head().getLong(0) === 500L)
+      // while the exact-boundary table DOES rewrite
+      val bound = MvRewrite.monthlyOverFact(
+        spark.read.parquet(s"$tmp/lineitem.parquet"))
+      assert(scannedFiles(bound).forall(_.contains("graft_rollup_")),
+        "the exact-marker table failed to rewrite")
+    } finally {
+      SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect(): Unit
+    }
+  }
+
   test("safety bails: filters, different groupings, and near-miss " +
     "aggregates keep the fact scan") {
     SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect() // register
     val li = Tables.lineitem(spark, sf)
-    // a FILTERED aggregate must never be answered from the summary
+    // a filter on a MEASURE must never be answered from the summary
+    // (dimension predicates rewrite; l_quantity is a measure)
     val filtered = MvRewrite.monthlyOverFact(
       li.filter(col("l_quantity") > 10))
     assert(scannedFiles(filtered).exists(_.contains("lineitem")))
