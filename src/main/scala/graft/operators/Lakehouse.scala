@@ -446,6 +446,59 @@ object Lakehouse {
     v
   }
 
+  /** DELETE-FILE MAINTENANCE (rewrite_deletes — the manifest-merge
+    * pattern at the delete level): bound [[readEntries]]'s O(D²)
+    * delete planning by rewriting fromV's D live delete commits into
+    * one CUMULATIVE key file per distinct delete sequence d, holding
+    * every key deleted at any seq ≥ d. Cumulative files nest (M_d ⊇
+    * M_d' for d < d'), so a data group anti-joins only its smallest
+    * applicable one — per-group plan fan-out resets to ONE delete scan,
+    * O(D) total, and the read is row-identical: the smallest cdelete
+    * seq > q holds exactly {k : deleted at some seq > q}, the same set
+    * the plain files union to (seqs are preserved, so scoping — a
+    * merge's fresh rows surviving their own delete — is untouched).
+    *
+    * Data files are never read or moved: the op reads only the D key
+    * files (one pass: per-key max delete seq, then one suffix filter
+    * per distinct seq) and publishes a REWRITE snapshot with the data
+    * entries verbatim. The superseded plain delete files become
+    * unreferenced garbage for vacuum. No-op (returns fromV) when the
+    * version has no delete entries. Returns the new version. */
+  private[graft] def rewriteDeletes(s: SparkSession, root: String,
+      fromV: Int, keyCol: String): Int = {
+    val ents = manifestEntries(s, root, fromV)
+    // prior cdelete files fold in exactly: a key appears in every
+    // cumulative file at seq ≤ its true max delete seq, so max over
+    // containing-file seqs reproduces maxDseq — re-rewriting after new
+    // deletes is sound
+    val delBySeq = ents.collect {
+      case (k, p, q) if k == "delete" || k == "cdelete" =>
+        (q, s"$root/$p")
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    if (delBySeq.isEmpty) return fromV
+    val v = fromV + 1
+    requireUncommitted(s, root, v, "rewriteDeletes")
+    // per-key MAX delete seq: k belongs to cumulative file M_d iff it
+    // was deleted at any seq >= d iff max(its delete seqs) >= d — one
+    // aggregation over the D key files, then one filter+write per seq
+    val keyed = delBySeq.toSeq.map { case (q, paths) =>
+      s.read.parquet(paths: _*).select(col(keyCol))
+        .withColumn("__dseq", lit(q))
+    }.reduce(_.unionByName(_))
+      .groupBy(keyCol).agg(max(col("__dseq")).as("__mx"))
+      .localCheckpoint()
+    val tag = attemptTag()
+    val cumEntries = delBySeq.keys.toSeq.sorted.flatMap { d =>
+      val dir = s"$root/deletes/w=rd$v-$tag/d=$d"
+      keyed.filter(col("__mx") >= d).select(keyCol)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      listDataFiles(s, root, dir).map(("cdelete", _, d))
+    }
+    publishVersion(s, root, v, Seq.empty,
+      ents.filter(_._1 == "data") ++ cumEntries)
+    v
+  }
+
   // --- named refs: mutable pointers into the immutable version
   // history (branches/tags). A ref is an APPEND-ONLY LOG under
   // _refs/<name>/r=<k>, each entry one tiny parquet dir holding a
@@ -551,23 +604,36 @@ object Lakehouse {
 
   /** The seq-scoped group read over an explicit entry set — shared by
     * [[readVersion]] and [[readVersionPruned]] so range pruning can
-    * never bypass the delete-scoping rules. Known accepted trade: a
-    * group with k applicable delete commits anti-joins the union of
-    * their key files, so across groups each delete file is planned up
-    * to D times (O(D²) tiny key-file scans for D live delete commits) —
-    * delete files are key-only and D is bounded by compaction cadence,
-    * and the alternative (a seq-inequality broadcast join) gives up the
-    * plain equi-anti-join this form keeps. */
+    * never bypass the delete-scoping rules.
+    *
+    * Two delete-entry kinds participate:
+    *   - "delete": one commit's keys, masking data with seq < its own —
+    *     a group with k applicable delete commits anti-joins the union
+    *     of their key files, so across groups each file is planned up
+    *     to D times (O(D²) tiny key-file scans for D live delete
+    *     commits; bounded by compaction cadence).
+    *   - "cdelete" (from [[rewriteDeletes]]): CUMULATIVE — the file at
+    *     seq d holds every key deleted at ANY seq ≥ d, so a data group
+    *     needs only the SMALLEST applicable cdelete (it subsumes the
+    *     later ones): per group ONE cdelete scan, O(D) total — the
+    *     maintenance op's whole point.
+    * The two compose (a plain delete commit can land after a rewrite):
+    * a group's mask = union(applicable plain files) ∪ smallest
+    * applicable cdelete. */
   private def readEntries(s: SparkSession, root: String,
       ents: Seq[(String, String, Int)], keyCol: String): DataFrame = {
     val delBySeq = ents.collect { case ("delete", p, q) => (q, s"$root/$p") }
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
-    val delSeqs = delBySeq.map(_._1)
-    // group data files by the set of deletes that apply (dseq > seq):
-    // the group key is the count of later delete commits
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cumBySeq = ents.collect { case ("cdelete", p, q) => (q, s"$root/$p") }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val delSeqs = delBySeq.keys.toSeq.sorted
+    val cumSeqs = cumBySeq.keys.toSeq.sorted
+    // group data files by the delete set that applies: (count of later
+    // plain delete commits, smallest later cumulative seq)
     val groups = ents.collect { case ("data", p, q) => (q, s"$root/$p") }
-      .groupBy { case (q, _) => delSeqs.count(_ > q) }
-      .toSeq.sortBy(_._1)
+      .groupBy { case (q, _) =>
+        (delSeqs.count(_ > q), cumSeqs.find(_ > q)) }
+      .toSeq.sortBy { case ((n, c), _) => (n, c.getOrElse(Int.MaxValue)) }
     // schema lives in the data files in this implementation, so a
     // version with no data entries has no derivable schema — fail with
     // the contract instead of an opaque empty.reduce
@@ -575,18 +641,18 @@ object Lakehouse {
       "readVersion: version references no data files (fully-emptied " +
         "tables need a schema-bearing manifest, the documented " +
         "production extension)")
-    groups.map { case (nDels, files) =>
+    groups.map { case ((nDels, firstCum), files) =>
       // mergeSchema: one group may span pre- and post-evolution files.
       // At fixture scale this reads footers; a production table keeps
       // the schema id in the manifest row and groups by it instead.
       val data = s.read.option("mergeSchema", "true")
         .parquet(files.map(_._2): _*)
-      if (nDels == 0) data
-      else {
-        val applicable = delBySeq.takeRight(nDels).flatMap(_._2)
-        data.join(broadcast(s.read.parquet(applicable: _*)
-          .select(keyCol)), Seq(keyCol), "left_anti")
-      }
+      val applicable =
+        delSeqs.takeRight(nDels).flatMap(delBySeq) ++
+          firstCum.toSeq.flatMap(cumBySeq)
+      if (applicable.isEmpty) data
+      else data.join(broadcast(s.read.parquet(applicable: _*)
+        .select(keyCol)), Seq(keyCol), "left_anti")
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1019,6 +1085,55 @@ object Lakehouse {
       root
     }
 
+  // --- the delete-maintenance demonstration table: 2 ingest epochs,
+  // then THREE delete commits (the D-growing regime compaction hasn't
+  // caught up with), then rewriteDeletes — the read before and after
+  // the maintenance must be identical, and the post-maintenance plan
+  // anti-joins ONE cumulative file per group instead of a growing
+  // union (LakehouseSpec locks the plan shape; the declared key takes
+  // the live-state oracle over the post-maintenance version).
+  private val rdDemoRoot = graft.AppCache[String]()
+
+  private[graft] def buildRewriteDeletesDemo(s: SparkSession, d: String,
+      root: String): Int = {
+    val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+    ingestCommit(root,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), 0L,
+      "o_orderkey")
+    ingestCommit(root,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), 1L,
+      "o_orderkey")
+    var v = 2
+    Seq((10, 1), (7, 3), (13, 5)).foreach { case (m, r) =>
+      v = deleteCommit(s, root, v,
+        orders.filter(pmod(col("o_orderkey"), lit(m)) === r)
+          .select("o_orderkey"))
+    }
+    rewriteDeletes(s, root, v, "o_orderkey")
+  }
+
+  private[graft] def rewriteDeletesDemoRoot(s: SparkSession,
+      d: String): String =
+    rdDemoRoot.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_rd_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      buildRewriteDeletesDemo(s, d, root)
+      root
+    }
+
+  /** Post-maintenance read: three delete commits rewritten into
+    * cumulative per-seq key files, read via the one-cdelete-per-group
+    * plan — must hash-match the plain live-state predicate over the
+    * base table (the maintenance is metadata+key-file only and
+    * row-identical by construction). */
+  val qTableRewriteDeletes: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val root = rewriteDeletesDemoRoot(s, d)
+      orderedOrdersRows(
+        readVersion(s, root, latestVersion(s, root), "o_orderkey"))
+    }
+
   /** Point lookup on the non-clustering column via bloom file skipping:
     * the hash layout routes each custkey to one file, the bloom probe
     * keeps that file (plus any false positives) out of 16, and the
@@ -1232,6 +1347,10 @@ object Lakehouse {
         "ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
+    // delete-file maintenance: the post-rewrite read (one cumulative
+    // delete per plan group) must equal the live-state predicate
+    QueryDef("q_table_rewrite_deletes", qTableRewriteDeletes, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 1 AND o_orderkey % 7 <> 3 AND o_orderkey % 13 <> 5 ORDER BY o_orderkey")),
     // bloom file skipping: the point lookup must equal the plain
     // predicate over the base table
     QueryDef("q_table_bloom_lookup", qTableBloomLookup, Some(

@@ -137,6 +137,51 @@ object TableRentProbe {
         f"compact=$tCompact%6.2fs readPost=$tPost%5.2fs")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    println("== delete-plan rent: D INTERLEAVED ingest+delete pairs — " +
+      "planned delete-file scans Σ|group mask| is O(D²) before " +
+      "rewrite_deletes and O(D) after; the read must be row-identical ==")
+    def deletePlans(root: String, v: Int): (Long, Int, Double) = {
+      def one(): (Long, Int, Double) = {
+        val df = Lakehouse.readVersion(spark, root, v, "o_orderkey")
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val planned = graft.PlanScans
+          .collect(df.queryExecution.executedPlan)
+          .flatMap(_.relation.location.inputFiles)
+          .count(_.contains("/deletes/"))
+        (n, planned, t)
+      }
+      one(); val a = one(); val b = one()
+      (a._1, a._2, math.min(a._3, b._3))
+    }
+    for (dd <- Seq(4, 8, 16)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rent_rd$dd"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      // interleave: epoch ingest then a delete commit, D times — the
+      // regime where every data batch sees a DIFFERENT delete horizon
+      var v = 0
+      for (i <- 0 until dd) {
+        Lakehouse.ingestCommit(root,
+          base.filter(pmod(col("o_orderkey"), lit(dd.toLong)) === i),
+          v.toLong, "o_orderkey")
+        v += 1
+        v = Lakehouse.deleteCommit(spark, root, v,
+          base.filter(pmod(col("o_orderkey"), lit(200L)) === i)
+            .select("o_orderkey"))
+      }
+      val (nPre, plannedPre, tPre) = deletePlans(root, v)
+      val (_, tRw) = time {
+        v = Lakehouse.rewriteDeletes(spark, root, v, "o_orderkey") }
+      val (nPost, plannedPost, tPost) = deletePlans(root, v)
+      require(nPre == nPost, s"rewriteDeletes changed rows: $nPre != $nPost")
+      println(f"D=$dd%-3d delScansPre=$plannedPre%4d " +
+        f"delScansPost=$plannedPost%4d rewrite=$tRw%6.2fs " +
+        f"readPre=$tPre%5.2fs readPost=$tPost%5.2fs rows=$nPre%7d")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
     spark.stop()
   }
 }

@@ -477,6 +477,67 @@ class LakehouseSpec extends SparkSpec {
       "fixture should have both kept and pruned files")
   }
 
+  test("rewrite_deletes: row-identical before/after, one cumulative " +
+    "delete scan per plan group, superseded key files vacuum away, and " +
+    "a later plain delete composes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_rd").toString + "/t"
+    val vAfter = Lakehouse.buildRewriteDeletesDemo(spark, sf, root)
+    val vBefore = vAfter - 1
+    // the maintenance touched no data entry (paths AND seqs verbatim)
+    val dataBefore = Lakehouse.manifestEntries(spark, root, vBefore)
+      .filter(_._1 == "data")
+    val after = Lakehouse.manifestEntries(spark, root, vAfter)
+    assert(after.filter(_._1 == "data") === dataBefore,
+      "rewrite_deletes touched a data entry")
+    assert(after.count(_._1 == "delete") === 0 &&
+      after.count(_._1 == "cdelete") === 3,
+      "expected exactly one cumulative entry per distinct delete seq")
+    // row-identical read across the rewrite
+    val before = Lakehouse.readVersion(spark, root, vBefore, "o_orderkey")
+      .orderBy("o_orderkey").collect()
+    val rewritten = Lakehouse.readVersion(spark, root, vAfter, "o_orderkey")
+      .orderBy("o_orderkey")
+    assert(rewritten.collect() === before,
+      "delete maintenance changed the read")
+    // PLAN FAN-OUT: before, the D=3 delete commits union into growing
+    // per-group sets (Σ applicable = O(D²) key-file plans); after, each
+    // group anti-joins exactly ONE cumulative file
+    def deleteScanFiles(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] = {
+      df.collect()
+      collectFileScans(df.queryExecution.executedPlan)
+        .map(_.relation.location.inputFiles
+          .filter(_.contains("/deletes/")).toSet)
+        .filter(_.nonEmpty)
+    }
+    val preScans = deleteScanFiles(
+      Lakehouse.readVersion(spark, root, vBefore, "o_orderkey"))
+    val postScans = deleteScanFiles(
+      Lakehouse.readVersion(spark, root, vAfter, "o_orderkey"))
+    assert(preScans.map(_.size).sum > postScans.map(_.size).sum,
+      s"maintenance did not shrink delete planning: " +
+        s"${preScans.map(_.size)} -> ${postScans.map(_.size)}")
+    assert(postScans.forall(_.size == 1),
+      s"a post-rewrite group planned more than one delete file: " +
+        postScans.map(_.size))
+    // a LATER plain delete commit composes with the cumulative files
+    val extraDead = Lakehouse.readVersion(spark, root, vAfter, "o_orderkey")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 2).select("o_orderkey")
+    val nExtra = extraDead.count()
+    val v7 = Lakehouse.deleteCommit(spark, root, vAfter, extraDead)
+    assert(Lakehouse.readVersion(spark, root, v7, "o_orderkey")
+      .count() === before.length - nExtra,
+      "post-rewrite plain delete did not compose")
+    // and the superseded plain key files are unreferenced garbage now
+    val reclaimed = Lakehouse.vacuum(spark, root, retainFrom = vAfter,
+      graceMs = 0L)
+    assert(reclaimed >= 3, s"expected the 3 superseded plain delete " +
+      s"files reclaimed, got $reclaimed")
+    assert(Lakehouse.readVersion(spark, root, v7, "o_orderkey")
+      .count() === before.length - nExtra,
+      "vacuum broke the retained post-rewrite read")
+  }
+
   test("commits are idempotent and a stranded staging manifest recovers") {
     val root = freshRoot("crash")
     val fsRoot = new org.apache.hadoop.fs.Path(root)
