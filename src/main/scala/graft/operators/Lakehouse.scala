@@ -308,6 +308,83 @@ object Lakehouse {
     v
   }
 
+  /** OPTIMISTIC COMMIT LOOP — the Delta/Iceberg commit protocol on top
+    * of [[publishVersion]]'s read-back conflict detection: stage once,
+    * then try to publish on top of the current latest; on losing a
+    * race, re-resolve the winner's manifest list, re-VALIDATE this
+    * commit against the commits that landed in between
+    * (`validate(fromV, curV)` — appends always pass; key-targeted ops
+    * refuse on overlap), and re-publish at the next version with the
+    * SAME staged files re-stamped to the new sequence. Two racing
+    * writers thus both land, in a linear history, without either
+    * re-running its data work; a genuine conflict still surfaces as
+    * [[ConcurrentCommitException]] for a caller-level rebase (the
+    * staged files are left for vacuum). */
+  private[graft] def optimisticCommit(s: SparkSession, root: String,
+      fromV: Int, staged: Seq[(String, String)],
+      validate: (Int, Int) => Boolean, maxRetries: Int = 20): Int = {
+    var base = fromV
+    var attempts = 0
+    while (true) {
+      val v = base + 1
+      try {
+        publishVersion(s, root, v, snapshotManifests(s, root, base),
+          staged.map { case (k, p) => (k, p, v) })
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val cur = latestVersion(s, root)
+          if (cur <= base || !validate(fromV, cur)) throw e
+          base = cur
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** APPEND with optimistic retry: appends never conflict (fresh files,
+    * no key is masked or rewritten), so a lost race just re-publishes
+    * on the winner's snapshot. Returns the committed version. */
+  private[graft] def appendCommitOptimistic(s: SparkSession, root: String,
+      fromV: Int, batch: DataFrame, keyCol: String): Int = {
+    val dir = s"$root/data/w=app-${attemptTag()}"
+    batch.repartition(2, col(keyCol))
+      .write.mode("overwrite").parquet(dir)
+    optimisticCommit(s, root, fromV,
+      listDataFiles(s, root, dir).map(("data", _)), (_, _) => true)
+  }
+
+  /** Keyed DELETE with optimistic retry: a lost race re-validates that
+    * no commit landed in between whose DELETE entries (plain or
+    * cumulative — a MERGE's delete file counts) touch any of this
+    * commit's keys; on overlap the retry REFUSES (the other writer may
+    * have upserted a fresh row this delete would wrongly mask — the
+    * caller must re-derive its keys against the new state), otherwise
+    * it lands at the next version. Intervening appends never conflict:
+    * the delete masks keys wherever they live as of its own commit —
+    * standard DELETE semantics. */
+  private[graft] def deleteCommitOptimistic(s: SparkSession, root: String,
+      fromV: Int, keys: DataFrame): Int = {
+    val dir = s"$root/deletes/w=opt-${attemptTag()}"
+    keys.coalesce(1).write.mode("overwrite").parquet(dir)
+    val keyName = keys.columns.head
+    def noKeyOverlap(base: Int, cur: Int): Boolean = {
+      val newM = (snapshotManifests(s, root, cur).toSet --
+        snapshotManifests(s, root, base).toSet).toSeq
+      val interDel = readManifests(s, root, newM).collect {
+        case (k, p, q) if (k == "delete" || k == "cdelete") && q > base =>
+          s"$root/$p"
+      }
+      interDel.isEmpty ||
+        s.read.parquet(dir).join(
+          s.read.parquet(interDel: _*).select(keyName),
+          Seq(keyName), "left_semi").limit(1).count() == 0L
+    }
+    optimisticCommit(s, root, fromV,
+      listDataFiles(s, root, dir).map(("delete", _)), noKeyOverlap)
+  }
+
   /** One streaming micro-batch as an atomic version commit: epoch `id`
     * becomes version id+1. The idempotency check comes FIRST — a
     * re-delivered epoch whose manifest already published must skip the

@@ -538,6 +538,62 @@ class LakehouseSpec extends SparkSpec {
       "vacuum broke the retained post-rewrite read")
   }
 
+  test("optimistic commits: interleaved writers land in a linear " +
+    "history without re-running data work; overlapping-key deletes " +
+    "still refuse") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_opt").toString + "/t"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    Lakehouse.ingestCommit(root,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), 0L,
+      "o_orderkey")
+    Lakehouse.ingestCommit(root,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), 1L,
+      "o_orderkey")
+    val n = orders.count()
+    // writer B wins version 3 from base v2 with a keyed delete…
+    val v3 = Lakehouse.deleteCommit(spark, root, 2,
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select("o_orderkey"))
+    assert(v3 === 3)
+    // …writer A raced from the SAME base: its optimistic append loses
+    // v3, re-resolves, and lands at v4 — no data re-staged, history
+    // stays linear
+    val extra = orders
+      .withColumn("o_orderkey", col("o_orderkey") + lit(30000000L))
+      .limit(500)
+    val v4 = Lakehouse.appendCommitOptimistic(spark, root, 2, extra,
+      "o_orderkey")
+    assert(v4 === 4, "optimistic append did not land at the next version")
+    // a DISJOINT-key optimistic delete from the stale base also lands
+    val v5 = Lakehouse.deleteCommitOptimistic(spark, root, 2,
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+        .select("o_orderkey"))
+    assert(v5 === 5)
+    val n0 = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0).count()
+    val n5 = orders.filter(pmod(col("o_orderkey"), lit(10)) === 5).count()
+    assert(Lakehouse.readVersion(spark, root, 5, "o_orderkey")
+      .count() === n - n0 - n5 + 500,
+      "linear history lost a racing commit's effect")
+    assert(Lakehouse.latestVersion(spark, root) === 5)
+    // every intermediate state stays readable (snapshot isolation)
+    assert(Lakehouse.readVersion(spark, root, 3, "o_orderkey")
+      .count() === n - n0)
+    assert(Lakehouse.readVersion(spark, root, 4, "o_orderkey")
+      .count() === n - n0 + 500)
+    // an OVERLAPPING-key delete from the stale base must refuse: the
+    // intervening v3/v5 deletes touched the same keys, so a silent
+    // retry could mask another writer's intent — caller must rebase
+    intercept[Lakehouse.ConcurrentCommitException] {
+      Lakehouse.deleteCommitOptimistic(spark, root, 2,
+        orders.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .select("o_orderkey"))
+    }
+    assert(Lakehouse.latestVersion(spark, root) === 5,
+      "a refused optimistic commit still published")
+  }
+
   test("commits are idempotent and a stranded staging manifest recovers") {
     val root = freshRoot("crash")
     val fsRoot = new org.apache.hadoop.fs.Path(root)
