@@ -1656,7 +1656,7 @@ object Similarity {
     * ONE definition shared by build, append, and the streaming segment
     * writer, so an incrementally-assigned vector lands in exactly the
     * partition a rebuild-with-the-same-centroids would put it in. */
-  private def assignToCentroids(e: DataFrame, cents: DataFrame)
+  private[graft] def assignToCentroids(e: DataFrame, cents: DataFrame)
       : DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("d2",
@@ -1965,6 +1965,64 @@ object Similarity {
         .select(col("vec_id"), col("sim"))
     }
 
+  // --- q_ann_index_drift: the gate that says WHEN the frozen-centroid
+  // discipline must trigger a retrain. "Centroids retrain only as an
+  // explicit rebuild" is the right 100 TB economics, but it needs an
+  // evidence signal: per-list quantiles of the ASSIGNMENT DISTANCE
+  // (squared euclidean to the owning centroid) for a candidate ingest
+  // batch, against the same quantiles of the index's resident corpus —
+  // the training distribution. A batch drawn from the training
+  // distribution reproduces the baseline (ratio ≈ 1); a shifted batch
+  // inflates it, and a deployment triggers the rebuild when the ratio
+  // crosses its threshold. Rows-only by contract (an index property,
+  // no relational oracle); IvfIndexSpec pins ratio ≈ 1 on the training
+  // distribution and strictly > 1 on a deterministically shifted batch.
+
+  /** Per-list drift report for `batch` against the index at `path`:
+    * (c_id, n_train, p50/p95 of resident d2, n_batch, p50/p95 of batch
+    * d2, drift_p95 = batch p95 / resident p95). One broadcast of k
+    * centroids + one shuffle per cohort — the ingest batch's own
+    * assignment pass, reused as telemetry. */
+  private[graft] def ivfDriftReport(s: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    def assignedD2(e: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2", col("n2") + col("cn2") -
+          lit(2.0) * dotd(col("ce"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("d2"), col("c_id")),
+          struct(col("d2"), col("c_id"))).as("m"))
+        .select(col("m.c_id").as("c_id"), col("m.d2").as("d2"))
+    def stats(e: DataFrame, tag: String): DataFrame =
+      assignedD2(e).groupBy("c_id")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          round(expr("percentile(d2, 0.5)"), 6).as(s"p50_$tag"),
+          round(expr("percentile(d2, 0.95)"), 6).as(s"p95_$tag"))
+    val train = stats(s.read.parquet(s"$path/corpus")
+      .select("vec_id", "ce", "n2"), "train")
+    train.join(stats(prepare(batch), "batch"), Seq("c_id"), "left")
+      .withColumn("drift_p95",
+        round(col("p95_batch") / col("p95_train"), 4))
+      .orderBy("c_id")
+  }
+
+  /** The declared drift row set: the resident corpus re-presented as a
+    * batch (baseline cohort — ratio ≈ 1 by construction) and a
+    * deterministic element-wise shift of it (+0.25 per dimension —
+    * off-distribution cohort), against the same cached index. */
+  val qAnnIndexDrift: (SparkSession, String) => DataFrame = (s, d) => {
+    val path = ivfIndexPath(s, d)
+    val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
+    val shifted = embs.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.25f)))
+    ivfDriftReport(s, path, embs)
+      .select(lit("01_resident").as("cohort"), col("*"))
+      .unionByName(ivfDriftReport(s, path, shifted)
+        .select(lit("02_shifted").as("cohort"), col("*")))
+      .orderBy("cohort", "c_id")
+  }
+
   // --- q_stream_ivf_ingest probe: the one-pass batch probe over the
   // streaming-segmented corpus layout, declared from EventsStreaming
   // (which owns the replay machinery) — probe-all keeps it exact so the
@@ -2025,6 +2083,40 @@ object Similarity {
         struct(col("d2"), col("c_id"))).as("m"))
       .select(col("vec_id"), col("m.ce").as("ce"), col("m.n2").as("n2"),
         col("m.c_id").as("c_id"))
+  }
+
+  /** CLUSTERED synthetic fixture for SemDeDup's ORGANIC regime — the
+    * distribution the published recipe assumes (and the testdata
+    * embeddings deliberately lack: their max pair cosine is 0.479, so
+    * τ=0.4 sees only borderline pairs — the worst case, whose 0.39
+    * recall floor SCALE.md documents). Here: `k` well-separated
+    * uniform centers, per-vector noise inside each cluster, and a
+    * planted near-identical duplicate for every third vector (its
+    * base's embedding re-jittered at 1/10 the noise) — so true
+    * duplicate pairs are ε-close, same-cluster non-duplicates sit at
+    * intermediate cosine, and cross-cluster pairs are far. Fully
+    * in-plan and deterministic (salted xxhash64 uniforms, the
+    * OrganicProbe discipline); shape-compatible with [[prepare]]. */
+  private[graft] def clusteredFixture(s: SparkSession, n: Int, k: Int,
+      dim: Int, noise: Double, jitter: Double): DataFrame = {
+    val half = (1L << 52).toDouble
+    def u(seed: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+      (pmod(xxhash64(seed: _*), lit(1L << 52)).cast("double") +
+        lit(0.5)) / lit(half)
+    s.range(0, n.toLong).toDF("vec_id")
+      // every third id duplicates its predecessor's base
+      .withColumn("bid",
+        when(pmod(col("vec_id"), lit(3)) === 1, col("vec_id") - 1)
+          .otherwise(col("vec_id")))
+      .withColumn("cl", pmod(xxhash64(lit("cl"), col("bid")), lit(k)))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          ((u(lit("c"), col("cl"), j) * 2.0 - 1.0) +
+            lit(noise) * (u(lit("n"), col("bid"), j) * 2.0 - 1.0) +
+            lit(jitter) * (u(lit("j"), col("vec_id"), j) * 2.0 - 1.0))
+            .cast("float")))
+      .select(col("vec_id"), col("cl").cast("int").as("label"),
+        col("embedding"))
   }
 
   /** Intra-cluster duplicate pairs at `threshold` — the candidate set
@@ -2146,6 +2238,10 @@ object Similarity {
       // exhaustive probe ≡ brute force: the SAME oracle as q_cosine_topk
       s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_index_probe", qAnnIndexProbe, None),
+    // rows-only by contract: per-list assignment-distance drift vs the
+    // training distribution — the rebuild trigger; IvfIndexSpec pins
+    // baseline ≈ 1 and shifted > 1
+    QueryDef("q_ann_index_drift", qAnnIndexDrift, None),
     // index lifecycle under the hard oracle: probe-all of the
     // tombstoned index ≡ brute force over only the LIVE vectors
     QueryDef("q_ann_index_delete_exhaustive", qAnnIndexDeleteExhaustive,

@@ -107,6 +107,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(all === brute)
   }
 
+  test("drift metric: a batch from the training distribution reproduces " +
+    "the per-list baseline; a shifted batch inflates it") {
+    val dir = Files.createTempDirectory("graft_ivf_drift").toString
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
+    Similarity.writeIvfIndex(embs, dir, k = 5, iters = 2)
+    // cohort 1: the resident corpus itself — frozen-centroid assignment
+    // is deterministic, so per-list quantiles reproduce EXACTLY and
+    // every drift ratio is 1.0
+    val baseline = Similarity.ivfDriftReport(spark, dir, embs).collect()
+    assert(baseline.nonEmpty)
+    baseline.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_train")) ===
+        r.getLong(r.fieldIndex("n_batch")),
+        s"baseline cohort lost vectors in list ${r.getInt(0)}")
+      val ratio = r.getDouble(r.fieldIndex("drift_p95"))
+      assert(math.abs(ratio - 1.0) < 1e-9,
+        s"training-distribution drift must be 1.0, got $ratio")
+    }
+    // cohort 2: deterministic element-wise shift — every list's p95
+    // assignment distance inflates, the rebuild trigger fires
+    val shifted = embs.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.25f)))
+    val drifted = Similarity.ivfDriftReport(spark, dir, shifted).collect()
+    val ratios = drifted.filter(!_.isNullAt(drifted.head.fieldIndex(
+      "drift_p95"))).map(_.getDouble(drifted.head.fieldIndex("drift_p95")))
+    assert(ratios.nonEmpty && ratios.forall(_ > 1.0),
+      s"shifted batch did not inflate drift: ${ratios.toSeq}")
+  }
+
   test("tombstone delete ≡ rebuild on live vectors; compaction " +
       "reclaims without changing a row") {
     val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)

@@ -64,4 +64,31 @@ class SemDedupSpec extends SparkSpec {
     // pins the mechanism, not a production recall claim.
     assert(recall >= 0.3, s"recall $recall under the declared floor")
   }
+
+  test("organic regime: on a clustered fixture (the recipe's assumed " +
+    "distribution) near-identical duplicates co-cluster and recall is " +
+    "near 1") {
+    // 8 well-separated centers, intra-cluster noise, a planted
+    // near-identical duplicate for every third vector — true duplicate
+    // pairs are ε-close (cosine ≳ 0.999), same-cluster non-duplicates
+    // sit near 0.88, cross-cluster pairs far below. At the production
+    // τ=0.95 the exact pair set IS the planted set.
+    val fx = Similarity.clusteredFixture(spark, n = 1500, k = 8,
+      dim = 16, noise = 0.35, jitter = 0.02)
+    val prep = Similarity.prepare(fx).localCheckpoint()
+    val exact = Similarity.semDupPairs(
+      prep.withColumn("c_id", lit(0)), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 400,
+      s"fixture should plant ~500 ε-duplicate pairs, got ${exact.size}")
+    val cents = Similarity.kmeansCentroids(prep, 8, 3)
+    val caught = Similarity.semDupPairs(
+      Similarity.assignToCentroids(prep, cents), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(caught.subsetOf(exact), "cluster scoping invented a pair")
+    val recall = caught.size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"organic-regime recall $recall below the 0.9 floor — " +
+        "ε-duplicates must co-cluster under any reasonable quantizer")
+  }
 }
