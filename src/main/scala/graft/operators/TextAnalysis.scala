@@ -970,17 +970,24 @@ object TextAnalysis {
   //     (squared loss, gradient (p−y)·x/(1+|z|)²) — no transcendentals,
   //     so every per-row value is identical IEEE arithmetic in Spark
   //     and DuckDB;
-  //   - each per-row gradient contribution is QUANTIZED to a long via
+  //   - each per-row gradient contribution is QUANTIZED via
   //     floor(contrib·1e12) (gradient quantization, the real
-  //     distributed-training technique) — integer sums are exact and
-  //     order-independent, so no decimal-cast or rounding semantics
-  //     enter the recurrence anywhere. |contrib| ≤ 1 bounds each term
-  //     by 1e12, but Spark's SUM(LONG) wraps silently across the WHOLE
-  //     aggregate (not per partition), so the ceiling is CORPUS-WIDE:
-  //     n ≤ Long.MaxValue/1e12 ≈ 9.2M docs. lrTrainTrace fails loudly
-  //     at that bound (DuckDB promotes BIGINT sums to HUGEINT, so past
-  //     it the engines would diverge only at verify time); beyond it,
-  //     train on a deterministic sample or widen the sums to decimal;
+  //     distributed-training technique) and summed in DECIMAL(38,0) —
+  //     integer sums are exact and order-independent, so no rounding
+  //     semantics enter the recurrence anywhere, and the width removes
+  //     the old corpus-size ceiling: |contrib| ≤ 1 bounds each term by
+  //     1e12, so the 38-digit accumulator holds ~1e26 docs (a long
+  //     accumulator wrapped silently at ~9.2M — DuckDB promotes BIGINT
+  //     sums to HUGEINT, so only Spark would have wrapped and the
+  //     engines would have diverged at verify time). The integer sums
+  //     are identical to the long path wherever both are defined, so
+  //     the widening is hash-invariant; its cost is the decimal add in
+  //     the partial aggregate — measured INDISTINGUISHABLE from the
+  //     long path at sf0.1 (LrWidthProbe: 24 iterations scan-dominated,
+  //     ratio ~0.9–1.0×, traces bit-identical; SCALE.md §14);
+  //   - the per-iteration collect converts the five exact integer sums
+  //     to double (round-half-even, bit-identical to the long path for
+  //     in-range values) before the weight update;
   //   - weights evolve by pure IEEE ops (w − η·((Σ/1e12)/n)) written in
   //     the same association order in both engines.
   // The DuckDB twin replays all 24 iterations as chained CTEs (the
@@ -989,6 +996,11 @@ object TextAnalysis {
   // distributed training run.
   private val LrIters = 24
   private val LrEta = 2.0
+
+  /** Probe access to the trainer's feature frame (LrWidthProbe prices
+    * the decimal-vs-long accumulator on identical inputs). */
+  private[graft] def lrFeaturesForProbe(docs: DataFrame): DataFrame =
+    lrFeatures(docs)
 
   private def lrFeatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"),
@@ -1014,12 +1026,6 @@ object TextAnalysis {
       eta: Double = LrEta): Seq[(Int, Array[Double])] = {
     val f = lrFeatures(docs).localCheckpoint()
     val n = f.count().toDouble
-    // the quantized gradient sum wraps CORPUS-WIDE past this bound
-    // (see the contract comment above) — fail loudly in-engine
-    require(n <= Long.MaxValue / 1e12,
-      s"lrTrainTrace: $n docs exceeds the ~9.2M-doc long-sum ceiling " +
-        "of floor(contrib*1e12) quantization — train on a sample or " +
-        "widen the gradient sums to decimal")
     var w = Array.fill(5)(0.0)
     (1 to iters).map { it =>
       val z = lrZ(w)
@@ -1030,12 +1036,15 @@ object TextAnalysis {
         ((p - col("y")) * col("x2")) / den,
         ((p - col("y")) * col("x3")) / den,
         ((p - col("y")) * col("x4")) / den)
+      // DECIMAL(38,0) accumulators over the long-valued quantized
+      // contributions: exact at any corpus size (the long-sum ceiling
+      // was ~9.2M docs — see the contract comment above)
       val aggs = contribs.zipWithIndex.map { case (c, j) =>
-        sum(floor(c * lit(1e12))).as(s"g$j") }
-      // ONE corpus pass per iteration; the collect is 5 longs
+        sum(floor(c * lit(1e12)).cast("decimal(38,0)")).as(s"g$j") }
+      // ONE corpus pass per iteration; the collect is 5 exact integers
       val r = f.agg(aggs.head, aggs.tail: _*).head()
       w = w.indices.map(j =>
-        w(j) - eta * ((r.getLong(j).toDouble / 1e12) / n)).toArray
+        w(j) - eta * ((r.getDecimal(j).doubleValue / 1e12) / n)).toArray
       (it, w)
     }
   }
