@@ -24,6 +24,10 @@ object TableRentProbe {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // local-iteration escape hatch (the Bench/Verify filter contract):
+    // run only the named section; unset → all sections
+    val section = sys.env.get("SPARK_GRAFT_RENT_SECTION")
+    def wants(name: String): Boolean = section.forall(_ == name)
     val base = Tables.orders(spark, d)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       .localCheckpoint()
@@ -32,6 +36,7 @@ object TableRentProbe {
         Lakehouse.readVersion(spark, root, v, "o_orderkey").count() }._2
       run(); math.min(run(), run())
     }
+    if (wants("append")) {
     println("== append-count rent: E ingest commits, zero deletes ==")
     for (e <- Seq(4, 16, 64)) {
       val root = s"${sys.props("java.io.tmpdir")}/graft_rent_a$e"
@@ -49,6 +54,8 @@ object TableRentProbe {
         f"(same rows every E — flat read is the claim)")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    }
+    if (wants("metadata")) {
     println("== metadata rent: manifest rows written per commit " +
       "(two-level) vs the single-level re-list counterfactual ==")
     for (e <- Seq(16, 64, 256)) {
@@ -80,6 +87,8 @@ object TableRentProbe {
         f"(${counterfactual.toDouble / (written + lists)}%5.1fx)")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    }
+    if (wants("metadata")) {
     println("== metadata rent at realistic commit width: f=64 entries " +
       "per commit (synthetic paths — pure metadata, no data written) ==")
     for (e <- Seq(64, 256)) {
@@ -112,6 +121,8 @@ object TableRentProbe {
         f"(${counterfactual.toDouble / (written + lists)}%5.1fx)")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    }
+    if (wants("delete")) {
     println("== delete-count rent: 16 appends + D delete commits ==")
     for (dd <- Seq(1, 4, 16)) {
       val root = s"${sys.props("java.io.tmpdir")}/graft_rent_d$dd"
@@ -137,6 +148,8 @@ object TableRentProbe {
         f"compact=$tCompact%6.2fs readPost=$tPost%5.2fs")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    }
+    if (wants("deleteplan")) {
     println("== delete-plan rent: D INTERLEAVED ingest+delete pairs — " +
       "planned delete-file scans Σ|group mask| is O(D²) before " +
       "rewrite_deletes and O(D) after; the read must be row-identical ==")
@@ -181,6 +194,7 @@ object TableRentProbe {
         f"delScansPost=$plannedPost%4d rewrite=$tRw%6.2fs " +
         f"readPre=$tPre%5.2fs readPost=$tPost%5.2fs rows=$nPre%7d")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
     }
     spark.stop()
   }
