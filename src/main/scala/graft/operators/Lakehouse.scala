@@ -903,15 +903,27 @@ object Lakehouse {
     * is that entries first committed at version v carry seq = v, and
     * the rewrites PRESERVE original seqs — so `seq > fromV` keeps
     * exactly the entries commits after fromV actually introduced, at
-    * zero extra reads (the filter runs on rows already in hand). */
+    * zero extra reads (the filter runs on rows already in hand).
+    *
+    * A span CROSSING a delete rewrite must not lose the deletes whose
+    * plain manifests the rewrite snapshot no longer lists: the
+    * cumulative file at the SMALLEST surviving cdelete seq d holds
+    * every key deleted at any seq ≥ d — after the seq filter, that is
+    * exactly the span's delete set (later cumulative files are its
+    * subsets and are skipped; plain delete commits after the rewrite
+    * union in as usual). */
   private[graft] def changedFiles(s: SparkSession, root: String,
       fromV: Int, toV: Int): (Seq[String], Seq[String]) = {
     val before = snapshotManifests(s, root, fromV).toSet
     val added = readManifests(s, root,
       snapshotManifests(s, root, toV).filterNot(before))
       .filter(_._3 > fromV)
+    val cdels = added.collect { case ("cdelete", p, q) => (q, s"$root/$p") }
+    val firstCum =
+      if (cdels.isEmpty) Seq.empty
+      else { val d = cdels.map(_._1).min; cdels.filter(_._1 == d).map(_._2) }
     (added.collect { case ("data", p, _) => s"$root/$p" },
-      added.collect { case ("delete", p, _) => s"$root/$p" })
+      added.collect { case ("delete", p, _) => s"$root/$p" } ++ firstCum)
   }
 
   // --- the staged demonstration table: six commits over orders ---
@@ -1211,6 +1223,24 @@ object Lakehouse {
         readVersion(s, root, latestVersion(s, root), "o_orderkey"))
     }
 
+  /** CDC across the delete maintenance: the span v2 → post-rewrite
+    * must report the three delete commits' keys even though the
+    * rewrite snapshot no longer lists their plain manifests — the
+    * smallest surviving cumulative file IS the span's delete set
+    * (distinct keys by the rewrite's own aggregation). Hash-gated by
+    * the union-of-predicates oracle. */
+  val qTableCdcMaintained: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val root = rewriteDeletesDemoRoot(s, d)
+      val (ins, dels) = changedFiles(s, root, 2,
+        latestVersion(s, root))
+      require(ins.isEmpty,
+        "the maintenance span added no data files — CDC must agree")
+      s.read.parquet(dels: _*)
+        .select(lit("D").as("op"), col("o_orderkey"))
+        .orderBy("o_orderkey")
+    }
+
   /** Point lookup on the non-clustering column via bloom file skipping:
     * the hash layout routes each custkey to one file, the bloom probe
     * keeps that file (plus any false positives) out of 16, and the
@@ -1428,6 +1458,10 @@ object Lakehouse {
     // delete per plan group) must equal the live-state predicate
     QueryDef("q_table_rewrite_deletes", qTableRewriteDeletes, Some(
       "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 1 AND o_orderkey % 7 <> 3 AND o_orderkey % 13 <> 5 ORDER BY o_orderkey")),
+    // CDC spanning the delete maintenance: the cumulative file reports
+    // exactly the span's (distinct) deleted keys
+    QueryDef("q_table_cdc_maintained", qTableCdcMaintained, Some(
+      "SELECT 'D' AS op, o_orderkey FROM orders WHERE o_orderkey % 10 = 1 OR o_orderkey % 7 = 3 OR o_orderkey % 13 = 5 ORDER BY o_orderkey")),
     // bloom file skipping: the point lookup must equal the plain
     // predicate over the base table
     QueryDef("q_table_bloom_lookup", qTableBloomLookup, Some(

@@ -520,11 +520,46 @@ class LakehouseSpec extends SparkSpec {
     assert(postScans.forall(_.size == 1),
       s"a post-rewrite group planned more than one delete file: " +
         postScans.map(_.size))
+    // CDC SPANNING the rewrite: the plain delete manifests are gone
+    // from the rewrite snapshot's list, so the span's delete set must
+    // come from the smallest cumulative file — exactly the union of
+    // the three delete commits' (distinct) keys, no data files
+    val (insSpan, delsSpan) = Lakehouse.changedFiles(spark, root, 2, vAfter)
+    assert(insSpan.isEmpty, "maintenance span reported phantom inserts")
+    val orders = Tables.orders(spark, sf)
+    val expectedDead = orders.filter(
+      pmod(col("o_orderkey"), lit(10)) === 1 ||
+        pmod(col("o_orderkey"), lit(7)) === 3 ||
+        pmod(col("o_orderkey"), lit(13)) === 5)
+      .select("o_orderkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(delsSpan: _*).collect()
+      .map(_.getLong(0)).toSet === expectedDead,
+      "CDC across the rewrite lost or inflated the span's delete set")
+    // and the sub-span starting BETWEEN deletes uses a LATER cumulative
+    // file (its keys are max-seq >= 4: the %10==1 commit is excluded
+    // unless a key was re-deleted later)
+    val (_, delsSub) = Lakehouse.changedFiles(spark, root, 3, vAfter)
+    val subKeys = spark.read.parquet(delsSub: _*).collect()
+      .map(_.getLong(0)).toSet
+    val expectedSub = orders.filter(
+      pmod(col("o_orderkey"), lit(7)) === 3 ||
+        pmod(col("o_orderkey"), lit(13)) === 5)
+      .select("o_orderkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(subKeys === expectedSub,
+      "mid-history CDC picked the wrong cumulative horizon")
     // a LATER plain delete commit composes with the cumulative files
     val extraDead = Lakehouse.readVersion(spark, root, vAfter, "o_orderkey")
       .filter(pmod(col("o_orderkey"), lit(17)) === 2).select("o_orderkey")
     val nExtra = extraDead.count()
     val v7 = Lakehouse.deleteCommit(spark, root, vAfter, extraDead)
+    // CDC spanning rewrite AND the later plain delete unions both
+    val (_, delsAll) = Lakehouse.changedFiles(spark, root, 2, v7)
+    assert(spark.read.parquet(delsAll: _*).collect()
+      .map(_.getLong(0)).toSet ===
+      expectedDead ++ extraDead.collect().map(_.getLong(0)),
+      "post-rewrite plain delete missing from the spanning CDC read")
     assert(Lakehouse.readVersion(spark, root, v7, "o_orderkey")
       .count() === before.length - nExtra,
       "post-rewrite plain delete did not compose")
