@@ -1751,43 +1751,79 @@ object Similarity {
     * TextAnalysis.compactBm25Index: corpus and absence-of-tombstones
     * must change together; crashes leave the old root intact or
     * recoverable at `.prev`. */
-  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+  def compactIvfIndex(s: SparkSession, path: String): Unit =
+    replaceIndexRoot(s, path, "compactIvfIndex") { staging =>
+      // canonical column set: a streaming-segmented source (corpus
+      // under epoch=N/c_id=K) compacts into the batch layout; the
+      // centroids are carried over FROZEN — compaction reclaims, it
+      // never retrains
+      val live = ivfLiveCorpus(s, path)
+        .select(col("vec_id"), col("ce"), col("n2"), col("c_id"))
+      live.write.partitionBy("c_id").parquet(s"$staging/corpus")
+      s.read.parquet(s"$path/centroids").write
+        .parquet(s"$staging/centroids")
+      live.count()
+    }
+
+  /** The REBUILD the drift gate ([[ivfDriftReport]]) triggers: retrain
+    * centroids on the CURRENT live corpus (tombstones applied, every
+    * epoch segment included) and rewrite the whole root — the
+    * explicitly data-sized op the frozen-centroid discipline defers
+    * until drift evidence demands it. Same stage→audit→retire-swap
+    * publication as compaction: corpus, centroids, and
+    * absence-of-tombstones change together, and a crash leaves the old
+    * root intact or recoverable at `.prev`. Probe-all over the rebuilt
+    * index must still equal brute force over the live vectors (cosine
+    * is per-vector — centroid QUALITY affects pruned-probe recall,
+    * never probe-all correctness), which is exactly what the declared
+    * key's oracle states. */
+  def rebuildIvfIndex(s: SparkSession, path: String, k: Int,
+      iters: Int): Unit =
+    replaceIndexRoot(s, path, "rebuildIvfIndex") { staging =>
+      val live = ivfLiveCorpus(s, path)
+        .select(col("vec_id"), col("ce"), col("n2")).localCheckpoint()
+      val cents = kmeansCentroids(live, k, iters)
+      assignToCentroids(live, cents)
+        .write.partitionBy("c_id").parquet(s"$staging/corpus")
+      cents.write.parquet(s"$staging/centroids")
+      live.count()
+    }
+
+  /** Retire-then-swap publication of a freshly-staged index root —
+    * shared by [[compactIvfIndex]] (frozen centroids) and
+    * [[rebuildIvfIndex]] (retrained): crash-recovery preamble (a prior
+    * run that died between its renames leaves the index only at
+    * `.prev` — roll it back before staging rather than failing on the
+    * missing root), stage via `build(stagingDir)` (returns the
+    * expected live count), audit the staged corpus against it, swap
+    * with rollback on failure. */
+  private def replaceIndexRoot(s: SparkSession, path: String,
+      op: String)(build: String => Long): Unit = {
     val staging = path + ".staging"
     val conf = s.sparkContext.hadoopConfiguration
     val stg = new org.apache.hadoop.fs.Path(staging)
     val fs = stg.getFileSystem(conf)
-    // Crash recovery (the compactHourlyDay preamble): a prior run that
-    // died between its renames leaves the index only at `.prev` — roll
-    // it back before staging rather than failing on the missing root.
     val pub0 = new org.apache.hadoop.fs.Path(path)
     val prev0 = new org.apache.hadoop.fs.Path(path + ".prev")
     if (!fs.exists(pub0) && fs.exists(prev0) && !fs.rename(prev0, pub0))
       throw new java.io.IOException(
-        s"compactIvfIndex: failed to roll back $prev0 to $pub0")
+        s"$op: failed to roll back $prev0 to $pub0")
     if (fs.exists(stg)) fs.delete(stg, true)
-    // canonical column set: a streaming-segmented source (corpus under
-    // epoch=N/c_id=K) compacts into the batch layout
-    val live = ivfLiveCorpus(s, path)
-      .select(col("vec_id"), col("ce"), col("n2"), col("c_id"))
-    live.write.partitionBy("c_id").parquet(s"$staging/corpus")
-    s.read.parquet(s"$path/centroids").write
-      .parquet(s"$staging/centroids")
-    val expected = live.count()
+    val expected = build(staging)
     val got = s.read.parquet(s"$staging/corpus").count()
     require(got == expected,
-      s"compactIvfIndex: staged $got vectors, expected $expected")
+      s"$op: staged $got vectors, expected $expected")
     val pub = new org.apache.hadoop.fs.Path(path)
     val prev = new org.apache.hadoop.fs.Path(path + ".prev")
     if (fs.exists(prev)) fs.delete(prev, true)
     if (!fs.rename(pub, prev))
-      throw new java.io.IOException(
-        s"compactIvfIndex: failed to retire $pub to $prev")
+      throw new java.io.IOException(s"$op: failed to retire $pub to $prev")
     if (!fs.rename(stg, pub)) {
       if (!fs.rename(prev, pub))
         throw new java.io.IOException(
-          s"compactIvfIndex: swap AND rollback failed for $pub")
+          s"$op: swap AND rollback failed for $pub")
       throw new java.io.IOException(
-        s"compactIvfIndex: failed to publish $stg (rolled back)")
+        s"$op: failed to publish $stg (rolled back)")
     }
     fs.delete(prev, true)
   }
@@ -1961,6 +1997,47 @@ object Similarity {
       val q = prepared(s, d).filter(col("vec_id") === 0L)
         .select("ce").head().getSeq[Double](0).toArray
       probeIvfIndex(s, ivfAppendIndexPath(s, d), q,
+        nprobe = Int.MaxValue, topK = 10)
+        .select(col("vec_id"), col("sim"))
+    }
+
+  // --- q_ann_index_rebuild_exhaustive: the drift gate's consequence
+  // under the SAME hard oracle — the whole maintenance arc in one
+  // index (build on evens → append odds under frozen centroids →
+  // tombstone vec_id ≡ 9 (mod 10) → REBUILD: retrain on the live
+  // corpus, reclaim tombstones, rewrite the root), and a probe-all of
+  // the rebuilt index must equal brute-force cosine top-10 over only
+  // the live vectors. Retraining cannot be argued away by probe-all
+  // (correctness is centroid-independent there) — which is the point:
+  // the oracle gates that the rebuild lost, duplicated, resurrected,
+  // and mis-scored nothing; IvfIndexSpec separately pins that the
+  // rebuild actually retrains (drift collapses after it).
+  private val ivfRebuildCache = graft.AppCache[String]()
+
+  private def ivfRebuiltIndexPath(s: SparkSession, d: String): String =
+    ivfRebuildCache.synchronized {
+      ivfRebuildCache.get(s, d)({
+        val key = Integer.toHexString(
+          (s.sparkContext.applicationId + "|ivfrb|" + d).hashCode)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_rb_$key"
+        val embs = Tables.embeddings(s, d).filter(col("vec_id") =!= 0L)
+        writeIvfIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          path, k = 10, iters = 3)
+        appendToIvfIndex(s, path,
+          embs.filter(pmod(col("vec_id"), lit(2L)) === 1))
+        deleteFromIvfIndex(s, path,
+          embs.filter(pmod(col("vec_id"), lit(10L)) === 9)
+            .select("vec_id"))
+        rebuildIvfIndex(s, path, k = 10, iters = 3)
+        path
+      })
+    }
+
+  val qAnnIndexRebuildExhaustive: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val q = prepared(s, d).filter(col("vec_id") === 0L)
+        .select("ce").head().getSeq[Double](0).toArray
+      probeIvfIndex(s, ivfRebuiltIndexPath(s, d), q,
         nprobe = Int.MaxValue, topK = 10)
         .select(col("vec_id"), col("sim"))
     }
@@ -2257,6 +2334,11 @@ object Similarity {
     QueryDef("q_ann_index_append_exhaustive", qAnnIndexAppendExhaustive,
       Some(
         s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id <> 0) CROSS JOIN q ORDER BY sim DESC, vec_id ASC LIMIT 10")),
+    // build → append → delete → REBUILD (retrained centroids, reclaimed
+    // tombstones): probe-all ≡ brute force over only the live vectors
+    QueryDef("q_ann_index_rebuild_exhaustive", qAnnIndexRebuildExhaustive,
+      Some(
+        s"WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) SELECT vec_id, round($cosineSql, 6) AS sim FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id <> 0 AND vec_id % 10 <> 9) CROSS JOIN q ORDER BY sim DESC, vec_id ASC LIMIT 10")),
     QueryDef("q_ann_batch", qAnnBatch, Some(
       s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), q AS (SELECT vec_id AS q_id, ce AS qe FROM e WHERE vec_id < 8), s AS (SELECT q.q_id, e.vec_id, round($cosineSql, 6) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM s) SELECT q_id, vec_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, sim DESC, vec_id")),
     QueryDef("q_ann_batch_exhaustive", qAnnBatchExhaustive, Some(

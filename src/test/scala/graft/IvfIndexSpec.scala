@@ -136,6 +136,49 @@ class IvfIndexSpec extends SparkSpec {
       s"shifted batch did not inflate drift: ${ratios.toSeq}")
   }
 
+  test("drift → rebuild loop: an ingested off-distribution batch " +
+    "inflates drift, rebuildIvfIndex retrains and collapses it, " +
+    "tombstones are reclaimed") {
+    val dir = Files.createTempDirectory("graft_ivf_rbloop").toString + "/ix"
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
+    Similarity.writeIvfIndex(embs, dir, k = 5, iters = 2)
+    val shifted = embs
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.25f)))
+    def worstRatio(batch: org.apache.spark.sql.DataFrame): Double = {
+      val rows = Similarity.ivfDriftReport(spark, dir, batch).collect()
+      val i = rows.head.fieldIndex("drift_p95")
+      rows.filter(!_.isNullAt(i)).map(_.getDouble(i)).max
+    }
+    val before = worstRatio(shifted)
+    assert(before > 1.0, s"shifted batch should inflate drift: $before")
+    // the gate fires: ingest the batch, tombstone a slice, rebuild
+    Similarity.appendToIvfIndex(spark, dir, shifted)
+    Similarity.deleteFromIvfIndex(spark, dir,
+      embs.filter(pmod(col("vec_id"), lit(10L)) === 9).select("vec_id"))
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .select("centroid").collect().map(_.getSeq[Double](0)).toSet
+    Similarity.rebuildIvfIndex(spark, dir, k = 5, iters = 2)
+    // retrained: the centroid set actually moved, tombstones gone
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .select("centroid").collect().map(_.getSeq[Double](0)).toSet
+    assert(centsAfter !== centsBefore, "rebuild did not retrain")
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "rebuild left tombstones behind")
+    // the shifted cohort is now part of the training distribution:
+    // its drift against the rebuilt index collapses
+    val after = worstRatio(shifted)
+    assert(after < before,
+      s"rebuild did not reduce drift: $before -> $after")
+    assert(after <= 1.05,
+      s"post-rebuild drift of an in-distribution batch: $after")
+    // and the rebuilt index is still exactly the live corpus
+    val live = embs.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+      .count() + shifted.count()
+    assert(spark.read.parquet(s"$dir/corpus").count() === live)
+  }
+
   test("tombstone delete ≡ rebuild on live vectors; compaction " +
       "reclaims without changing a row") {
     val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
