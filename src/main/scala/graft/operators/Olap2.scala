@@ -363,6 +363,21 @@ object Olap2 {
         .orderBy("month")
     }
 
+  /** HAVING over the rewritten aggregate: the predicate sits ABOVE the
+    * Aggregate node (Catalyst plans HAVING as Filter-over-Aggregate),
+    * so the rule rewrites the aggregate underneath and the filter
+    * composes through the preserved output names/expr ids — no special
+    * handling, which is itself the thing to gate. Oracle states the
+    * direct fact SQL with the same HAVING. */
+  val qRollupRewriteHaving: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graft.plans.MvRewrite.register(s, s"$d/lineitem",
+        dailyRollupPath(s, d))
+      graft.plans.MvRewrite.monthlyOverFact(Tables.lineitem(s, d))
+        .filter(col("n_items") >= 25)
+        .orderBy("month", "l_returnflag")
+    }
+
   private val rollupOracle =
     "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
 
@@ -382,6 +397,10 @@ object Olap2 {
     // to the rollup; the oracle states the direct filtered fact SQL
     QueryDef("q_rollup_rewrite_filtered", qRollupRewriteFiltered, Some(
       "SELECT strftime(l_shipdate, '%Y-%m') AS month, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_items FROM lineitem WHERE l_returnflag = 'R' AND strftime(l_shipdate, '%Y-%m') >= '1994-01' GROUP BY 1 ORDER BY 1")),
+    // HAVING composes through the rewrite (Filter-over-Aggregate; the
+    // rule swaps the aggregate underneath, names/expr ids preserved)
+    QueryDef("q_rollup_rewrite_having", qRollupRewriteHaving, Some(
+      "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 25 ORDER BY 1, 2")),
     // shares the full-rebuild oracle BY REFERENCE: the driver hash-match
     // proves the additive partial-merge reconstructs the identical rollup
     QueryDef("q_rollup_increment", qRollupIncrement, Some(rollupOracle)),

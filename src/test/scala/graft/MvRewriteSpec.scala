@@ -115,6 +115,17 @@ class MvRewriteSpec extends SparkSpec {
       s"empty-input count(*) must be 0, got ${r.toSeq}")
   }
 
+  test("HAVING composes: the filter above the aggregate survives the " +
+    "swap and the plan scans the rollup") {
+    val df = SparkEntry.queries("q_rollup_rewrite_having")(spark, sf)
+    val scanned = scannedFiles(df)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("graft_rollup_")),
+      s"HAVING rewrite did not swap the scan: $scanned")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(
+      _.getLong(df.columns.indexOf("n_items")) >= 25))
+  }
+
   test("fact binding is path-boundary exact: a sibling table sharing " +
     "the marker prefix is never answered from the rollup") {
     val tmp = java.nio.file.Files
