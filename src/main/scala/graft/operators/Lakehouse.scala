@@ -385,6 +385,48 @@ object Lakehouse {
       listDataFiles(s, root, dir).map(("delete", _)), noKeyOverlap)
   }
 
+  /** Sequence-scoped MERGE with optimistic retry — SERIALIZABLE
+    * validation (the strict Iceberg MERGE default): a lost race refuses
+    * if any intervening commit either DELETED one of the merge's keys
+    * (plain or cumulative entries — the upsert would resurrect it) or
+    * ADDED data rows for one of them (the merge's update values were
+    * computed against the stale base, so re-publishing would silently
+    * clobber the newer row). Both checks read only the CHANGE (the
+    * intervening commits' own files, key-projected), never the table.
+    * Disjoint-key concurrency — the common case: two writers upserting
+    * different key ranges — always lands; sequence scoping keeps the
+    * merge sound at whatever version it finally publishes (its delete
+    * file masks only seq < v, its fresh rows survive). */
+  private[graft] def mergeCommitOptimistic(s: SparkSession, root: String,
+      fromV: Int, updates: DataFrame, keyCol: String): Int = {
+    val tag = attemptTag()
+    val dataDir = s"$root/data/w=mergeopt-$tag"
+    val delDir = s"$root/deletes/w=mergeopt-$tag"
+    updates.repartition(2, col(keyCol))
+      .write.mode("overwrite").parquet(dataDir)
+    updates.select(keyCol).coalesce(1).write.mode("overwrite")
+      .parquet(delDir)
+    def noConflict(base: Int, cur: Int): Boolean = {
+      val newEnts = readManifests(s, root,
+        (snapshotManifests(s, root, cur).toSet --
+          snapshotManifests(s, root, base).toSet).toSeq)
+        .filter(_._3 > base)
+      val keys = s.read.parquet(delDir)
+      def overlaps(paths: Seq[String]): Boolean =
+        paths.nonEmpty && keys.join(
+          s.read.parquet(paths: _*).select(keyCol),
+          Seq(keyCol), "left_semi").limit(1).count() > 0L
+      !overlaps(newEnts.collect {
+        case (k, p, _) if k == "delete" || k == "cdelete" => s"$root/$p"
+      }) && !overlaps(newEnts.collect {
+        case ("data", p, _) => s"$root/$p"
+      })
+    }
+    optimisticCommit(s, root, fromV,
+      listDataFiles(s, root, delDir).map(("delete", _)) ++
+        listDataFiles(s, root, dataDir).map(("data", _)), noConflict)
+  }
+
   /** One streaming micro-batch as an atomic version commit: epoch `id`
     * becomes version id+1. The idempotency check comes FIRST — a
     * re-delivered epoch whose manifest already published must skip the
@@ -798,6 +840,87 @@ object Lakehouse {
           s"readVersionPruned: version $v has no data files"))
     readEntries(s, root, ents, keyCol)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** MULTI-COLUMN zone maps: per-file min/max for EACH of `cols`
+    * (long-castable), one pass over the freshly-written files —
+    * (path, cname, vmin, vmax) rows in a `_stats2/w=tag` sidecar. The
+    * point of recording several dimensions is a MULTI-DIMENSIONALLY
+    * clustered layout (z-order): hash or single-range clustering bounds
+    * one column's range per file and leaves the others full-width;
+    * interleaved-bit clustering bounds ALL recorded dimensions at once,
+    * so conjunctive range predicates prune multiplicatively. */
+  private[graft] def writeColStats(s: SparkSession, root: String,
+      relDir: String, cols: Seq[String]): Unit = {
+    val tag = relDir.substring(relDir.lastIndexOf('/') + 1)
+    val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__min_$c"),
+      max(col(c).cast("long")).as(s"__max_$c")))
+    val perFile = s.read.parquet(s"$root/$relDir")
+      .select(col("*"), input_file_name().as("__f"))
+      .groupBy("__f")
+      .agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      perFile.select(
+        regexp_replace(col("__f"), lit("^file:(//)?" + rootPrefix),
+          lit("")).as("path"),
+        lit(c).as("cname"),
+        col(s"__min_$c").as("vmin"), col(s"__max_$c").as("vmax"))
+    }.reduce(_.unionAll(_))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_stats2/$tag")
+  }
+
+  /** The multi-column zone maps version `v`'s data files carry:
+    * path → (cname → (vmin, vmax)). Metadata scoped to the version's
+    * write dirs, like [[keyStats]]. */
+  private[graft] def colStats(s: SparkSession, root: String,
+      v: Int): Map[String, Map[String, (Long, Long)]] = {
+    val fs = hadoopFs(s, root)
+    val tags = manifestEntries(s, root, v)
+      .collect { case ("data", p, _) =>
+        p.substring(0, p.lastIndexOf('/')).stripPrefix("data/") }
+      .distinct
+    val present = tags.map(t => s"$root/_stats2/$t")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (present.isEmpty) Map.empty
+    else s.read.parquet(present: _*).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r =>
+        r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap)
+      .toMap
+  }
+
+  /** CONJUNCTIVE multi-dimension pruned read: drop every data file
+    * whose recorded ranges cannot intersect ALL of `preds`
+    * ((column, lo, hi) triples) before planning the scan. Columns
+    * without stats on a file are conservatively kept, one file
+    * survives as a schema carrier, the shared seq-scoped group read
+    * applies delete files, and the exact predicates refine — the
+    * oracle states the plain conjunction. Over a z-ordered layout the
+    * per-dimension survivors INTERSECT (each dimension's range is
+    * bounded per file), which is the multiplicative skipping a
+    * single-column clustering cannot give. */
+  def readVersionPrunedCols(s: SparkSession, root: String, v: Int,
+      keyCol: String, preds: Seq[(String, Long, Long)]): DataFrame = {
+    val stats = colStats(s, root, v)
+    val all = manifestEntries(s, root, v)
+    val kept = all.filter {
+      case ("data", p, _) =>
+        preds.forall { case (c, lo, hi) =>
+          stats.get(p).flatMap(_.get(c))
+            .forall { case (vmin, vmax) => vmin <= hi && lo <= vmax }
+        }
+      case _ => true
+    }
+    val ents =
+      if (kept.exists(_._1 == "data")) kept
+      else kept :+ all.find(_._1 == "data").getOrElse(
+        throw new IllegalStateException(
+          s"readVersionPrunedCols: version $v has no data files"))
+    preds.foldLeft(readEntries(s, root, ents, keyCol)) {
+      case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
 
   /** Per-file BLOOM sidecar over a (typically non-clustered) lookup
@@ -1250,6 +1373,57 @@ object Lakehouse {
     orderedOrdersRows(readVersionBloomLookup(
       s, bloomDemoTable(s, d), 1, "o_orderkey", "o_custkey", 5L))
 
+  // --- the z-order demonstration table: orders clustered by the
+  // INTERLEAVED BITS of (o_orderkey, o_custkey) into 16 range-split
+  // files, with BOTH columns' per-file zone maps committed alongside.
+  // A single-column range layout bounds one dimension and leaves the
+  // other full-width per file; interleaving bounds both, so a
+  // conjunctive 2-D range predicate prunes multiplicatively — the
+  // reason multi-dimensional clustering exists.
+  private val zorderDemoRootCache = graft.AppCache[String]()
+
+  private[graft] def buildZorderDemo(s: SparkSession, d: String,
+      root: String): Unit = {
+    val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+    val r = orders.agg(
+      min("o_orderkey").as("kmin"), max("o_orderkey").as("kmax"),
+      min("o_custkey").as("cmin"), max("o_custkey").as("cmax"))
+    val z = graft.functions.ScalePatterns.zValue(
+      expr("(o_orderkey - kmin) * 65536 div (kmax - kmin + 1)"),
+      expr("(o_custkey - cmin) * 65536 div (cmax - cmin + 1)"))
+    orders.crossJoin(broadcast(r))
+      .withColumn("__z", z)
+      .repartitionByRange(16, col("__z"))
+      .select(OrdersCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$root/data/w=1")
+    writeColStats(s, root, "data/w=1",
+      Seq("o_orderkey", "o_custkey"))
+    publishVersion(s, root, 1, Seq.empty,
+      listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1)))
+  }
+
+  private[graft] def zorderDemoTable(s: SparkSession, d: String): String =
+    zorderDemoRootCache.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_z_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      buildZorderDemo(s, d, root)
+      root
+    }
+
+  /** 2-D range read via multi-column zone maps over the z-ordered
+    * layout: both predicates prune files from table metadata before
+    * the scan is planned, and the survivors are the files whose
+    * interleaved-bit range straddles the query box — must hash-match
+    * the plain conjunction over the base table (LakehouseSpec locks
+    * that 2-D pruning scans strictly fewer files than either
+    * single-dimension pruning alone). */
+  val qTablePrunedReadZorder: (SparkSession, String) => DataFrame =
+    (s, d) =>
+      orderedOrdersRows(readVersionPrunedCols(
+        s, zorderDemoTable(s, d), 1, "o_orderkey",
+        Seq(("o_orderkey", 1000L, 4999L), ("o_custkey", 100L, 399L))))
+
   /** Time travel from PURE SQL via the injected table-valued function
     * (GraftExtensions.graft_orders_version — the `VERSION AS OF` shape):
     * the same post-delete snapshot as q_table_snapshot_rows, reached
@@ -1466,6 +1640,10 @@ object Lakehouse {
     // predicate over the base table
     QueryDef("q_table_bloom_lookup", qTableBloomLookup, Some(
       "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_custkey = 5 ORDER BY o_orderkey")),
+    // multi-column zone maps over the z-ordered layout: the 2-D range
+    // read must equal the plain conjunction over the base table
+    QueryDef("q_table_pruned_read_zorder", qTablePrunedReadZorder, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey BETWEEN 1000 AND 4999 AND o_custkey BETWEEN 100 AND 399 ORDER BY o_orderkey")),
     // zone-map file skipping: the pruned range read must equal the
     // plain predicate over the base table
     QueryDef("q_table_pruned_read", qTablePrunedRead, Some(

@@ -384,6 +384,51 @@ class LakehouseSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("z-order + multi-column zone maps: the 2-D range read prunes " +
+    "strictly more files than either single dimension alone and loses " +
+    "no rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_z").toString + "/t"
+    Lakehouse.buildZorderDemo(spark, sf, root)
+    val nData = Lakehouse.manifestEntries(spark, root, 1).size
+    assert(nData === 16)
+    def scannedData(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      df.collect()
+      collectFileScans(df.queryExecution.executedPlan)
+        .flatMap(_.relation.location.inputFiles)
+        .filterNot(_.contains("/deletes/")).toSet
+    }
+    // quarter-boxes of the sf0.001 key spaces (o_orderkey ≤ 1499,
+    // o_custkey ≤ 149) — each dimension alone keeps its low-range
+    // files; the conjunction keeps only the low-low corner
+    val kPred = ("o_orderkey", 0L, 370L)
+    val cPred = ("o_custkey", 0L, 36L)
+    val both = scannedData(Lakehouse.readVersionPrunedCols(
+      spark, root, 1, "o_orderkey", Seq(kPred, cPred)))
+    val kOnly = scannedData(Lakehouse.readVersionPrunedCols(
+      spark, root, 1, "o_orderkey", Seq(kPred)))
+    val cOnly = scannedData(Lakehouse.readVersionPrunedCols(
+      spark, root, 1, "o_orderkey", Seq(cPred)))
+    // z-order bounds BOTH dimensions per file: each single-dimension
+    // prune already skips, and the conjunction prunes beyond either
+    assert(kOnly.size < nData && cOnly.size < nData,
+      s"z-order failed to bound a dimension: k=${kOnly.size} " +
+        s"c=${cOnly.size} of $nData")
+    assert(both.size < kOnly.size && both.size < cOnly.size,
+      s"2-D pruning (${both.size}) not stricter than 1-D " +
+        s"(${kOnly.size}/${cOnly.size})")
+    assert(both.subsetOf(kOnly) && both.subsetOf(cOnly))
+    // and the pruned read is exactly the filtered full read
+    val expect = Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+      .filter(col("o_orderkey").between(0L, 370L) &&
+        col("o_custkey").between(0L, 36L))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val got = Lakehouse.readVersionPrunedCols(
+      spark, root, 1, "o_orderkey", Seq(kPred, cPred))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("bloom file skipping: the point lookup scans a strict subset of " +
     "the hash-clustered files and loses no rows") {
     val root = java.nio.file.Files
@@ -627,6 +672,42 @@ class LakehouseSpec extends SparkSpec {
     }
     assert(Lakehouse.latestVersion(spark, root) === 5,
       "a refused optimistic commit still published")
+    // optimistic MERGE, disjoint keys from the stale base: lands at v6
+    // with its updates applied over the racing history
+    val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+    val v6 = Lakehouse.mergeCommitOptimistic(spark, root, 2, upd,
+      "o_orderkey")
+    assert(v6 === 6)
+    val n3 = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3).count()
+    val merged = Lakehouse.readVersion(spark, root, 6, "o_orderkey")
+    assert(merged.count() === n - n0 - n5 + 500)
+    // scope to ORIGINAL keys: the racing append's offset keys also hit
+    // %10==3 but were not in the merge's key set
+    val updSum = merged.filter(pmod(col("o_orderkey"), lit(10)) === 3 &&
+        col("o_orderkey") < 30000000L)
+      .agg(sum("o_totalprice")).head().getDouble(0)
+    val origSum = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .agg(sum("o_totalprice")).head().getDouble(0)
+    assert(math.abs(updSum - origSum - 7.0 * n3) < 1e-6,
+      "optimistic merge lost its update over the racing history")
+    // optimistic MERGE whose keys an intervening commit DELETED must
+    // refuse — re-publishing would resurrect them (serializable check)
+    intercept[Lakehouse.ConcurrentCommitException] {
+      Lakehouse.mergeCommitOptimistic(spark, root, 2,
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+        "o_orderkey")
+    }
+    // …and one whose keys an intervening commit INSERTED must refuse
+    // too — its values were computed against the stale base
+    intercept[Lakehouse.ConcurrentCommitException] {
+      Lakehouse.mergeCommitOptimistic(spark, root, 2,
+        extra.withColumn("o_totalprice", col("o_totalprice") + 1.0),
+        "o_orderkey")
+    }
+    assert(Lakehouse.latestVersion(spark, root) === 6,
+      "a refused optimistic merge still published")
   }
 
   test("commits are idempotent and a stranded staging manifest recovers") {
