@@ -363,6 +363,57 @@ object Olap2 {
         .orderBy("month")
     }
 
+  // --- the SECOND registered view: orders monthly × priority — proving
+  // the rule is a CATALOG, not a single hard-wired rewrite. Same
+  // discipline as the lineitem view: exact-decimal partials in a daily
+  // rollup, the monthly answer re-aggregated, counts coalesced.
+  private val stagedOrdersRollups = graft.AppCache[String]()
+
+  private[graft] def ordersRollupPath(s: SparkSession, d: String): String =
+    stagedOrdersRollups.get(s, d)({
+      val path = s"${sys.props("java.io.tmpdir")}/graft_orollup_" +
+        s"${s.sparkContext.applicationId.hashCode.toHexString}_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"),
+          col("o_orderpriority"))
+        .agg(sum(d12(col("o_totalprice"))).as("price_d"),
+          count(lit(1)).as("n_orders"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private[graft] val OrdersMonthlyView: graft.plans.MvViewDef =
+    graft.plans.MvViewDef(
+      viewInputs = Set("o_orderdate", "o_orderpriority", "o_totalprice"),
+      overFact = df => df.groupBy(
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          col("o_orderpriority"))
+        .agg(sum(d12(col("o_totalprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders")),
+      rollupBase = (s, p) => s.read.parquet(p)
+        .withColumn("month", date_format(col("day"), "yyyy-MM")),
+      reAgg = (base, groupNames) =>
+        base.groupBy(groupNames.map(col): _*)
+          .agg(sum(col("price_d")).cast("double").as("sum_price"),
+            coalesce(sum(col("n_orders")), lit(0L)).as("n_orders")))
+
+  /** MULTI-VIEW catalog: BOTH views registered (lineitem monthly ×
+    * flag, orders monthly × priority); the declared query is the
+    * orders fact aggregate and must be answered from the ORDERS rollup
+    * — the rule binds by marker + derivability, never by arrival
+    * order. MvRewriteSpec locks that the lineitem query still swaps to
+    * ITS rollup in the same session. */
+  val qRollupRewriteOrders: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graft.plans.MvRewrite.register(s, s"$d/lineitem",
+        dailyRollupPath(s, d))
+      graft.plans.MvRewrite.registerView(s, s"$d/orders",
+        ordersRollupPath(s, d), OrdersMonthlyView)
+      OrdersMonthlyView.overFact(Tables.orders(s, d))
+        .orderBy("month", "o_orderpriority")
+    }
+
   /** HAVING over the rewritten aggregate: the predicate sits ABOVE the
     * Aggregate node (Catalyst plans HAVING as Filter-over-Aggregate),
     * so the rule rewrites the aggregate underneath and the filter
@@ -397,6 +448,10 @@ object Olap2 {
     // to the rollup; the oracle states the direct filtered fact SQL
     QueryDef("q_rollup_rewrite_filtered", qRollupRewriteFiltered, Some(
       "SELECT strftime(l_shipdate, '%Y-%m') AS month, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_items FROM lineitem WHERE l_returnflag = 'R' AND strftime(l_shipdate, '%Y-%m') >= '1994-01' GROUP BY 1 ORDER BY 1")),
+    // multi-view catalog: the orders fact aggregate answered from the
+    // ORDERS rollup while the lineitem view stays registered
+    QueryDef("q_rollup_rewrite_orders", qRollupRewriteOrders, Some(
+      "SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, COUNT(*) AS n_orders FROM orders GROUP BY 1, 2 ORDER BY 1, 2")),
     // HAVING composes through the rewrite (Filter-over-Aggregate; the
     // rule swaps the aggregate underneath, names/expr ids preserved)
     QueryDef("q_rollup_rewrite_having", qRollupRewriteHaving, Some(

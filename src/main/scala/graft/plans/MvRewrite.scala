@@ -37,22 +37,56 @@ import org.apache.spark.sql.functions._
   * (registering the MV is the materialization step's job); an empty
   * registry makes the rule a single map lookup.
   */
+/** One registered materialized view, everything the rewrite rule needs
+  * to recognize and answer it:
+  *   - `viewInputs`: fact columns the definition reads — a candidate
+  *     whose relation lacks any of them cannot be this view;
+  *   - `overFact`: the view definition itself, planned over the
+  *     candidate's own relation to build the semantic-equality
+  *     template (grouping/aggregate output NAMES are read from the
+  *     template, so they need no separate declaration);
+  *   - `rollupBase`: the maintained rollup with its derived dimension
+  *     columns, named exactly as the template's grouping outputs;
+  *   - `reAgg`: the re-aggregation over (a possibly filtered)
+  *     rollupBase for ANY grouping subset — output names must match
+  *     the template's aggregate outputs (counts coalesced to 0). */
+final case class MvViewDef(
+    viewInputs: Set[String],
+    overFact: Dataset[org.apache.spark.sql.Row] =>
+      Dataset[org.apache.spark.sql.Row],
+    rollupBase: (SparkSession, String) =>
+      Dataset[org.apache.spark.sql.Row],
+    reAgg: (Dataset[org.apache.spark.sql.Row], Seq[String]) =>
+      Dataset[org.apache.spark.sql.Row])
+
 object MvRewrite {
 
-  /** (applicationId) → (fact-path marker, rollup parquet path). One MV
-    * in this engine's demo; a production catalog keys by view id. */
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** (applicationId) → fact-path marker → (rollup path, view def): the
+    * session's MV CATALOG. Several views may be registered at once —
+    * over different fact tables, or the same one — and the rule
+    * answers each candidate from the first registration whose marker
+    * binds and whose derivability check passes. */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, (String, MvViewDef)]]()
 
+  def registerView(s: SparkSession, factMarker: String,
+      rollupPath: String, view: MvViewDef): Unit =
+    registry.merge(s.sparkContext.applicationId,
+      Map(factMarker -> ((rollupPath, view))), _ ++ _): Unit
+
+  /** Back-compat single-view registration: the lineitem monthly view. */
   def register(s: SparkSession, factMarker: String,
       rollupPath: String): Unit =
-    registry.put(s.sparkContext.applicationId, (factMarker, rollupPath)): Unit
+    registerView(s, factMarker, rollupPath, LineitemMonthlyView)
 
   def unregister(s: SparkSession): Unit =
     registry.remove(s.sparkContext.applicationId): Unit
 
-  private[plans] def registered(s: SparkSession): Option[(String, String)] =
+  private[plans] def registered(s: SparkSession)
+      : Seq[(String, String, MvViewDef)] =
     Option(registry.get(s.sparkContext.applicationId))
+      .map(_.toSeq.map { case (m, (p, v)) => (m, p, v) })
+      .getOrElse(Seq.empty)
 
   // Matching must compare like with like: the candidate reaches the
   // rule CONSTANT-FOLDED (1.00, cast-as-date …), so the template must
@@ -88,38 +122,25 @@ object MvRewrite {
         count(lit(1)).as("n_items"))
   }
 
-  /** The rollup re-aggregation for ANY grouping subset of the view's
+  /** The lineitem monthly view as an [[MvViewDef]]: the rollup
+    * re-aggregation works for ANY grouping subset of the view's
     * dimensions (the derivability lattice: monthly partials re-sum to
     * month-only, flag-only, or global answers — decimal partials are
-    * associative, counts are exact). `groupNames` index into
-    * [[GroupCols]]; all three aggregates are always computed and the
-    * caller projects the ones the candidate asked for. n_items
-    * re-aggregates COUNT partials with sum — coalesce preserves count
-    * semantics on an empty (or filtered-to-empty) input, where the
-    * original count(*) yields 0, never NULL. */
-  private[plans] val GroupCols = Seq("month", "l_returnflag")
-  private[plans] val AggCols = Seq("sum_qty", "revenue", "n_items")
-
-  /** The rollup with its derived month dimension — the frame the
+    * associative, counts are exact; the count coalesces to 0 on an
+    * empty or filtered-to-empty input, matching count(*) semantics),
+    * and the rollup base carries the derived month dimension the
     * filtered-rewrite path applies dimension predicates to BEFORE the
-    * re-aggregation (same lattice soundness: a predicate over grouping
-    * dimensions commutes with the partial aggregation). */
-  private[plans] def rollupBase(s: SparkSession, rollupPath: String)
-      : Dataset[org.apache.spark.sql.Row] =
-    s.read.parquet(rollupPath)
-      .withColumn("month", date_format(col("day"), "yyyy-MM"))
-
-  private[plans] def aggOverRollupFrom(
-      base: Dataset[org.apache.spark.sql.Row], groupNames: Seq[String])
-      : Dataset[org.apache.spark.sql.Row] =
-    base.groupBy(groupNames.map(col): _*)
-      .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
-        sum(col("rev_d")).cast("double").as("revenue"),
-        coalesce(sum(col("n_items")), lit(0L)).as("n_items"))
-
-  private[plans] def aggOverRollup(s: SparkSession, rollupPath: String,
-      groupNames: Seq[String]): Dataset[org.apache.spark.sql.Row] =
-    aggOverRollupFrom(rollupBase(s, rollupPath), groupNames)
+    * re-aggregation. */
+  private[graft] val LineitemMonthlyView: MvViewDef = MvViewDef(
+    viewInputs = ViewInputs,
+    overFact = monthlyOverFact,
+    rollupBase = (s, rollupPath) => s.read.parquet(rollupPath)
+      .withColumn("month", date_format(col("day"), "yyyy-MM")),
+    reAgg = (base, groupNames) =>
+      base.groupBy(groupNames.map(col): _*)
+        .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
+          sum(col("rev_d")).cast("double").as("revenue"),
+          coalesce(sum(col("n_items")), lit(0L)).as("n_items")))
 }
 
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -203,50 +224,56 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => Some((agg, other))
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    MvRewrite.registered(spark) match {
-      case None => plan
-      case _ if buildingTemplate.get() => plan
-      case Some((factMarker, rollupPath)) =>
-        plan.transformUp {
-          case agg @ Aggregate(groupings, aggExprs, _, _)
-              if groupings.size <= 2 && aggExprs.size <= 5 &&
-                aggExprs.size > groupings.size =>
-            // a rewrite is an optimization: ANY failure to match —
-            // including a template that cannot even analyze because the
-            // candidate's projection lacks the view's columns — must
-            // leave the query untouched, never break it
-            // the template plans over the RELATION itself, not any
-            // pruned pass-through projection above it — attribute-only
-            // projections preserve expr ids, so semantic comparison
-            // still runs over identical attributes while the template
-            // keeps access to every view input the candidate pruned.
-            // A Filter directly over the (possibly attr-projected)
-            // relation is admissible IF its predicate rewrites to pure
-            // view dimensions — see rewriteIfDerivable; anything else
-            // in the subtree still disqualifies.
-            scala.util.Try(for {
-              (flat, base) <- inlined(agg)
-              (cond, rel) <- stripAttrWrappers(base) match {
-                case org.apache.spark.sql.catalyst.plans.logical
-                    .Filter(c, fchild) =>
-                  bareRelation(fchild)
-                    .map(r => (Some(c): Option[Expression], r))
-                case other =>
-                  bareRelation(other)
-                    .map(r => (None: Option[Expression], r))
-              }
-              if relationFiles(rel).exists(atTableBoundary(_, factMarker))
-              if MvRewrite.ViewInputs.subsetOf(
-                rel.output.map(_.name).toSet)
-              rewritten <- rewriteIfDerivable(flat, cond, rel, rollupPath)
-            } yield rewritten).toOption.flatten.getOrElse(agg)
-        }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val views = MvRewrite.registered(spark)
+    if (views.isEmpty || buildingTemplate.get()) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, _, _)
+          if groupings.size <= 2 && aggExprs.size <= 5 &&
+            aggExprs.size > groupings.size =>
+        // a rewrite is an optimization: ANY failure to match —
+        // including a template that cannot even analyze because the
+        // candidate's projection lacks the view's columns — must
+        // leave the query untouched, never break it
+        // the template plans over the RELATION itself, not any
+        // pruned pass-through projection above it — attribute-only
+        // projections preserve expr ids, so semantic comparison
+        // still runs over identical attributes while the template
+        // keeps access to every view input the candidate pruned.
+        // A Filter directly over the (possibly attr-projected)
+        // relation is admissible IF its predicate rewrites to pure
+        // view dimensions — see rewriteIfDerivable; anything else
+        // in the subtree still disqualifies. The CATALOG loop: the
+        // candidate is answered from the first registration whose
+        // marker binds (boundary-exact), whose inputs are present,
+        // and whose derivability check passes.
+        scala.util.Try(for {
+          (flat, base) <- inlined(agg)
+          (cond, rel) <- stripAttrWrappers(base) match {
+            case org.apache.spark.sql.catalyst.plans.logical
+                .Filter(c, fchild) =>
+              bareRelation(fchild)
+                .map(r => (Some(c): Option[Expression], r))
+            case other =>
+              bareRelation(other)
+                .map(r => (None: Option[Expression], r))
+          }
+          rewritten <- views.view.flatMap {
+            case (marker, rollupPath, vd)
+                if relationFiles(rel).exists(atTableBoundary(_, marker)) &&
+                  vd.viewInputs.subsetOf(rel.output.map(_.name).toSet) =>
+              scala.util.Try(
+                rewriteIfDerivable(flat, cond, rel, rollupPath, vd))
+                .toOption.flatten
+            case _ => None
+          }.headOption
+        } yield rewritten).toOption.flatten.getOrElse(agg)
     }
+  }
 
   private def rewriteIfDerivable(agg: Aggregate,
       cond: Option[Expression], child: LogicalPlan,
-      rollupPath: String): Option[LogicalPlan] = {
+      rollupPath: String, vd: MvViewDef): Option[LogicalPlan] = {
     // template: the registered view definition planned AND OPTIMIZED
     // over the candidate's OWN child, so semantic equality runs over
     // identical attribute ids and identically-folded constants; the
@@ -254,8 +281,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the rule
     val templateRaw = {
       buildingTemplate.set(true)
-      try MvRewrite
-        .monthlyOverFact(org.apache.spark.sql.GraftBridge.ofRows(
+      try vd.overFact(org.apache.spark.sql.GraftBridge.ofRows(
           spark, child))
         .queryExecution.optimizedPlan
       finally buildingTemplate.set(false)
@@ -264,6 +290,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: Aggregate => inlined(a).map(_._1).getOrElse(a)
       case _ => return None
     }
+    // the view's dimension / aggregate OUTPUT NAMES, read from the
+    // template itself (grouping outputs lead the aggregate list in
+    // grouping order — the groupBy().agg() contract) — these are the
+    // names rollupBase/reAgg expose by the MvViewDef contract
+    val nGroups = template.groupingExpressions.size
+    val groupColNames =
+      template.aggregateExpressions.take(nGroups).map(_.name)
+    val aggColNames =
+      template.aggregateExpressions.drop(nGroups).map(_.name)
     // derivability: every candidate GROUPING must be one of the view's
     // dimensions (a grouping SUBSET re-aggregates from the partials —
     // the MV lattice), and every candidate output must semantically
@@ -272,18 +307,18 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       template.groupingExpressions.indexWhere(_.semanticEquals(g)))
     if (gIdx.contains(-1) || gIdx.distinct.size != gIdx.size) return None
     val tAggChildren = template.aggregateExpressions
-      .drop(template.groupingExpressions.size).map(stripAlias)
+      .drop(nGroups).map(stripAlias)
     // each candidate output → a rollup re-aggregation column name
     val outNames: Seq[String] = agg.aggregateExpressions.map { ne =>
       val e = stripAlias(ne)
       val g = template.groupingExpressions.indexWhere(_.semanticEquals(e))
       if (g >= 0) {
         if (!gIdx.contains(g)) return None // output not in GROUP BY
-        MvRewrite.GroupCols(g)
+        groupColNames(g)
       } else {
         val a = tAggChildren.indexWhere(_.semanticEquals(e))
         if (a < 0) return None
-        MvRewrite.AggCols(a)
+        aggColNames(a)
       }
     }
     // FILTERED candidates: a predicate over the fact rewrites to the
@@ -294,15 +329,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the rollup then re-aggregating ≡ filtering the fact then
     // aggregating. A predicate touching anything else (a measure, a
     // non-view column, a non-deterministic term) keeps the fact scan.
-    val base = MvRewrite.rollupBase(spark, rollupPath)
+    val base = vd.rollupBase(spark, rollupPath)
     val baseOut = base.queryExecution.analyzed.output
     val dims: Seq[Attribute] =
-      MvRewrite.GroupCols.map(n => baseOut.find(_.name == n).get)
+      groupColNames.map(n => baseOut.find(_.name == n).get)
     val filteredBase = cond match {
       case None => base
       case Some(c) =>
         def dimOf(e: Expression): Option[Attribute] =
-          MvRewrite.GroupCols.indices.collectFirst {
+          groupColNames.indices.collectFirst {
             case i if template.groupingExpressions(i).semanticEquals(e) =>
               dims(i)
           }
@@ -320,8 +355,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the rollup re-aggregation over exactly the candidate's grouping
     // subset; surface it under the candidate's names and expr ids so
     // the parent plan resolves unchanged
-    val rewritten = MvRewrite.aggOverRollupFrom(filteredBase,
-      gIdx.map(MvRewrite.GroupCols)).queryExecution.analyzed
+    val rewritten = vd.reAgg(filteredBase,
+      gIdx.map(groupColNames)).queryExecution.analyzed
     val byName = rewritten.output.map(a => a.name -> a).toMap
     val out: Seq[NamedExpression] =
       agg.aggregateExpressions.zip(outNames).map { case (orig, n) =>

@@ -115,6 +115,35 @@ class MvRewriteSpec extends SparkSpec {
       s"empty-input count(*) must be 0, got ${r.toSeq}")
   }
 
+  test("multi-view catalog: each fact's aggregate is answered from ITS " +
+    "OWN rollup with both views registered") {
+    val ordersVia = SparkEntry.queries("q_rollup_rewrite_orders")(spark, sf)
+    val ordersScan = scannedFiles(ordersVia)
+    assert(ordersScan.nonEmpty &&
+      ordersScan.forall(_.contains("graft_orollup_")),
+      s"orders aggregate not answered from the orders rollup: $ordersScan")
+    // the lineitem view is still live in the same session and still
+    // binds to ITS rollup — catalog entries cannot shadow each other
+    val liVia = MvRewrite.monthlyOverFact(Tables.lineitem(spark, sf))
+    val liScan = scannedFiles(liVia)
+    assert(liScan.nonEmpty && liScan.forall(_.contains("graft_rollup_")),
+      s"lineitem aggregate lost its rollup after a second registration: " +
+        liScan)
+    // row identity for the orders rewrite vs the rule-free plan
+    val got = ordersVia.collect().toSeq
+    try {
+      MvRewrite.unregister(spark)
+      val direct = graft.operators.Olap2.OrdersMonthlyView
+        .overFact(Tables.orders(spark, sf))
+        .orderBy("month", "o_orderpriority")
+      assert(scannedFiles(direct).exists(_.contains("orders")))
+      assert(got === direct.collect().toSeq)
+    } finally {
+      SparkEntry.queries("q_rollup_rewrite_orders")(spark, sf)
+        .collect(): Unit
+    }
+  }
+
   test("HAVING composes: the filter above the aggregate survives the " +
     "swap and the plan scans the rollup") {
     val df = SparkEntry.queries("q_rollup_rewrite_having")(spark, sf)
