@@ -414,6 +414,29 @@ object Olap2 {
         .orderBy("month", "o_orderpriority")
     }
 
+  /** The rewrite from PURE SQL — the BI-tool path: the same monthly
+    * aggregate written as SQL text over the parquet table reference.
+    * The rule runs at optimizer level, so the SQL front end needs no
+    * special handling — the parsed plan's expressions constant-fold to
+    * the same canonical forms the DataFrame template produces and the
+    * semantic-equality match fires identically (MvRewriteSpec locks
+    * the swap). Oracle shared with the DataFrame key BY REFERENCE. */
+  val qRollupRewriteSql: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graft.plans.MvRewrite.register(s, s"$d/lineitem",
+        dailyRollupPath(s, d))
+      s.sql(
+        "SELECT date_format(to_date(l_shipdate), 'yyyy-MM') AS month, " +
+          "l_returnflag, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) " +
+          "AS sum_qty, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+          "AS DOUBLE) AS revenue, COUNT(*) AS n_items " +
+          s"FROM parquet.`$d/lineitem.parquet` " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+    }
+
   /** HAVING over the rewritten aggregate: the predicate sits ABOVE the
     * Aggregate node (Catalyst plans HAVING as Filter-over-Aggregate),
     * so the rule rewrites the aggregate underneath and the filter
@@ -448,6 +471,10 @@ object Olap2 {
     // to the rollup; the oracle states the direct filtered fact SQL
     QueryDef("q_rollup_rewrite_filtered", qRollupRewriteFiltered, Some(
       "SELECT strftime(l_shipdate, '%Y-%m') AS month, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_items FROM lineitem WHERE l_returnflag = 'R' AND strftime(l_shipdate, '%Y-%m') >= '1994-01' GROUP BY 1 ORDER BY 1")),
+    // the same rewrite from pure SQL text — oracle BY REFERENCE with
+    // the DataFrame key (MvRewriteSpec locks the plan swap)
+    QueryDef("q_rollup_rewrite_sql", qRollupRewriteSql,
+      Some(rollupOracle)),
     // multi-view catalog: the orders fact aggregate answered from the
     // ORDERS rollup while the lineitem view stays registered
     QueryDef("q_rollup_rewrite_orders", qRollupRewriteOrders, Some(

@@ -115,6 +115,16 @@ class MvRewriteSpec extends SparkSpec {
       s"empty-input count(*) must be 0, got ${r.toSeq}")
   }
 
+  test("pure-SQL candidates rewrite too: the parsed text's folded " +
+    "expressions match the template and the plan scans the rollup") {
+    val df = SparkEntry.queries("q_rollup_rewrite_sql")(spark, sf)
+    val scanned = scannedFiles(df)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("graft_rollup_")),
+      s"SQL-text rewrite did not swap the scan: $scanned")
+    assert(df.collect().toSeq ===
+      SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect().toSeq)
+  }
+
   test("multi-view catalog: each fact's aggregate is answered from ITS " +
     "OWN rollup with both views registered") {
     val ordersVia = SparkEntry.queries("q_rollup_rewrite_orders")(spark, sf)
