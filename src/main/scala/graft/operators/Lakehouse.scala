@@ -1587,6 +1587,42 @@ object Lakehouse {
     out
   }
 
+  /** The full MAINTENANCE arc as ONE driver-verified composition, into
+    * a fresh root per call (the lifecycle-class bench discipline):
+    * 2 streaming-style ingest epochs → 2 delete commits (the growing-D
+    * regime) → rewriteDeletes (delete planning O(D²)→O(D)) →
+    * mergeManifests (list rent reset) → vacuum at zero grace (the
+    * single-writer maintenance window — superseded plain delete files
+    * and pre-horizon manifests reclaimed) → read, which must STILL
+    * hash-match the live predicate: every maintenance op is
+    * row-invisible, and they compose. */
+  val qTableMaintenanceLifecycle: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_mnt_" +
+        s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
+      val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+      ingestCommit(root,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), 0L,
+        "o_orderkey")
+      ingestCommit(root,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), 1L,
+        "o_orderkey")
+      var v = 2
+      Seq((10, 1), (7, 3)).foreach { case (m, rr) =>
+        v = deleteCommit(s, root, v,
+          orders.filter(pmod(col("o_orderkey"), lit(m)) === rr)
+            .select("o_orderkey"))
+      }
+      v = rewriteDeletes(s, root, v, "o_orderkey")
+      v = mergeManifests(s, root, v)
+      vacuum(s, root, retainFrom = v, graceMs = 0L)
+      val out = orderedOrdersRows(readVersion(s, root, v, "o_orderkey"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }
+
   // the post-merge state: live keys ≡ 0 (mod 7) updated (+10), the
   // ≡ 2 (mod 3) third inserted — stated as a CASE over the base table
   private val mergedStateSql =
@@ -1655,6 +1691,11 @@ object Lakehouse {
     // same oracle BY REFERENCE: the freshly-committed history must
     // reproduce the memoized one exactly — commits are deterministic
     QueryDef("q_table_lifecycle", qTableLifecycle, Some(timeTravelOracle)),
+    // the composed maintenance arc (ingest → deletes → rewriteDeletes
+    // → mergeManifests → vacuum → read): row-invisible end to end
+    QueryDef("q_table_maintenance_lifecycle", qTableMaintenanceLifecycle,
+      Some(
+        "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 1 AND o_orderkey % 7 <> 3 ORDER BY o_orderkey")),
     // metadata-only manifest merge: v7 must read row-identically to v6
     // — the schema-evolution oracle shared BY REFERENCE
     QueryDef("q_table_manifest_merge", qTableManifestMerge, Some(
