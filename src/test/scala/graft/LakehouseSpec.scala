@@ -427,6 +427,22 @@ class LakehouseSpec extends SparkSpec {
       spark, root, 1, "o_orderkey", Seq(kPred, cPred))
       .select("o_orderkey").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === expect.toSeq)
+    // a predicate on a column WITHOUT recorded stats prunes nothing
+    // (conservative keep) but still filters exactly — the contract
+    // that makes adding a stats column an optimization, never a
+    // correctness knob
+    val noStats = Lakehouse.readVersionPrunedCols(
+      spark, root, 1, "o_orderkey",
+      Seq(("o_totalprice", 0L, 100000L)))
+    noStats.collect()
+    val noStatsScanned = collectFileScans(
+      noStats.queryExecution.executedPlan)
+      .flatMap(_.relation.location.inputFiles).toSet
+    assert(noStatsScanned.size === nData,
+      "a stats-less column wrongly pruned files")
+    assert(noStats.count() ===
+      Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+        .filter(col("o_totalprice").between(0L, 100000L)).count())
   }
 
   test("bloom file skipping: the point lookup scans a strict subset of " +
