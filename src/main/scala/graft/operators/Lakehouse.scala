@@ -268,20 +268,67 @@ object Lakehouse {
     * view into fresh files (a per-attempt namespace no other writer
     * can collide with), publish a manifest referencing only those.
     * Returns the new version. The one data-sized lifecycle op, priced
-    * explicitly. */
+    * explicitly.
+    *
+    * OPTIMISTIC under contention (maintenance must not starve on a
+    * busy table): a lost race re-publishes the SAME compacted files —
+    * re-stamped to seq = fromV, the snapshot whose live view they ARE —
+    * plus the intervening commits' own entries verbatim. The re-stamp
+    * is what keeps interleaved deletes sound: an intervening delete at
+    * seq q > fromV masks data seq < q, so it keeps masking its keys
+    * inside the compacted files exactly as it masked them in the files
+    * compaction replaced; intervening data rows (seq > fromV) ride
+    * above untouched. Carried entries are the set difference vs fromV's
+    * manifest, so a racing rewrite-snapshot's removals are honored too. */
   private[graft] def compactCommit(s: SparkSession, root: String,
-      fromV: Int, keyCol: String, nFiles: Int = 4): Int = {
+      fromV: Int, keyCol: String, nFiles: Int = 4,
+      maxRetries: Int = 20): Int = {
     val v = fromV + 1
-    requireUncommitted(s, root, v, "compactCommit")
+    val fromEnts = manifestEntries(s, root, fromV).toSet
     val dir = s"$root/data/w=compact$v-${attemptTag()}"
     readVersion(s, root, fromV, keyCol)
       .repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(dir)
-    // a REWRITE snapshot: one fresh manifest, no inherited list — the
-    // merge-on-read debt and the manifest-count rent both reset here
-    publishVersion(s, root, v, Seq.empty,
-      listDataFiles(s, root, dir).map(("data", _, v)))
-    v
+    val stagedPaths = listDataFiles(s, root, dir)
+    var base = fromV
+    var attempts = 0
+    while (true) {
+      val tryV = base + 1
+      // a REWRITE snapshot: one fresh manifest, no inherited list — the
+      // merge-on-read debt and the manifest-count rent both reset here
+      val staged =
+        if (base == fromV) stagedPaths.map(("data", _, v))
+        else stagedPaths.map(("data", _, fromV))
+      val carried =
+        if (base == fromV) Seq.empty
+        else {
+          val baseEnts = manifestEntries(s, root, base).toSet
+          // an intervening commit that REPLACED fromV's data files (a
+          // racing compaction / data rewrite) made this compaction's
+          // staged view redundant — carrying both would double rows;
+          // refuse and let the caller rebase (masks-only removals, e.g.
+          // a racing rewrite_deletes swapping plain deletes for
+          // cumulative ones, are fine: those masks are baked in)
+          if (!fromEnts.filter(_._1 == "data").subsetOf(baseEnts))
+            throw new ConcurrentCommitException(
+              "compactCommit: an intervening commit rewrote the data " +
+                "files this compaction materialized — rebase on " +
+                "latestVersion and re-run")
+          (baseEnts -- fromEnts).toSeq
+        }
+      try {
+        publishVersion(s, root, tryV, Seq.empty, staged ++ carried)
+        return tryV
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val cur = latestVersion(s, root)
+          if (cur <= base) throw e
+          base = cur
+      }
+    }
+    -1 // unreachable
   }
 
   /** Merge-on-read UPSERT as ONE commit (the MERGE shape): the updates
@@ -361,24 +408,32 @@ object Lakehouse {
     * commit's keys; on overlap the retry REFUSES (the other writer may
     * have upserted a fresh row this delete would wrongly mask — the
     * caller must re-derive its keys against the new state), otherwise
-    * it lands at the next version. Intervening appends never conflict:
-    * the delete masks keys wherever they live as of its own commit —
-    * standard DELETE semantics. */
+    * it lands at the next version. Intervening appends never conflict
+    * by default (SNAPSHOT-ISOLATION delete): the delete masks keys
+    * wherever they live as of its own commit — standard DELETE
+    * semantics. `strict = true` opts into the merge path's
+    * SERIALIZABLE discipline: the retry also refuses when an
+    * intervening commit ADDED data rows for one of this delete's keys
+    * (the caller derived its keys from the base snapshot and never
+    * observed the newer row, so re-stamping to a later seq would
+    * silently mask it). */
   private[graft] def deleteCommitOptimistic(s: SparkSession, root: String,
-      fromV: Int, keys: DataFrame): Int = {
+      fromV: Int, keys: DataFrame, strict: Boolean = false): Int = {
     val dir = s"$root/deletes/w=opt-${attemptTag()}"
     keys.coalesce(1).write.mode("overwrite").parquet(dir)
     val keyName = keys.columns.head
     def noKeyOverlap(base: Int, cur: Int): Boolean = {
-      val newM = (snapshotManifests(s, root, cur).toSet --
-        snapshotManifests(s, root, base).toSet).toSeq
-      val interDel = readManifests(s, root, newM).collect {
-        case (k, p, q) if (k == "delete" || k == "cdelete") && q > base =>
-          s"$root/$p"
+      val newEnts = readManifests(s, root,
+        (snapshotManifests(s, root, cur).toSet --
+          snapshotManifests(s, root, base).toSet).toSeq)
+        .filter(_._3 > base)
+      val checked = newEnts.collect {
+        case (k, p, _) if k == "delete" || k == "cdelete" ||
+          (strict && k == "data") => s"$root/$p"
       }
-      interDel.isEmpty ||
+      checked.isEmpty ||
         s.read.parquet(dir).join(
-          s.read.parquet(interDel: _*).select(keyName),
+          s.read.parquet(checked: _*).select(keyName),
           Seq(keyName), "left_semi").limit(1).count() == 0L
     }
     optimisticCommit(s, root, fromV,
@@ -526,7 +581,7 @@ object Lakehouse {
       case p if p.startsWith("data/") =>
         p.substring(0, p.lastIndexOf('/')).stripPrefix("data/")
     }
-    Seq("_stats", "_blooms").foreach { sub =>
+    Seq("_stats", "_blooms", "_stats2").foreach { sub =>
       val sidecarRoot = new org.apache.hadoop.fs.Path(s"$root/$sub")
       if (fs.exists(sidecarRoot))
         fs.listStatus(sidecarRoot)
@@ -557,12 +612,32 @@ object Lakehouse {
     * E manifests and every later commit pays an E-row list write, so
     * periodic manifest merge (or data compaction, which also resets to
     * one manifest) bounds that growth the way segment merge bounds the
-    * BM25 index. Returns the new version. */
+    * BM25 index. Returns the new version.
+    *
+    * OPTIMISTIC under contention: the op is pure metadata with no
+    * staged data work, so a lost race simply re-derives from the
+    * winner's snapshot and re-publishes — a busy table can no longer
+    * starve its own list-rent maintenance (every data commit used to
+    * beat the fail-fast guard). */
   private[graft] def mergeManifests(s: SparkSession, root: String,
-      fromV: Int): Int = {
-    val v = fromV + 1
-    publishVersion(s, root, v, Seq.empty, manifestEntries(s, root, fromV))
-    v
+      fromV: Int, maxRetries: Int = 20): Int = {
+    var base = fromV
+    var attempts = 0
+    while (true) {
+      try {
+        publishVersion(s, root, base + 1, Seq.empty,
+          manifestEntries(s, root, base))
+        return base + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val cur = latestVersion(s, root)
+          if (cur <= base) throw e
+          base = cur
+      }
+    }
+    -1 // unreachable
   }
 
   /** DELETE-FILE MAINTENANCE (rewrite_deletes — the manifest-merge
@@ -582,9 +657,24 @@ object Lakehouse {
     * per distinct seq) and publishes a REWRITE snapshot with the data
     * entries verbatim. The superseded plain delete files become
     * unreferenced garbage for vacuum. No-op (returns fromV) when the
-    * version has no delete entries. Returns the new version. */
+    * version has no delete entries. Returns the new version.
+    *
+    * OPTIMISTIC under contention (maintenance must not starve on a
+    * busy table): a lost race re-publishes the SAME staged cumulative
+    * files on top of the winner, carrying the intervening commits'
+    * entries verbatim — sound because a post-rewrite plain delete
+    * composes with the cumulative set (the smallest-applicable-file
+    * read unions newer plain masks; LakehouseSpec's post-rewrite
+    * compose lock). Two refusal cases surface as
+    * [[ConcurrentCommitException]] for a caller rebase: an intervening
+    * DELETE whose keys overlap the rewritten span (the cumulative
+    * nesting invariant M_d ⊇ M_d' no longer covers that key's true max
+    * seq — a re-run from the new base folds it in exactly), and an
+    * intervening commit that REPLACED fromV's data files (a racing
+    * compaction already reset the delete debt this rewrite was
+    * bounding). */
   private[graft] def rewriteDeletes(s: SparkSession, root: String,
-      fromV: Int, keyCol: String): Int = {
+      fromV: Int, keyCol: String, maxRetries: Int = 20): Int = {
     val ents = manifestEntries(s, root, fromV)
     // prior cdelete files fold in exactly: a key appears in every
     // cumulative file at seq ≤ its true max delete seq, so max over
@@ -596,7 +686,6 @@ object Lakehouse {
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     if (delBySeq.isEmpty) return fromV
     val v = fromV + 1
-    requireUncommitted(s, root, v, "rewriteDeletes")
     // per-key MAX delete seq: k belongs to cumulative file M_d iff it
     // was deleted at any seq >= d iff max(its delete seqs) >= d — one
     // aggregation over the D key files, then one filter+write per seq
@@ -613,9 +702,47 @@ object Lakehouse {
         .coalesce(1).write.mode("overwrite").parquet(dir)
       listDataFiles(s, root, dir).map(("cdelete", _, d))
     }
-    publishVersion(s, root, v, Seq.empty,
-      ents.filter(_._1 == "data") ++ cumEntries)
-    v
+    val fromEnts = ents.toSet
+    var base = fromV
+    var attempts = 0
+    while (true) {
+      val carried =
+        if (base == fromV) Seq.empty
+        else {
+          val baseEnts = manifestEntries(s, root, base).toSet
+          if (!fromEnts.filter(_._1 == "data").subsetOf(baseEnts))
+            throw new ConcurrentCommitException(
+              "rewriteDeletes: an intervening commit rewrote the data " +
+                "files — rebase on latestVersion and re-run")
+          val inter = (baseEnts -- fromEnts).toSeq
+          val interDel = inter.collect {
+            case (k, p, _) if k == "delete" || k == "cdelete" =>
+              s"$root/$p"
+          }
+          if (interDel.nonEmpty &&
+            keyed.select(keyCol).join(
+              s.read.parquet(interDel: _*).select(keyCol),
+              Seq(keyCol), "left_semi").limit(1).count() > 0L)
+            throw new ConcurrentCommitException(
+              "rewriteDeletes: an intervening delete overlaps the " +
+                "rewritten span's keys — rebase on latestVersion and " +
+                "re-run the rewrite so the new mask folds in")
+          inter
+        }
+      try {
+        publishVersion(s, root, base + 1, Seq.empty,
+          ents.filter(_._1 == "data") ++ cumEntries ++ carried)
+        return base + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val cur = latestVersion(s, root)
+          if (cur <= base) throw e
+          base = cur
+      }
+    }
+    -1 // unreachable
   }
 
   // --- named refs: mutable pointers into the immutable version
@@ -885,6 +1012,10 @@ object Lakehouse {
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (present.isEmpty) Map.empty
     else s.read.parquet(present: _*).collect()
+      // an all-null (or non-long-castable) column records null
+      // min/max; dropping the row leaves the file stats-less for that
+      // column, which the pruner treats as conservative-keep
+      .filter(r => !r.isNullAt(2) && !r.isNullAt(3))
       .groupBy(_.getString(0))
       .view.mapValues(_.map(r =>
         r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap)

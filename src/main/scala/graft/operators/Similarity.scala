@@ -2078,7 +2078,13 @@ object Similarity {
           round(expr("percentile(d2, 0.95)"), 6).as(s"p95_$tag"))
     val train = stats(s.read.parquet(s"$path/corpus")
       .select("vec_id", "ce", "n2"), "train")
-    train.join(stats(prepare(batch), "batch"), Seq("c_id"), "left")
+    // FULL outer: a batch cohort landing on a list with zero resident
+    // vectors is the most off-distribution signal the gate exists to
+    // catch — a left join keyed on resident lists would drop it. Such
+    // lists surface as n_train=0 with null drift_p95 (no resident
+    // baseline to ratio against), which the trigger treats as fire.
+    train.join(stats(prepare(batch), "batch"), Seq("c_id"), "full")
+      .na.fill(0L, Seq("n_train", "n_batch"))
       .withColumn("drift_p95",
         round(col("p95_batch") / col("p95_train"), 4))
       .orderBy("c_id")

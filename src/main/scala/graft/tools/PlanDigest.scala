@@ -40,8 +40,13 @@ object PlanDigest {
       .replaceAll("/tmp/[^ ,)\\]]+", "/tmp/_")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
       // JVM identity hashes: array-typed expression args ([J@1a2b3c) and
-      // any other Object.toString leak into plan strings
-      .replaceAll("@[0-9a-f]{6,}", "@_")
+      // any other Object.toString leak into plan strings.
+      // Integer.toHexString pads nothing, so a hash below 0x100000
+      // prints 5-or-fewer digits — the round-12 q_minhash_source_sketch
+      // digest flap was exactly this rule written as {6,} missing one.
+      // \b keeps it off hex-prefixed identifiers (no plan token puts a
+      // word char after an identity hash).
+      .replaceAll("@[0-9a-f]+\\b", "@_")
       // JIT-assigned lambda-class addresses (Lambda$123/0x00007f…);
       // the replacement $ must be escaped or Java reads it as a group ref
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$_")

@@ -152,7 +152,23 @@ object TableRentProbe {
     if (wants("deleteplan")) {
     println("== delete-plan rent: D INTERLEAVED ingest+delete pairs — " +
       "planned delete-file scans Σ|group mask| is O(D²) before " +
-      "rewrite_deletes and O(D) after; the read must be row-identical ==")
+      "rewrite_deletes and O(D) after; the read must be row-identical. " +
+      "STORAGE column: cumulative key files nest (a key deleted at seq " +
+      "m recurs in every cumulative file d >= m), so post-rewrite " +
+      "delete rows on disk are O(D^2 · keys-per-delete) vs the plain " +
+      "files' O(D) — the disk rent bought for the linear read plan ==")
+    // delete rows + bytes on disk for the files version v references
+    def delStorage(root: String, v: Int): (Long, Long) = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val paths = Lakehouse.manifestEntries(spark, root, v).collect {
+        case (k, p, _) if k == "delete" || k == "cdelete" => s"$root/$p"
+      }
+      if (paths.isEmpty) (0L, 0L)
+      else (spark.read.parquet(paths: _*).count(),
+        paths.map(p => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(p)).getLen).sum)
+    }
     def deletePlans(root: String, v: Int): (Long, Int, Double) = {
       def one(): (Long, Int, Double) = {
         val df = Lakehouse.readVersion(spark, root, v, "o_orderkey")
@@ -186,13 +202,18 @@ object TableRentProbe {
             .select("o_orderkey"))
       }
       val (nPre, plannedPre, tPre) = deletePlans(root, v)
+      val (rowsPre, bytesPre) = delStorage(root, v)
       val (_, tRw) = time {
         v = Lakehouse.rewriteDeletes(spark, root, v, "o_orderkey") }
       val (nPost, plannedPost, tPost) = deletePlans(root, v)
+      val (rowsPost, bytesPost) = delStorage(root, v)
       require(nPre == nPost, s"rewriteDeletes changed rows: $nPre != $nPost")
       println(f"D=$dd%-3d delScansPre=$plannedPre%4d " +
         f"delScansPost=$plannedPost%4d rewrite=$tRw%6.2fs " +
-        f"readPre=$tPre%5.2fs readPost=$tPost%5.2fs rows=$nPre%7d")
+        f"readPre=$tPre%5.2fs readPost=$tPost%5.2fs rows=$nPre%7d " +
+        f"delRowsPre=$rowsPre%7d delRowsPost=$rowsPost%8d " +
+        f"(${rowsPost.toDouble / math.max(rowsPre, 1)}%5.1fx) " +
+        f"delKBPre=${bytesPre / 1024}%6d delKBPost=${bytesPost / 1024}%7d")
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
     }

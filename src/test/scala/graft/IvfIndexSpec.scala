@@ -136,6 +136,30 @@ class IvfIndexSpec extends SparkSpec {
       s"shifted batch did not inflate drift: ${ratios.toSeq}")
   }
 
+  test("drift report surfaces batch cohorts on zero-resident lists " +
+    "(full-outer, not resident-keyed)") {
+    val dir = Files.createTempDirectory("graft_ivf_drift0").toString
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
+    Similarity.writeIvfIndex(embs, dir, k = 5, iters = 2)
+    // empty one list's residents (the deletes-then-compact shape that
+    // leaves a centroid with no corpus rows) by dropping its partition
+    val baseline = Similarity.ivfDriftReport(spark, dir, embs).collect()
+    val victim = baseline.map(_.getInt(0)).max
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/c_id=$victim"),
+      true)
+    val rep = Similarity.ivfDriftReport(spark, dir, embs).collect()
+    val row = rep.find(_.getInt(0) == victim).getOrElse(
+      fail(s"zero-resident list $victim missing from drift report"))
+    assert(row.getLong(row.fieldIndex("n_train")) === 0L,
+      "emptied list must report n_train=0")
+    assert(row.getLong(row.fieldIndex("n_batch")) > 0L,
+      "batch cohort on the emptied list must be counted")
+    assert(row.isNullAt(row.fieldIndex("drift_p95")),
+      "no resident baseline => null drift ratio (trigger treats as fire)")
+  }
+
   test("drift → rebuild loop: an ingested off-distribution batch " +
     "inflates drift, rebuildIvfIndex retrains and collapses it, " +
     "tombstones are reclaimed") {

@@ -445,6 +445,44 @@ class LakehouseSpec extends SparkSpec {
         .filter(col("o_totalprice").between(0L, 100000L)).count())
   }
 
+  test("all-null stats column falls to conservative-keep (no null " +
+    "unbox) and vacuum sweeps superseded _stats2 sidecars") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_s2").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.range(0, 100).select(col("id").as("k"),
+        lit(null).cast("long").as("dead"))
+      .repartition(2).write.mode("overwrite").parquet(s"$root/data/w=1")
+    Lakehouse.writeColStats(spark, root, "data/w=1", Seq("k", "dead"))
+    Lakehouse.publishVersion(spark, root, 1, Seq.empty,
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=1")
+        .map(("data", _, 1)))
+    // the all-null column records null min/max: its files get NO stats
+    // row, so a predicate on it keeps every file (conservative) and the
+    // exact predicate still applies — null comparisons drop all rows
+    assert(Lakehouse.readVersionPrunedCols(spark, root, 1, "k",
+      Seq(("dead", 0L, 10L))).count() === 0)
+    // …and the healthy column's stats still prune exactly
+    assert(Lakehouse.readVersionPrunedCols(spark, root, 1, "k",
+      Seq(("k", 0L, 49L))).count() === 50)
+    // a rewrite supersedes w=1 wholesale: vacuum must reclaim its
+    // _stats2 sidecar with it (the op whose purpose is reclamation
+    // must not leak the newest sidecar kind) and keep the live one
+    spark.range(0, 100).select(col("id").as("k"), col("id").as("dead"))
+      .repartition(2).write.mode("overwrite").parquet(s"$root/data/w=2")
+    Lakehouse.writeColStats(spark, root, "data/w=2", Seq("k", "dead"))
+    Lakehouse.publishVersion(spark, root, 2, Seq.empty,
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=2")
+        .map(("data", _, 2)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stats2/w=1")))
+    Lakehouse.vacuum(spark, root, retainFrom = 2, graceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stats2/w=1")),
+      "superseded _stats2 sidecar not reclaimed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stats2/w=2")),
+      "live _stats2 sidecar wrongly reclaimed")
+  }
+
   test("bloom file skipping: the point lookup scans a strict subset of " +
     "the hash-clustered files and loses no rows") {
     val root = java.nio.file.Files
@@ -724,6 +762,97 @@ class LakehouseSpec extends SparkSpec {
     }
     assert(Lakehouse.latestVersion(spark, root) === 6,
       "a refused optimistic merge still published")
+    // STRICT delete (serializable opt-in): keys the intervening v4
+    // append INSERTED must refuse — the caller derived its key set from
+    // base v2 and never observed those rows, so a re-stamped delete
+    // would mask rows it never read. The default snapshot-isolation
+    // mode documents the opposite choice: same keys, same stale base,
+    // lands (standard DELETE semantics — mask wherever they live).
+    intercept[Lakehouse.ConcurrentCommitException] {
+      Lakehouse.deleteCommitOptimistic(spark, root, 2,
+        extra.select("o_orderkey"), strict = true)
+    }
+    assert(Lakehouse.latestVersion(spark, root) === 6,
+      "a refused strict delete still published")
+    val v7 = Lakehouse.deleteCommitOptimistic(spark, root, 2,
+      extra.select("o_orderkey"))
+    assert(v7 === 7)
+    assert(Lakehouse.readVersion(spark, root, 7, "o_orderkey")
+      .count() === n - n0 - n5,
+      "snapshot-isolation delete did not mask the raced-in rows")
+  }
+
+  test("maintenance commits are optimistic: rewrite_deletes, manifest " +
+    "merge, and compaction land linearly over racing data commits; " +
+    "a genuinely conflicting race refuses") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_mopt").toString + "/t"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    for (i <- 0 until 4)
+      Lakehouse.ingestCommit(root,
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === i), i.toLong,
+        "o_orderkey")
+    def cnt(v: Int): Long =
+      Lakehouse.readVersion(spark, root, v, "o_orderkey").count()
+    def delKeys(m: Int): org.apache.spark.sql.DataFrame =
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === m)
+        .select("o_orderkey")
+    val v5 = Lakehouse.deleteCommit(spark, root, 4, delKeys(0))
+    val v6 = Lakehouse.deleteCommit(spark, root, v5, delKeys(1))
+    // a data commit beats the stale-based rewrite_deletes: the rewrite
+    // must retry and land at v8 carrying the append, row-identical
+    val extra = orders
+      .withColumn("o_orderkey", col("o_orderkey") + lit(30000000L))
+      .limit(500)
+    val v7 = Lakehouse.appendCommitOptimistic(spark, root, v6, extra,
+      "o_orderkey")
+    val n7 = cnt(v7)
+    val v8 = Lakehouse.rewriteDeletes(spark, root, v6, "o_orderkey")
+    assert(v8 === 8, "stale-based rewrite_deletes did not retry-land")
+    assert(cnt(v8) === n7, "optimistic rewrite_deletes lost rows")
+    // manifest merge from a stale base: pure metadata, re-derives from
+    // the winner and lands row-identically
+    val extra2 = orders
+      .withColumn("o_orderkey", col("o_orderkey") + lit(40000000L))
+      .limit(300)
+    val v9 = Lakehouse.appendCommitOptimistic(spark, root, v8, extra2,
+      "o_orderkey")
+    val v10 = Lakehouse.mergeManifests(spark, root, v8)
+    assert(v10 === 10, "stale-based manifest merge did not retry-land")
+    assert(cnt(v10) === cnt(v9), "optimistic manifest merge lost rows")
+    assert(Lakehouse.snapshotManifests(spark, root, v10).size === 1)
+    // compaction from a stale base with an INTERVENING DELETE: the
+    // staged files re-stamp to seq=fromV so the racing delete keeps
+    // masking its keys inside them
+    val v11 = Lakehouse.deleteCommit(spark, root, v10, delKeys(2))
+    val n11 = cnt(v11)
+    val v12 = Lakehouse.compactCommit(spark, root, v10, "o_orderkey")
+    assert(v12 === 12, "stale-based compaction did not retry-land")
+    assert(cnt(v12) === n11,
+      "racing delete stopped masking inside the re-stamped compaction")
+    // rewrite_deletes racing a DISJOINT-key delete: lands, composed
+    val v13 = Lakehouse.deleteCommit(spark, root, v12, delKeys(4))
+    val n13 = cnt(v13)
+    val v14 = Lakehouse.rewriteDeletes(spark, root, v12, "o_orderkey")
+    assert(v14 === 14)
+    assert(cnt(v14) === n13,
+      "rewrite_deletes dropped a disjoint racing delete's mask")
+    // …and racing an OVERLAPPING-key delete: refuses (the cumulative
+    // nesting no longer covers that key's true max seq — re-run folds
+    // it in from the new base)
+    val v15 = Lakehouse.deleteCommit(spark, root, v14,
+      orders.filter(pmod(col("o_orderkey"), lit(20)) === 2)
+        .select("o_orderkey"))
+    intercept[Lakehouse.ConcurrentCommitException] {
+      Lakehouse.rewriteDeletes(spark, root, v14, "o_orderkey")
+    }
+    assert(Lakehouse.latestVersion(spark, root) === v15,
+      "a refused maintenance commit still published")
+    // the refused op's re-run from the new base lands and stays
+    // row-identical
+    val v16 = Lakehouse.rewriteDeletes(spark, root, v15, "o_orderkey")
+    assert(cnt(v16) === cnt(v15))
   }
 
   test("commits are idempotent and a stranded staging manifest recovers") {

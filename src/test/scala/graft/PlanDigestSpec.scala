@@ -27,6 +27,16 @@ class PlanDigestSpec extends SparkSpec {
     assert(!n.contains("1786695622440"), n)
   }
 
+  test("short identity hashes normalize too: toHexString pads nothing, " +
+      "so a sub-0x100000 hash prints <6 digits (the round-12 " +
+      "q_minhash_source_sketch digest flap)") {
+    val n = tools.PlanDigest.normalize(
+      "minhash_sig(x, [J@4e3d2, [J@1f) AS sig [J@abcdef01")
+    assert(!n.contains("4e3d2") && !n.contains("@1f") &&
+      !n.contains("abcdef01"), n)
+    assert(n === "minhash_sig(x, [J@_, [J@_) AS sig [J@_", n)
+  }
+
   test("PLANS_DIGEST.json covers exactly the declared surface (no " +
       "stale or missing keys)") {
     val json = new String(java.nio.file.Files.readAllBytes(
