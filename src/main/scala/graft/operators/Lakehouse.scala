@@ -375,7 +375,10 @@ object Lakehouse {
     while (true) {
       val v = base + 1
       try {
-        publishVersion(s, root, v, snapshotManifests(s, root, base),
+        // base 0 = the empty table (no snapshot exists to inherit)
+        val inherited = if (base == 0) Seq.empty[String]
+          else snapshotManifests(s, root, base)
+        publishVersion(s, root, v, inherited,
           staged.map { case (k, p) => (k, p, v) })
         return v
       } catch {
@@ -578,8 +581,7 @@ object Lakehouse {
     // metadata — reclaim them with their data (sidecars don't count
     // toward the returned file total; they are bookkeeping, not table)
     val retainedTags = retained.collect {
-      case p if p.startsWith("data/") =>
-        p.substring(0, p.lastIndexOf('/')).stripPrefix("data/")
+      case p if p.startsWith("data/") => writeTag(p)
     }
     Seq("_stats", "_blooms", "_stats2").foreach { sub =>
       val sidecarRoot = new org.apache.hadoop.fs.Path(s"$root/$sub")
@@ -926,12 +928,19 @@ object Lakehouse {
     * path → (kmin, kmax)). Reads ONLY the stats sidecars of the write
     * dirs the version's manifest actually names — metadata scoped to
     * the version, never the table's whole stats history. */
+  /** The write-dir tag of a data entry path: the FIRST segment under
+    * `data/` — sidecars are keyed per write (`w=<tag>`), and a write
+    * may nest hive partition dirs below it (the z-order demo's
+    * quantile buckets, the partition-transform layout), so the file's
+    * immediate parent is NOT the tag. */
+  private def writeTag(p: String): String =
+    p.stripPrefix("data/").takeWhile(_ != '/')
+
   private[graft] def keyStats(s: SparkSession, root: String,
       v: Int): Map[String, (Long, Long)] = {
     val fs = hadoopFs(s, root)
     val tags = manifestEntries(s, root, v)
-      .collect { case ("data", p, _) =>
-        p.substring(0, p.lastIndexOf('/')).stripPrefix("data/") }
+      .collect { case ("data", p, _) => writeTag(p) }
       .distinct
     val present = tags.map(t => s"$root/_stats/$t")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
@@ -1005,8 +1014,7 @@ object Lakehouse {
       v: Int): Map[String, Map[String, (Long, Long)]] = {
     val fs = hadoopFs(s, root)
     val tags = manifestEntries(s, root, v)
-      .collect { case ("data", p, _) =>
-        p.substring(0, p.lastIndexOf('/')).stripPrefix("data/") }
+      .collect { case ("data", p, _) => writeTag(p) }
       .distinct
     val present = tags.map(t => s"$root/_stats2/$t")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
@@ -1117,8 +1125,8 @@ object Lakehouse {
       keyCol: String, lookupCol: String, value: Long): DataFrame = {
     val fs = hadoopFs(s, root)
     val all = manifestEntries(s, root, v)
-    val tags = all.collect { case ("data", p, _) =>
-      p.substring(0, p.lastIndexOf('/')).stripPrefix("data/") }.distinct
+    val tags = all.collect { case ("data", p, _) => writeTag(p) }
+      .distinct
     val present = tags.map(t => s"$root/_blooms/$t")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val probed: Array[(String, Boolean)] =
@@ -1522,11 +1530,21 @@ object Lakehouse {
     val z = graft.functions.ScalePatterns.zValue(
       expr("(o_orderkey - kmin) * 65536 div (kmax - kmin + 1)"),
       expr("(o_custkey - cmin) * 65536 div (cmax - cmin + 1)"))
+    // DETERMINISTIC 16-quantile split of the z values (ntile over one
+    // sorted pass — fixture-sized here; a production clustering job
+    // derives the same boundaries from approx quantiles). NOT
+    // repartitionByRange: RangePartitioner samples with a seed derived
+    // from the session-global RDD id, so its boundaries wobble per
+    // session and a borderline file drifts in/out of a query box —
+    // the round-13 q_table_pruned_read_zorder digest flap, root-caused.
     orders.crossJoin(broadcast(r))
       .withColumn("__z", z)
-      .repartitionByRange(16, col("__z"))
-      .select(OrdersCols.map(col): _*)
-      .write.mode("overwrite").parquet(s"$root/data/w=1")
+      .withColumn("__b", ntile(16).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__z"))))
+      .repartition(col("__b"))
+      .select((OrdersCols.map(col) :+ col("__b")): _*)
+      .write.partitionBy("__b").mode("overwrite")
+      .parquet(s"$root/data/w=1")
     writeColStats(s, root, "data/w=1",
       Seq("o_orderkey", "o_custkey"))
     publishVersion(s, root, 1, Seq.empty,
@@ -1554,6 +1572,159 @@ object Lakehouse {
       orderedOrdersRows(readVersionPrunedCols(
         s, zorderDemoTable(s, d), 1, "o_orderkey",
         Seq(("o_orderkey", 1000L, 4999L), ("o_custkey", 100L, 399L))))
+
+  // --- PARTITION TRANSFORMS (Iceberg-style partition specs): a spec
+  // is a (transform, column) pair recorded in the table's _specs log; a
+  // partitioned append derives each row's partition VALUE from the
+  // spec's transform, lands files hive-style under
+  // data/w=<tag>/ps=<specId>/pv=<value>/, and the manifest entries
+  // carry those paths — so every file's partition value is TABLE
+  // METADATA, prunable at plan time with zero file opens, composing
+  // with time travel, CDC, merge-on-read deletes and vacuum exactly
+  // like any other entry. SPEC EVOLUTION is a new spec id: old files
+  // keep their recorded granularity, new commits write the new one, and
+  // the pruned read evaluates each file under the spec its own path
+  // names — the Iceberg per-file-spec-id discipline without a manifest
+  // schema change. At 100 TB this is the primary skip mechanism for
+  // time-scoped queries (zone maps and blooms refine within the
+  // surviving partitions).
+
+  private[graft] def addPartitionSpec(s: SparkSession, root: String,
+      id: Int, transform: String, column: String): Unit = {
+    import s.implicits._
+    Seq((transform, column)).toDF("transform", "column")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_specs/s=$id")
+  }
+
+  private[graft] def partitionSpecs(s: SparkSession, root: String)
+      : Map[Int, (String, String)] = {
+    val fs = hadoopFs(s, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_specs")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("s=")).map(_.stripPrefix("s=").toInt)
+      .map { id =>
+        val r = s.read.schema("transform string, column string")
+          .parquet(s"$root/_specs/s=$id").head()
+        id -> ((r.getString(0), r.getString(1)))
+      }.toMap
+  }
+
+  /** The transform's partition-value expression (a string column). */
+  private def transformValue(transform: String, column: String) =
+    transform match {
+      case "month" => date_format(col(column), "yyyy-MM")
+      case "day" => date_format(col(column), "yyyy-MM-dd")
+      case t => throw new IllegalArgumentException(
+        s"unknown partition transform: $t")
+    }
+
+  /** Closed day-string bounds a partition value covers under its
+    * transform — the file side of the plan-time intersection test
+    * ("-31" is a safe month upper pad under string order). */
+  private def transformBounds(transform: String,
+      pv: String): (String, String) =
+    transform match {
+      case "month" => (s"$pv-01", s"$pv-31")
+      case "day" => (pv, pv)
+      case t => throw new IllegalArgumentException(
+        s"unknown partition transform: $t")
+    }
+
+  /** APPEND under a partition spec: one shuffle on the derived value,
+    * hive-layout dirs per partition, optimistic commit (appends never
+    * conflict). Returns the committed version. */
+  private[graft] def appendPartitionedCommit(s: SparkSession,
+      root: String, fromV: Int, batch: DataFrame, keyCol: String,
+      specId: Int): Int = {
+    val (transform, column) = partitionSpecs(s, root)(specId)
+    val dir = s"$root/data/w=part-${attemptTag()}/ps=$specId"
+    batch.withColumn("pv", transformValue(transform, column))
+      .repartition(col("pv"))
+      .write.partitionBy("pv").mode("overwrite").parquet(dir)
+    optimisticCommit(s, root, fromV,
+      listDataFiles(s, root, dir).map(("data", _)), (_, _) => true)
+  }
+
+  private val PartPathRe = ".*/ps=(\\d+)/pv=([^/]+)/.*".r
+
+  /** Plan-time PARTITION PRUNING over a day range [lo, hi] (yyyy-MM-dd
+    * strings) on `column`: drop every data file whose path-recorded
+    * partition value cannot intersect the range under ITS OWN spec.
+    * Files without partition metadata — or partitioned under a spec on
+    * another column — are conservatively kept; one file survives as a
+    * schema carrier; delete files apply as always; the exact predicate
+    * refines. */
+  def readVersionPartitionPruned(s: SparkSession, root: String, v: Int,
+      keyCol: String, column: String, lo: String, hi: String)
+      : DataFrame = {
+    val specs = partitionSpecs(s, root)
+    val all = manifestEntries(s, root, v)
+    val kept = all.filter {
+      case ("data", p, _) => p match {
+        case PartPathRe(id, pv) =>
+          specs.get(id.toInt) match {
+            case Some((t, c)) if c == column =>
+              val (plo, phi) = transformBounds(t, pv)
+              plo <= hi && lo <= phi
+            case _ => true
+          }
+        case _ => true
+      }
+      case _ => true
+    }
+    val ents =
+      if (kept.exists(_._1 == "data")) kept
+      else kept :+ all.find(_._1 == "data").getOrElse(
+        throw new IllegalStateException(
+          s"readVersionPartitionPruned: version $v has no data files"))
+    readEntries(s, root, ents, keyCol)
+      .filter(date_format(col(column), "yyyy-MM-dd").between(lo, hi))
+  }
+
+  // --- the partition-transform demonstration table: month-spec base
+  // load, a DAY-spec evolution commit for the finer-grained tail, and a
+  // merge-on-read delete on top — pruning must evaluate each file under
+  // its own spec and compose with the delete mask.
+  private val partDemoRootCache = graft.AppCache[String]()
+
+  private[graft] def buildPartitionedDemo(s: SparkSession, d: String,
+      root: String): Unit = {
+    val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+    addPartitionSpec(s, root, 1, "month", "o_orderdate")
+    val v1 = appendPartitionedCommit(s, root, 0,
+      orders.filter(pmod(col("o_orderkey"), lit(10)) < 8),
+      "o_orderkey", 1)
+    addPartitionSpec(s, root, 2, "day", "o_orderdate")
+    val v2 = appendPartitionedCommit(s, root, v1,
+      orders.filter(pmod(col("o_orderkey"), lit(10)) >= 8),
+      "o_orderkey", 2)
+    deleteCommit(s, root, v2,
+      orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select("o_orderkey")): Unit
+  }
+
+  private[graft] def partitionedDemoTable(s: SparkSession,
+      d: String): String =
+    partDemoRootCache.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_p_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      buildPartitionedDemo(s, d, root)
+      root
+    }
+
+  /** Date-range read via PARTITION-TRANSFORM pruning over the evolved
+    * layout (month-spec base + day-spec tail + merge-on-read delete):
+    * survivors are exactly the files whose recorded partition value
+    * intersects the range under their own spec — must hash-match the
+    * plain predicate over the base table (LakehouseSpec locks the
+    * scanned-file subset per spec). */
+  val qTablePartitionedRead: (SparkSession, String) => DataFrame =
+    (s, d) =>
+      orderedOrdersRows(readVersionPartitionPruned(
+        s, partitionedDemoTable(s, d), 3, "o_orderkey", "o_orderdate",
+        "1995-03-01", "1995-09-30"))
 
   /** Time travel from PURE SQL via the injected table-valued function
     * (GraftExtensions.graft_orders_version — the `VERSION AS OF` shape):
@@ -1815,6 +1986,11 @@ object Lakehouse {
     // plain predicate over the base table
     QueryDef("q_table_pruned_read", qTablePrunedRead, Some(
       "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 AND o_orderkey BETWEEN 1000 AND 2999 ORDER BY o_orderkey")),
+    // partition-transform pruning over the evolved (month→day) layout
+    // with a merge-on-read delete on top: must equal the plain date
+    // predicate over the base table minus the deleted keys
+    QueryDef("q_table_partitioned_read", qTablePartitionedRead, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 AND strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1995-03-01' AND '1995-09-30' ORDER BY o_orderkey")),
     // delete-aware incremental view maintenance: the maintained rollup
     // must equal the direct aggregate over the v3 state
     QueryDef("q_table_mv_increment", qTableMvIncrement, Some(

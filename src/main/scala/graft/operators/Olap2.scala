@@ -452,6 +452,84 @@ object Olap2 {
         .orderBy("month", "l_returnflag")
     }
 
+  // --- the STAR-SCHEMA view: lineitem ⋈ orders, monthly × priority ×
+  // flag — the BI rollup shape where the rewrite's 100 TB payoff is
+  // biggest (it removes the fact-side JOIN as well as the scan). The
+  // rollup keeps exact-decimal partials keyed by day so maintenance
+  // stays incremental; the rule recognizes the candidate's join subtree
+  // structurally (inner equi-join on the declared key pair, both sides
+  // bare relations) and answers from the rollup alone.
+  private val stagedStarRollups = graft.AppCache[String]()
+
+  private[graft] def starJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).join(Tables.orders(s, d),
+      col("l_orderkey") === col("o_orderkey"))
+
+  private[graft] def starRollupOf(df: DataFrame): DataFrame = {
+    val one = lit(1).cast("decimal(4,2)")
+    val disc = d12(col("l_extendedprice")) *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    df.groupBy(to_date(col("l_shipdate")).as("day"),
+        col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(d12(col("l_quantity"))).as("qty_d"),
+        sum(disc).as("rev_d"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private[graft] def starRollupPath(s: SparkSession, d: String): String =
+    stagedStarRollups.get(s, d)({
+      val path = s"${sys.props("java.io.tmpdir")}/graft_srollup_" +
+        s"${s.sparkContext.applicationId.hashCode.toHexString}_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      starRollupOf(starJoin(s, d)).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private[graft] def starOverFact(df: DataFrame): DataFrame = {
+    val one = lit(1).cast("decimal(4,2)")
+    val disc = d12(col("l_extendedprice")) *
+      (one - col("l_discount").cast("decimal(4,2)"))
+    df.groupBy(
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"),
+        col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(d12(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(disc).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private[graft] def starMonthlyView(d: String): graft.plans.MvViewDef =
+    graft.plans.MvViewDef(
+      viewInputs = Set("l_shipdate", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_discount", "o_orderpriority"),
+      overFact = starOverFact,
+      rollupBase = (s, p) => s.read.parquet(p)
+        .withColumn("month", date_format(col("day"), "yyyy-MM")),
+      reAgg = (base, groupNames) =>
+        base.groupBy(groupNames.map(col): _*)
+          .agg(sum(col("qty_d")).cast("double").as("sum_qty"),
+            sum(col("rev_d")).cast("double").as("revenue"),
+            coalesce(sum(col("n_items")), lit(0L)).as("n_items")),
+      join = Some(graft.plans.MvJoinSpec(
+        dimMarker = s"$d/orders",
+        factKey = "l_orderkey", dimKey = "o_orderkey")))
+
+  /** The star-schema rewrite key: the declared query is the fact ⋈ dim
+    * monthly aggregate written against the BASE tables; the rule proves
+    * the join subtree is exactly the registered view's (inner equi-join
+    * on l_orderkey = o_orderkey, both sides bare) and the groupings /
+    * aggregates derivable, then swaps the whole subtree — join included
+    * — for the rollup re-aggregation. Oracle states the direct star
+    * SQL; MvRewriteSpec locks that the executed plan scans neither
+    * lineitem nor orders and pins the near-miss joins (different key,
+    * filtered side) to the fact scan. */
+  val qRollupRewriteJoin: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      graft.plans.MvRewrite.registerView(s, s"$d/lineitem",
+        starRollupPath(s, d), starMonthlyView(d))
+      starOverFact(starJoin(s, d))
+        .orderBy("month", "o_orderpriority", "l_returnflag")
+    }
+
   private val rollupOracle =
     "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
 
@@ -483,6 +561,10 @@ object Olap2 {
     // rule swaps the aggregate underneath, names/expr ids preserved)
     QueryDef("q_rollup_rewrite_having", qRollupRewriteHaving, Some(
       "SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 25 ORDER BY 1, 2")),
+    // star-schema view: the fact ⋈ dim aggregate answered from the
+    // join rollup — oracle states the direct star SQL
+    QueryDef("q_rollup_rewrite_join", qRollupRewriteJoin, Some(
+      "SELECT strftime(l_shipdate, '%Y-%m') AS month, o_orderpriority, l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
     // shares the full-rebuild oracle BY REFERENCE: the driver hash-match
     // proves the additive partial-merge reconstructs the identical rollup
     QueryDef("q_rollup_increment", qRollupIncrement, Some(rollupOracle)),

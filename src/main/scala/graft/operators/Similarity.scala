@@ -1789,6 +1789,75 @@ object Similarity {
       live.count()
     }
 
+  // --- INDEX PUBLICATION THROUGH THE REF LOG (round 13): index roots
+  // become IMMUTABLE VERSIONS under <root>/versions/v=N with a named
+  // "serving" ref (the table format's append-only ref log, reused
+  // verbatim) pointing at the live one. A serving reader resolves the
+  // ref ONCE and pins its version root; a rebuild STAGES v=N+1 from the
+  // serving version's live vectors, audits the staged copy, and
+  // fast-forwards the ref — the probe-during-rebuild race disappears
+  // structurally (the old version is never retired in place, unlike the
+  // whole-root retire-then-swap below, whose safety is
+  // rollback-discipline-dependent). Old versions stay readable for
+  // pinned readers until explicitly reclaimed. IvfIndexSpec pins a
+  // reader mid-rebuild reading the old version, then the new after the
+  // ref move.
+
+  import graft.operators.Lakehouse.{getRef, setRef}
+
+  /** Build version 1 under the log root and point the serving ref at
+    * it. Returns the published version. */
+  def writeIvfIndexVersioned(s: SparkSession, root: String,
+      embs: DataFrame, k: Int, iters: Int): Int = {
+    writeIvfIndex(embs, s"$root/versions/v=1", k, iters)
+    setRef(s, root, "serving", 1)
+    1
+  }
+
+  /** The serving version and its immutable root — a reader resolves
+    * once (one metadata read) and probes the pinned root thereafter. */
+  def servingIvfVersion(s: SparkSession, root: String): Int =
+    getRef(s, root, "serving")
+  def servingIvfRoot(s: SparkSession, root: String): String =
+    s"$root/versions/v=${servingIvfVersion(s, root)}"
+
+  /** STAGE the next index version: retrain over the SERVING version's
+    * live vectors (appends and tombstones fold in), land the full index
+    * under versions/v=N+1, audit the staged corpus count — and leave
+    * the ref untouched: readers keep resolving v=N. Returns the staged
+    * version number. */
+  def stageIvfIndexVersion(s: SparkSession, root: String, k: Int,
+      iters: Int): Int = {
+    val cur = servingIvfVersion(s, root)
+    val next = cur + 1
+    val nextRoot = s"$root/versions/v=$next"
+    val live = ivfLiveCorpus(s, s"$root/versions/v=$cur")
+      .select(col("vec_id"), col("ce"), col("n2")).localCheckpoint()
+    val cents = kmeansCentroids(live, k, iters)
+    assignToCentroids(live, cents).write.mode("overwrite")
+      .partitionBy("c_id").parquet(s"$nextRoot/corpus")
+    cents.write.mode("overwrite").parquet(s"$nextRoot/centroids")
+    val got = s.read.parquet(s"$nextRoot/corpus").count()
+    require(got == live.count(),
+      s"stageIvfIndexVersion: staged $got vectors, expected " +
+        s"${live.count()}")
+    next
+  }
+
+  /** Fast-forward the serving ref to a staged version (the
+    * write-audit-publish move): verify the staged root is a complete
+    * index, then one ref-log append. Pinned readers are untouched; new
+    * resolutions see the staged version. */
+  def publishIvfIndexVersion(s: SparkSession, root: String,
+      v: Int): Unit = {
+    val vr = s"$root/versions/v=$v"
+    require(hadoopExists(s, s"$vr/corpus") &&
+      hadoopExists(s, s"$vr/centroids") &&
+      s.read.parquet(s"$vr/corpus").limit(1).count() > 0,
+      s"publishIvfIndexVersion: $vr is not a complete index")
+    setRef(s, root, "serving", v)
+  }
+
   /** Retire-then-swap publication of a freshly-staged index root —
     * shared by [[compactIvfIndex]] (frozen centroids) and
     * [[rebuildIvfIndex]] (retrained): crash-recovery preamble (a prior

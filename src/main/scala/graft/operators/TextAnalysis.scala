@@ -526,6 +526,11 @@ object TextAnalysis {
       mode: String, pathOf: String => String): Unit = {
     bm25TfDl(docs)
       .withColumn("bkt", bm25Bkt(nBuckets))
+      // co-locate buckets before the partitionBy write (the bm25DocLens
+      // fan-out discipline): without this every input task writes up to
+      // nBuckets postings files — a tiny-file storm every probe then
+      // re-opens
+      .repartition(col("bkt"))
       .write.mode(mode).partitionBy("bkt")
       .parquet(pathOf("postings"))
     val dl = bm25DocLens(docs, nBuckets).localCheckpoint()
@@ -671,6 +676,79 @@ object TextAnalysis {
     * swap leaves the old root untouched (tombstoned probes stay
     * correct), a crash between the renames leaves it recoverable at
     * `.prev`. */
+  /** Stage the COMPACTED live view of index `from` into `to`: live
+    * postings re-landed in the canonical batch layout (a
+    * streaming-segmented source's epoch axis is a segment artifact, not
+    * index data), tombstone-filtered doclens, recomputed stats — with
+    * the staged-postings count audited against the live count. Shared
+    * by the in-place retire-then-swap compaction and the versioned
+    * (ref-log) publication path. */
+  private def stageCompactedBm25(s: SparkSession, from: String,
+      to: String): Unit = {
+    val (livePostings, stats) = bm25Live(s, from)
+    livePostings
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"), col("bkt"))
+      // co-locate buckets before the write — a compaction's input is
+      // MANY segment files, the worst case of the partitionBy fan-out
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(s"$to/postings")
+    val liveDl = {
+      val raw = s.read.parquet(s"$from/doclens")
+        .select(col("doc_id"), col("dl"), col("dbkt"))
+      if (!hadoopExists(s, s"$from/tombstones")) raw
+      else raw.join(s.read.parquet(s"$from/tombstones")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    }
+    liveDl.repartition(col("dbkt"))
+      .write.partitionBy("dbkt").parquet(s"$to/doclens")
+    stats.select(col("n_docs").cast("long").as("n_docs"),
+        col("tot_tok").cast("long").as("tot_tok"))
+      .write.parquet(s"$to/stats")
+    val expected = livePostings.count()
+    val got = s.read.parquet(s"$to/postings").count()
+    require(got == expected,
+      s"stageCompactedBm25: staged $got postings, expected $expected")
+  }
+
+  // --- INDEX PUBLICATION THROUGH THE REF LOG (round 13, the
+  // Similarity.writeIvfIndexVersioned pattern): immutable index
+  // versions under <root>/versions/v=N, a "serving" ref resolving the
+  // live one. A pinned reader keeps its version root while a rebuild
+  // stages the compacted next version and fast-forwards the ref —
+  // Bm25IndexSpec pins the mid-rebuild reader. ---
+
+  def writeBm25IndexVersioned(s: SparkSession, docs: DataFrame,
+      root: String, nBuckets: Int = 8): Int = {
+    writeBm25IndexOn(docs, s"$root/versions/v=1", nBuckets)
+    graft.operators.Lakehouse.setRef(s, root, "serving", 1)
+    1
+  }
+
+  def servingBm25Version(s: SparkSession, root: String): Int =
+    graft.operators.Lakehouse.getRef(s, root, "serving")
+  def servingBm25Root(s: SparkSession, root: String): String =
+    s"$root/versions/v=${servingBm25Version(s, root)}"
+
+  /** Stage the next version as the COMPACTED live view of the serving
+    * one (appends and tombstones fold in); the ref is untouched. */
+  def stageBm25IndexVersion(s: SparkSession, root: String): Int = {
+    val next = servingBm25Version(s, root) + 1
+    stageCompactedBm25(s, servingBm25Root(s, root),
+      s"$root/versions/v=$next")
+    next
+  }
+
+  /** Fast-forward the serving ref to a staged version after verifying
+    * it is a complete index. Pinned readers are untouched. */
+  def publishBm25IndexVersion(s: SparkSession, root: String,
+      v: Int): Unit = {
+    val vr = s"$root/versions/v=$v"
+    require(hadoopExists(s, s"$vr/postings") &&
+      hadoopExists(s, s"$vr/doclens") && hadoopExists(s, s"$vr/stats"),
+      s"publishBm25IndexVersion: $vr is not a complete index")
+    graft.operators.Lakehouse.setRef(s, root, "serving", v)
+  }
+
   def compactBm25Index(s: SparkSession, path: String): Unit = {
     val staging = path + ".staging"
     val prevStr = path + ".prev"
@@ -687,29 +765,7 @@ object TextAnalysis {
       throw new java.io.IOException(
         s"compactBm25Index: failed to roll back $prev to $pub")
     if (fs.exists(stg)) fs.delete(stg, true)
-    val (livePostings, stats) = bm25Live(s, path)
-    // canonical column set: a streaming-segmented source (postings
-    // under epoch=N/bkt=K) compacts into the batch layout — the epoch
-    // axis is a segment artifact, not index data
-    livePostings
-      .select(col("doc_id"), col("tok"), col("tf"), col("dl"), col("bkt"))
-      .write.partitionBy("bkt").parquet(s"$staging/postings")
-    val liveDl = {
-      val raw = s.read.parquet(s"$path/doclens")
-        .select(col("doc_id"), col("dl"), col("dbkt"))
-      if (!hadoopExists(s, s"$path/tombstones")) raw
-      else raw.join(s.read.parquet(s"$path/tombstones")
-        .select("doc_id"), Seq("doc_id"), "left_anti")
-    }
-    liveDl.repartition(col("dbkt"))
-      .write.partitionBy("dbkt").parquet(s"$staging/doclens")
-    stats.select(col("n_docs").cast("long").as("n_docs"),
-        col("tot_tok").cast("long").as("tot_tok"))
-      .write.parquet(s"$staging/stats")
-    val expected = livePostings.count()
-    val got = s.read.parquet(s"$staging/postings").count()
-    require(got == expected,
-      s"compactBm25Index: staged $got postings, expected $expected")
+    stageCompactedBm25(s, path, staging)
     if (fs.exists(prev)) fs.delete(prev, true)
     if (!fs.rename(pub, prev))
       throw new java.io.IOException(

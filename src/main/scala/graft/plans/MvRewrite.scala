@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, IsNotNull, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
@@ -37,6 +38,16 @@ import org.apache.spark.sql.functions._
   * (registering the MV is the materialization step's job); an empty
   * registry makes the rule a single map lookup.
   */
+/** The join shape of a STAR-SCHEMA view (fact ⋈ dim): the rewrite only
+  * answers a candidate whose subtree is exactly the declared inner
+  * equi-join — both sides bare relations (the fact bound by the
+  * registration marker, the dim by `dimMarker`) and the condition a
+  * single equality on the declared key pair. Anything else — another
+  * join key, an extra conjunct, a filter on a join side — is a
+  * different query and keeps the fact scan. */
+final case class MvJoinSpec(
+    dimMarker: String, factKey: String, dimKey: String)
+
 /** One registered materialized view, everything the rewrite rule needs
   * to recognize and answer it:
   *   - `viewInputs`: fact columns the definition reads — a candidate
@@ -49,7 +60,10 @@ import org.apache.spark.sql.functions._
   *     columns, named exactly as the template's grouping outputs;
   *   - `reAgg`: the re-aggregation over (a possibly filtered)
   *     rollupBase for ANY grouping subset — output names must match
-  *     the template's aggregate outputs (counts coalesced to 0). */
+  *     the template's aggregate outputs (counts coalesced to 0);
+  *   - `join`: None for a single-table view; Some(spec) for a
+  *     star-schema view over fact ⋈ dim (viewInputs may then span
+  *     both sides). */
 final case class MvViewDef(
     viewInputs: Set[String],
     overFact: Dataset[org.apache.spark.sql.Row] =>
@@ -57,22 +71,29 @@ final case class MvViewDef(
     rollupBase: (SparkSession, String) =>
       Dataset[org.apache.spark.sql.Row],
     reAgg: (Dataset[org.apache.spark.sql.Row], Seq[String]) =>
-      Dataset[org.apache.spark.sql.Row])
+      Dataset[org.apache.spark.sql.Row],
+    join: Option[MvJoinSpec] = None)
 
 object MvRewrite {
 
-  /** (applicationId) → fact-path marker → (rollup path, view def): the
+  /** (applicationId) → fact-path marker → rollup path → view def: the
     * session's MV CATALOG. Several views may be registered at once —
-    * over different fact tables, or the same one — and the rule
-    * answers each candidate from the first registration whose marker
-    * binds and whose derivability check passes. */
+    * over different fact tables, or the SAME one (e.g. the single-table
+    * monthly view and a star view keyed by the same fact) — and the
+    * rule answers each candidate from the first registration whose
+    * marker binds and whose derivability check passes. Keying the inner
+    * map by rollup path makes re-registration idempotent (every MV
+    * query key re-registers its view on each call). */
   private val registry = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, (String, MvViewDef)]]()
+    String, Map[String, Map[String, MvViewDef]]]()
 
   def registerView(s: SparkSession, factMarker: String,
       rollupPath: String, view: MvViewDef): Unit =
     registry.merge(s.sparkContext.applicationId,
-      Map(factMarker -> ((rollupPath, view))), _ ++ _): Unit
+      Map(factMarker -> Map(rollupPath -> view)),
+      (a, b) => a ++ b.map { case (m, inner) =>
+        m -> (a.getOrElse(m, Map.empty) ++ inner)
+      }): Unit
 
   /** Back-compat single-view registration: the lineitem monthly view. */
   def register(s: SparkSession, factMarker: String,
@@ -85,7 +106,9 @@ object MvRewrite {
   private[plans] def registered(s: SparkSession)
       : Seq[(String, String, MvViewDef)] =
     Option(registry.get(s.sparkContext.applicationId))
-      .map(_.toSeq.map { case (m, (p, v)) => (m, p, v) })
+      .map(_.toSeq.flatMap { case (m, inner) =>
+        inner.toSeq.map { case (p, v) => (m, p, v) }
+      })
       .getOrElse(Seq.empty)
 
   // Matching must compare like with like: the candidate reaches the
@@ -143,7 +166,8 @@ object MvRewrite {
           coalesce(sum(col("n_items")), lit(0L)).as("n_items")))
 }
 
-case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   /** Strip attribute-only wrappers down to the relation; None if the
     * subtree contains anything that changes row content (a Filter, a
@@ -155,6 +179,65 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Project(exprs, child)
           if exprs.forall(_.isInstanceOf[AttributeReference]) =>
         bareRelation(child)
+      case _ => None
+    }
+
+  /** A join SIDE stripped to its relation. Inner-join planning pushes
+    * `isnotnull(<join key>)` filters into both sides (null-intolerant
+    * condition inference) — those are implied by the equi-join itself,
+    * so they strip too; any OTHER filter means a row-content change the
+    * registered view never saw and disqualifies the side. */
+  private def bareJoinSide(plan: LogicalPlan,
+      joinKeys: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[LogicalRelation] =
+    plan match {
+      case r: LogicalRelation => Some(r)
+      case SubqueryAlias(_, child) => bareJoinSide(child, joinKeys)
+      case Project(exprs, child)
+          if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        bareJoinSide(child, joinKeys)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, child)
+          if splitConjunctivePredicates(c).forall {
+            case IsNotNull(a: Attribute) => joinKeys.contains(a)
+            case _ => false
+          } =>
+        bareJoinSide(child, joinKeys)
+      case _ => None
+    }
+
+  /** The candidate's source as the declared star join, rebuilt over the
+    * BARE relations (full column sets — the template needs view inputs
+    * the candidate pruned) with the candidate's own condition. None
+    * unless the subtree is exactly: inner join, single-equality
+    * condition on the declared (factKey, dimKey) pair, both sides
+    * stripping to relations bound by the declared markers. */
+  private def matchStarJoin(plan: LogicalPlan, factMarker: String,
+      js: MvJoinSpec): Option[LogicalPlan] =
+    stripAttrWrappers(plan) match {
+      case Join(l, r, Inner, Some(cond @ EqualTo(
+          a: AttributeReference, b: AttributeReference)), _) =>
+        val keys = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(Seq(a, b))
+        for {
+          lr <- bareJoinSide(l, keys)
+          rr <- bareJoinSide(r, keys)
+          // bind sides to (fact, dim) by marker, either order
+          (factRel, dimRel) <-
+            if (relationFiles(lr).exists(atTableBoundary(_, factMarker)) &&
+              relationFiles(rr).exists(atTableBoundary(_, js.dimMarker)))
+              Some((lr, rr))
+            else if (
+              relationFiles(rr).exists(atTableBoundary(_, factMarker)) &&
+              relationFiles(lr).exists(atTableBoundary(_, js.dimMarker)))
+              Some((rr, lr))
+            else None
+          // the condition must be the declared key equality (either
+          // attribute order), each key resolving to its own side
+          if (a.name == js.factKey && factRel.outputSet.contains(a) &&
+            b.name == js.dimKey && dimRel.outputSet.contains(b)) ||
+            (b.name == js.factKey && factRel.outputSet.contains(b) &&
+              a.name == js.dimKey && dimRel.outputSet.contains(a))
+        } yield Join(lr, rr, Inner, Some(cond), JoinHint.NONE)
       case _ => None
     }
 
@@ -229,19 +312,20 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (views.isEmpty || buildingTemplate.get()) plan
     else plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, _, _)
-          if groupings.size <= 2 && aggExprs.size <= 5 &&
+          if groupings.size <= 3 && aggExprs.size <= 7 &&
             aggExprs.size > groupings.size =>
         // a rewrite is an optimization: ANY failure to match —
         // including a template that cannot even analyze because the
         // candidate's projection lacks the view's columns — must
         // leave the query untouched, never break it
-        // the template plans over the RELATION itself, not any
+        // the template plans over the RELATION itself (for a star
+        // view: the join rebuilt over the bare relations), not any
         // pruned pass-through projection above it — attribute-only
         // projections preserve expr ids, so semantic comparison
         // still runs over identical attributes while the template
         // keeps access to every view input the candidate pruned.
         // A Filter directly over the (possibly attr-projected)
-        // relation is admissible IF its predicate rewrites to pure
+        // source is admissible IF its predicate rewrites to pure
         // view dimensions — see rewriteIfDerivable; anything else
         // in the subtree still disqualifies. The CATALOG loop: the
         // candidate is answered from the first registration whose
@@ -249,23 +333,26 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // and whose derivability check passes.
         scala.util.Try(for {
           (flat, base) <- inlined(agg)
-          (cond, rel) <- stripAttrWrappers(base) match {
+          (cond, inner) <- Some(stripAttrWrappers(base) match {
             case org.apache.spark.sql.catalyst.plans.logical
                 .Filter(c, fchild) =>
-              bareRelation(fchild)
-                .map(r => (Some(c): Option[Expression], r))
-            case other =>
-              bareRelation(other)
-                .map(r => (None: Option[Expression], r))
-          }
+              (Some(c): Option[Expression], fchild)
+            case other => (None: Option[Expression], other)
+          })
           rewritten <- views.view.flatMap {
-            case (marker, rollupPath, vd)
-                if relationFiles(rel).exists(atTableBoundary(_, marker)) &&
-                  vd.viewInputs.subsetOf(rel.output.map(_.name).toSet) =>
-              scala.util.Try(
-                rewriteIfDerivable(flat, cond, rel, rollupPath, vd))
-                .toOption.flatten
-            case _ => None
+            case (marker, rollupPath, vd) =>
+              val source: Option[LogicalPlan] = vd.join match {
+                case None => bareRelation(inner).filter { rel =>
+                  relationFiles(rel).exists(atTableBoundary(_, marker)) &&
+                    vd.viewInputs.subsetOf(rel.output.map(_.name).toSet)
+                }
+                case Some(js) =>
+                  matchStarJoin(inner, marker, js).filter(j =>
+                    vd.viewInputs.subsetOf(j.output.map(_.name).toSet))
+              }
+              source.flatMap(src => scala.util.Try(
+                rewriteIfDerivable(flat, cond, src, rollupPath, vd))
+                .toOption.flatten)
           }.headOption
         } yield rewritten).toOption.flatten.getOrElse(agg)
     }

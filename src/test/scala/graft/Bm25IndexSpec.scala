@@ -182,6 +182,44 @@ class Bm25IndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq === want)
   }
 
+  test("ref-log publication: a reader pinned mid-rebuild keeps the old " +
+    "version; new resolutions see the compacted one after the ref move") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bm25_ref").toString + "/ix"
+    val docs = Tables.documents(spark, sf)
+    TextAnalysis.writeBm25IndexVersioned(spark, docs, root, nBuckets = 8)
+    val pinned = TextAnalysis.servingBm25Root(spark, root)
+    val qterms = Seq((1L, "the"), (2L, "data"), (3L, "spark"))
+      .toDF("q_id", "tok")
+    def probe(r: String): Seq[Seq[Any]] =
+      TextAnalysis.probeBm25Index(spark, r, qterms)
+        .collect().map(_.toSeq).toSeq
+    // the serving version accrues a tombstone delete
+    TextAnalysis.deleteFromBm25Index(spark, pinned,
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0).select("doc_id"))
+    val mutated = probe(pinned)
+    // rebuild stages the COMPACTED next version; the ref is untouched
+    val staged = TextAnalysis.stageBm25IndexVersion(spark, root)
+    assert(staged === 2)
+    assert(TextAnalysis.servingBm25Version(spark, root) === 1)
+    assert(probe(pinned) === mutated,
+      "staging disturbed the pinned serving version")
+    // fast-forward: the new root answers identically to a fresh index
+    // over the live docs, and the old version stays intact for its
+    // pinned reader
+    TextAnalysis.publishBm25IndexVersion(spark, root, staged)
+    val newRoot = TextAnalysis.servingBm25Root(spark, root)
+    assert(newRoot !== pinned)
+    val dirLive = Files.createTempDirectory("graft_bm25_refl").toString
+    TextAnalysis.writeBm25IndexOn(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), dirLive,
+      nBuckets = 8)
+    assert(probe(newRoot) === probe(dirLive),
+      "published version diverged from a rebuild on the live docs")
+    assert(probe(pinned) === mutated,
+      "publication mutated the retired version")
+  }
+
   test("streaming segments: probe across epochs ≡ one-shot index; " +
       "re-delivered segment replaces, not duplicates") {
     // Split the corpus in two "micro-batches", land each as an

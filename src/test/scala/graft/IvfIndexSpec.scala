@@ -136,6 +136,50 @@ class IvfIndexSpec extends SparkSpec {
       s"shifted batch did not inflate drift: ${ratios.toSeq}")
   }
 
+  test("ref-log publication: a reader pinned mid-rebuild keeps the old " +
+    "version; the published retrain answers brute-force over the live " +
+    "vectors and the retired version stays intact") {
+    val root = Files.createTempDirectory("graft_ivf_ref").toString + "/ix"
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0L)
+    Similarity.writeIvfIndexVersioned(spark, root, embs, k = 5, iters = 2)
+    val pinned = Similarity.servingIvfRoot(spark, root) // resolved ONCE
+    val qids = 1L to 4L
+    def probe(r: String): Seq[Seq[Any]] =
+      Similarity.probeIvfIndexBatch(spark, r, qids,
+        nprobe = Int.MaxValue, topK = 5).collect().map(_.toSeq).toSeq
+    // the serving version accrues mutations (append + tombstones)
+    val shifted = embs
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.25f)))
+    Similarity.appendToIvfIndex(spark, pinned, shifted)
+    Similarity.deleteFromIvfIndex(spark, pinned,
+      embs.filter(pmod(col("vec_id"), lit(10L)) === 9).select("vec_id"))
+    val mutated = probe(pinned)
+    // the rebuild STAGES v2 — the ref is untouched, so the pinned
+    // reader AND any new resolution still read v1 (no swap window)
+    val staged = Similarity.stageIvfIndexVersion(spark, root,
+      k = 5, iters = 2)
+    assert(staged === 2)
+    assert(Similarity.servingIvfVersion(spark, root) === 1)
+    assert(Similarity.servingIvfRoot(spark, root) === pinned)
+    assert(probe(pinned) === mutated,
+      "staging disturbed the pinned serving version")
+    // fast-forward: probe-all over the published retrain ≡ brute force
+    // over the live vectors; the retired version stays readable
+    Similarity.publishIvfIndexVersion(spark, root, staged)
+    val newRoot = Similarity.servingIvfRoot(spark, root)
+    assert(newRoot !== pinned)
+    val live = embs.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+      .unionByName(shifted)
+    val brute = Similarity.cosineTopKBatch(live, qids, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(probe(newRoot) === brute,
+      "published retrain diverged from brute force over live vectors")
+    assert(probe(pinned) === mutated,
+      "publication mutated the retired version")
+  }
+
   test("drift report surfaces batch cohorts on zero-resident lists " +
     "(full-outer, not resident-keyed)") {
     val dir = Files.createTempDirectory("graft_ivf_drift0").toString

@@ -445,6 +445,73 @@ class LakehouseSpec extends SparkSpec {
         .filter(col("o_totalprice").between(0L, 100000L)).count())
   }
 
+  test("partition transforms: the date-range read scans only files " +
+    "whose path-recorded partition value intersects under ITS OWN " +
+    "spec, across the month→day evolution, composed with deletes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_part").toString + "/t"
+    Lakehouse.buildPartitionedDemo(spark, sf, root)
+    val allData = Lakehouse.manifestEntries(spark, root, 3)
+      .collect { case ("data", p, _) => p }
+    assert(allData.exists(_.contains("/ps=1/")) &&
+      allData.exists(_.contains("/ps=2/")),
+      "demo table must carry both partition specs")
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      df.collect()
+      collectFileScans(df.queryExecution.executedPlan)
+        .flatMap(_.relation.location.inputFiles)
+        .filterNot(_.contains("/deletes/")).toSet
+    }
+    val pv = "pv=([^/]+)/".r
+    def pvs(files: Set[String], spec: Int): Set[String] =
+      files.filter(_.contains(s"/ps=$spec/"))
+        .flatMap(f => pv.findFirstMatchIn(f).map(_.group(1)))
+    // a range inside one month: the month spec keeps exactly that
+    // month's file; the day spec keeps only the in-range days
+    val narrow = Lakehouse.readVersionPartitionPruned(spark, root, 3,
+      "o_orderkey", "o_orderdate", "1995-03-05", "1995-03-10")
+    val nScan = scanned(narrow)
+    assert(nScan.size < allData.size,
+      s"no partition skipping: ${nScan.size} of ${allData.size}")
+    assert(pvs(nScan, 1) === Set("1995-03"),
+      s"month-spec survivors wrong: ${pvs(nScan, 1)}")
+    assert(pvs(nScan, 2).nonEmpty && pvs(nScan, 2).forall(d =>
+      d >= "1995-03-05" && d <= "1995-03-10"),
+      s"day-spec survivors outside range: ${pvs(nScan, 2)}")
+    // exact rows: pruned ≡ plain predicate over the snapshot (delete
+    // mask applied in both)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val expect = Lakehouse.readVersion(spark, root, 3, "o_orderkey")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd")
+        .between("1995-03-05", "1995-03-10"))
+    assert(rows(narrow) === rows(expect))
+    // time travel composes: the pruned read of v1 (month spec only)
+    // equals the filtered v1 state
+    val v1Pruned = Lakehouse.readVersionPartitionPruned(spark, root, 1,
+      "o_orderkey", "o_orderdate", "1995-03-05", "1995-03-10")
+    val v1Expect = Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd")
+        .between("1995-03-05", "1995-03-10"))
+    assert(rows(v1Pruned) === rows(v1Expect))
+    assert(pvs(scanned(v1Pruned), 2).isEmpty,
+      "v1 predates the day-spec commit but scanned its files")
+    // CDC composes: the v1→v2 change slice is exactly the day-spec
+    // commit's files
+    val (ins2, del2) = Lakehouse.changedFiles(spark, root, 1, 2)
+    assert(del2.isEmpty)
+    assert(ins2.nonEmpty && ins2.forall(_.contains("/ps=2/")),
+      s"v2 change slice is not the day-spec files: ${ins2.take(3)}")
+    // a range covering the whole history prunes nothing — every file's
+    // value intersects, the read degrades to the plain snapshot scan
+    val wide = Lakehouse.readVersionPartitionPruned(spark, root, 3,
+      "o_orderkey", "o_orderdate", "1900-01-01", "2099-12-31")
+    assert(scanned(wide).size === allData.size,
+      "an all-covering range wrongly pruned files")
+    assert(rows(wide) ===
+      rows(Lakehouse.readVersion(spark, root, 3, "o_orderkey")))
+  }
+
   test("all-null stats column falls to conservative-keep (no null " +
     "unbox) and vacuum sweeps superseded _stats2 sidecars") {
     val root = java.nio.file.Files

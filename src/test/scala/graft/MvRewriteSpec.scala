@@ -220,4 +220,69 @@ class MvRewriteSpec extends SparkSpec {
         min(col("l_discount")).as("y"))
     assert(scannedFiles(nearMiss).exists(_.contains("lineitem")))
   }
+
+  test("star-schema view: the fact-join-dim aggregate executes against " +
+    "the join rollup — neither base table scanned — with identical rows") {
+    val viaRule = SparkEntry.queries("q_rollup_rewrite_join")(spark, sf)
+    val scanned = scannedFiles(viaRule)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("graft_srollup_")),
+      s"star rewrite did not swap the scan: $scanned")
+    assert(!scanned.exists(f =>
+      f.contains("lineitem") || f.contains("orders")),
+      "rewritten star plan still scans a base table")
+    try {
+      MvRewrite.unregister(spark)
+      val direct = operators.Olap2.starOverFact(
+        operators.Olap2.starJoin(spark, sf))
+        .orderBy("month", "o_orderpriority", "l_returnflag")
+      assert(scannedFiles(direct).exists(_.contains("lineitem")),
+        "control star plan unexpectedly avoided the fact table")
+      assert(viaRule.collect().toSeq === direct.collect().toSeq)
+    } finally {
+      SparkEntry.queries("q_rollup_rewrite_join")(spark, sf).collect(): Unit
+    }
+    // the lattice carries over joins: a grouping subset of the star
+    // view's dimensions re-aggregates from the same rollup
+    val coarse = operators.Olap2.starJoin(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+        .cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+    val cScanned = scannedFiles(coarse)
+    assert(cScanned.nonEmpty && cScanned.forall(_.contains("graft_srollup_")),
+      s"star lattice subset kept the base scan: $cScanned")
+  }
+
+  test("star-schema near-misses keep the fact scan: a different join " +
+    "key, an extra join conjunct, and a filtered join side are not " +
+    "the registered view") {
+    SparkEntry.queries("q_rollup_rewrite_join")(spark, sf)
+      .collect() // register
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    // same groupings/aggregates, WRONG join key — a different query
+    val wrongKey = operators.Olap2.starOverFact(
+      li.join(ord, col("l_partkey") === col("o_orderkey")))
+    assert(scannedFiles(wrongKey).exists(_.contains("lineitem")),
+      "a different join key was wrongly answered from the join rollup")
+    // an extra conjunct narrows the join: not the view
+    val extraConj = operators.Olap2.starOverFact(
+      li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate")))
+    assert(scannedFiles(extraConj).exists(_.contains("lineitem")),
+      "an extra join conjunct was wrongly answered from the join rollup")
+    // a filter on a join side (non-view column) changes the row set
+    val filteredSide = operators.Olap2.starOverFact(
+      li.join(ord.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey")))
+    assert(scannedFiles(filteredSide).exists(_.contains("lineitem")),
+      "a filtered join side was wrongly answered from the join rollup")
+    // and the single-table view still swaps in the same session (the
+    // catalog keeps BOTH views under the lineitem marker now)
+    SparkEntry.queries("q_rollup_rewrite")(spark, sf).collect(): Unit
+    val mono = MvRewrite.monthlyOverFact(li)
+    val mScanned = scannedFiles(mono)
+    assert(mScanned.nonEmpty && mScanned.forall(_.contains("graft_rollup_")),
+      s"single-table view lost its swap beside the star view: $mScanned")
+  }
 }

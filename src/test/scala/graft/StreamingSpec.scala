@@ -374,6 +374,32 @@ class StreamingSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("streaming MV maintenance is idempotent: a re-delivered epoch " +
+    "rewrites its own delta and the maintained view is unchanged") {
+    import graft.streaming.EventsStreaming
+    val root = EventsStreaming.runTableIngestMvStream(spark, sf)
+    val v = graft.operators.Lakehouse.latestVersion(spark, root)
+    assert(v >= 2, s"expected several streamed commits, got $v")
+    val before = EventsStreaming.mvView(spark, root).collect().toSeq
+    // re-drive a mid-stream epoch's maintenance (the foreachBatch
+    // retry/replay shape): the delta dir overwrites with identical
+    // content, so the merged view cannot double-count
+    EventsStreaming.maintainMvEpoch(spark, root, 1)
+    EventsStreaming.maintainMvEpoch(spark, root, v)
+    val after = EventsStreaming.mvView(spark, root).collect().toSeq
+    assert(after === before, "replayed epoch maintenance changed the view")
+    // and the maintained view equals the direct aggregate over the
+    // final state (maintained ≡ recomputed)
+    val direct = graft.operators.Lakehouse
+      .readVersion(spark, root, v, "o_orderkey")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_custkey").collect().toSeq
+    assert(before === direct, "maintained view diverged from recompute")
+  }
+
   test("streaming decontamination gate flags exactly the contaminated docs") {
     import org.apache.spark.sql.types._
     import spark.implicits._
