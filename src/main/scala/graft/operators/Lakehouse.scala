@@ -295,10 +295,12 @@ object Lakehouse {
     while (true) {
       val tryV = base + 1
       // a REWRITE snapshot: one fresh manifest, no inherited list — the
-      // merge-on-read debt and the manifest-count rent both reset here
-      val staged =
-        if (base == fromV) stagedPaths.map(("data", _, v))
-        else stagedPaths.map(("data", _, fromV))
+      // merge-on-read debt and the manifest-count rent both reset here.
+      // Staged files stamp seq = fromV on BOTH paths: they ARE fromV's
+      // live view, so a CDC span from fromV (the cursor a downstream
+      // consumer holds) sees the compaction as the row-invisible
+      // maintenance commit it is — identically with or without a race
+      val staged = stagedPaths.map(("data", _, fromV))
       val carried =
         if (base == fromV) Seq.empty
         else {
@@ -1867,11 +1869,16 @@ object Lakehouse {
     def link(src: Path, dst: Path): Unit = {
       if (Files.isDirectory(src)) {
         Files.createDirectories(dst)
-        val it = Files.list(src).iterator()
-        while (it.hasNext) {
-          val c = it.next()
-          link(c, dst.resolve(c.getFileName))
-        }
+        // Files.list holds a directory fd until closed — lifecycle
+        // passes call this per probe, so leak-free matters
+        val st = Files.list(src)
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val c = it.next()
+            link(c, dst.resolve(c.getFileName))
+          }
+        } finally st.close()
       } else Files.createLink(dst, src): Unit
     }
     subs.foreach { sub =>

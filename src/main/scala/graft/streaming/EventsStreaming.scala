@@ -1565,6 +1565,19 @@ object EventsStreaming {
       subs: Seq[String]): Unit =
     graft.operators.Lakehouse.hardLinkTree(from, to, subs)
 
+  /** Reclaim a per-pass lifecycle clone INCLUDING the retire-then-swap
+    * siblings a compaction may leave beside it (`.prev` on the crash
+    * path, `.staging` on an aborted stage) — without this a long bench
+    * session accumulates one orphaned hard-link tree per interrupted
+    * pass. */
+  private def deleteCloneTree(s: SparkSession, root: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(root, root + ".prev", root + ".staging").foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
   val qStreamBm25Lifecycle: (SparkSession, String) => DataFrame =
     (s, d) => {
       import graft.operators.TextAnalysis
@@ -1580,8 +1593,7 @@ object EventsStreaming {
       val out = TextAnalysis.probeBm25Index(s, root,
         bm25LifecycleQterms(s, d))
         .localCheckpoint()
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      deleteCloneTree(s, root)
       out
     }
 
@@ -1681,8 +1693,7 @@ object EventsStreaming {
           .filter(pmod(col("vec_id"), lit(10L)) === 9).select("vec_id"))
       Similarity.compactIvfIndex(s, root)
       val out = Similarity.probeIvfIngested(s, root).localCheckpoint()
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      deleteCloneTree(s, root)
       out
     }
 
@@ -1797,8 +1808,7 @@ object EventsStreaming {
           .select("o_orderkey"))
       val v2 = Lakehouse.compactCommit(s, root, v1, "o_orderkey")
       val out = tableRows(s, root, v2).localCheckpoint()
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      deleteCloneTree(s, root)
       out
     }
 
@@ -1856,8 +1866,10 @@ object EventsStreaming {
           .join(broadcast(s.read.parquet(del: _*)), Seq("o_orderkey")),
           -1))
       }
-    (insDelta ++ delDelta).reduce(_ unionAll _)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/_mv/e=$v")
+    // a metadata-only commit (or an empty re-delivered micro-batch)
+    // yields an empty change slice — no-op instead of .reduce throwing
+    (insDelta ++ delDelta).reduceOption(_ unionAll _).foreach(
+      _.coalesce(1).write.mode("overwrite").parquet(s"$root/_mv/e=$v"))
   }
 
   /** The maintained view: merge every epoch delta, drop emptied groups,
