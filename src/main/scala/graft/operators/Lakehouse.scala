@@ -264,6 +264,72 @@ object Lakehouse {
     v
   }
 
+  /** Root-relative (file path, row ordinal) attached to a file-source
+    * scan — the coordinates POSITION deletes mask by. Relative paths
+    * (not absolute URIs) so the masks stay valid across a hard-link
+    * clone or a root move; `_metadata.row_index` is the physical
+    * ordinal inside the parquet file, computed from row-group metadata
+    * (stable under row-group pruning and task split boundaries). */
+  private def withFilePos(root: String, df: DataFrame): DataFrame = {
+    val rootPrefix =
+      new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
+    df.withColumn("__gf",
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+          .substr(lit(rootPrefix.length + 1), lit(Int.MaxValue)))
+      .withColumn("__gp", col("_metadata.row_index"))
+  }
+
+  /** Merge-on-read POSITION DELETE as a commit (the Iceberg-v2
+    * position-delete / Delta deletion-vector shape): delete WHERE
+    * `pred` by recording the (file, ordinal) coordinates of the live
+    * rows the predicate matched — from the SAME scan that found them —
+    * and landing those as a `pdelete` file. No key column is needed
+    * (the cheap shape for point deletes on keyless or wide-key
+    * tables), no data file is rewritten, and reads mask by an ordinal
+    * anti-join scoped per file. Seq-scoping matches equality deletes
+    * (a pdelete masks only files from strictly earlier commits; new
+    * file paths are unique, so later files are untouched by
+    * construction). Returns the new version. */
+  private[graft] def positionalDeleteCommit(s: SparkSession, root: String,
+      fromV: Int, pred: org.apache.spark.sql.Column,
+      keyCol: String): Int = {
+    val v = fromV + 1
+    requireUncommitted(s, root, v, "positionalDeleteCommit")
+    val positions =
+      readEntries(s, root, manifestEntries(s, root, fromV), keyCol,
+        keepPos = true)
+      .filter(pred)
+      .select(col("__gf").as("fpath"), col("__gp").as("pos"))
+    val dir = s"$root/pdeletes/w=$v-${attemptTag()}"
+    positions.coalesce(1).write.mode("overwrite").parquet(dir)
+    publishVersion(s, root, v, snapshotManifests(s, root, fromV),
+      listDataFiles(s, root, dir).map(("pdelete", _, v)))
+    v
+  }
+
+  /** The rows a span's POSITION deletes removed, reconstructed by
+    * joining the (file, ordinal) masks back onto the span's data files
+    * — the CDC retraction feed for predicate-driven deletes (equality
+    * deletes feed [[changedFiles]]'s key files; positional masks have
+    * no keys, so the consumer resolves them through the file
+    * coordinates instead). O(masks) join against only the files the
+    * masks name. */
+  private[graft] def positionalDeletedRows(s: SparkSession, root: String,
+      fromV: Int, toV: Int): DataFrame = {
+    val before = snapshotManifests(s, root, fromV).toSet
+    val pdels = readManifests(s, root,
+        snapshotManifests(s, root, toV).filterNot(before))
+      .filter(_._3 > fromV)
+      .collect { case ("pdelete", p, _) => s"$root/$p" }
+    val masks = s.read.parquet(pdels: _*)
+      .select(col("fpath").as("__gf"), col("pos").as("__gp"))
+    val touched = masks.select("__gf").distinct()
+      .collect().map(r => s"$root/${r.getString(0)}")
+    withFilePos(root, s.read.parquet(touched.toIndexedSeq: _*))
+      .join(broadcast(masks), Seq("__gf", "__gp"))
+      .drop("__gf", "__gp")
+  }
+
   /** Copy-on-write compaction as a commit: materialize fromV's live
     * view into fresh files (a per-attempt namespace no other writer
     * can collide with), publish a manifest referencing only those.
@@ -315,6 +381,15 @@ object Lakehouse {
             throw new ConcurrentCommitException(
               "compactCommit: an intervening commit rewrote the data " +
                 "files this compaction materialized — rebase on " +
+                "latestVersion and re-run")
+          // an intervening POSITION delete masks (file, ordinal) pairs
+          // of the files this compaction replaces — unlike an equality
+          // delete it cannot re-mask the fresh files, so carrying it
+          // would silently lose the delete: refuse and rebase
+          if ((baseEnts -- fromEnts).exists(_._1 == "pdelete"))
+            throw new ConcurrentCommitException(
+              "compactCommit: an intervening position delete references " +
+                "the files this compaction replaces — rebase on " +
                 "latestVersion and re-run")
           (baseEnts -- fromEnts).toSeq
         }
@@ -563,7 +638,7 @@ object Lakehouse {
       readManifests(s, root, retainedManifests).map(_._2).toSet
     val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
     var reclaimed = 0
-    Seq("data", "deletes").foreach { sub =>
+    Seq("data", "deletes", "pdeletes").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
       if (fs.exists(p)) {
         val it = fs.listFiles(p, true)
@@ -734,8 +809,12 @@ object Lakehouse {
           inter
         }
       try {
+        // position masks carry VERBATIM: they have no keys to fold
+        // into the cumulative files, and they stay valid because the
+        // data entries they reference are republished unchanged
         publishVersion(s, root, base + 1, Seq.empty,
-          ents.filter(_._1 == "data") ++ cumEntries ++ carried)
+          ents.filter(e => e._1 == "data" || e._1 == "pdelete") ++
+            cumEntries ++ carried)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -871,19 +950,27 @@ object Lakehouse {
     * a group's mask = union(applicable plain files) ∪ smallest
     * applicable cdelete. */
   private def readEntries(s: SparkSession, root: String,
-      ents: Seq[(String, String, Int)], keyCol: String): DataFrame = {
+      ents: Seq[(String, String, Int)], keyCol: String,
+      keepPos: Boolean = false): DataFrame = {
     val delBySeq = ents.collect { case ("delete", p, q) => (q, s"$root/$p") }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val cumBySeq = ents.collect { case ("cdelete", p, q) => (q, s"$root/$p") }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pdelBySeq =
+      ents.collect { case ("pdelete", p, q) => (q, s"$root/$p") }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val delSeqs = delBySeq.keys.toSeq.sorted
     val cumSeqs = cumBySeq.keys.toSeq.sorted
+    val pdelSeqs = pdelBySeq.keys.toSeq.sorted
     // group data files by the delete set that applies: (count of later
-    // plain delete commits, smallest later cumulative seq)
+    // plain delete commits, smallest later cumulative seq, count of
+    // later position-delete commits)
     val groups = ents.collect { case ("data", p, q) => (q, s"$root/$p") }
       .groupBy { case (q, _) =>
-        (delSeqs.count(_ > q), cumSeqs.find(_ > q)) }
-      .toSeq.sortBy { case ((n, c), _) => (n, c.getOrElse(Int.MaxValue)) }
+        (delSeqs.count(_ > q), cumSeqs.find(_ > q),
+          pdelSeqs.count(_ > q)) }
+      .toSeq.sortBy { case ((n, c, np), _) =>
+        (n, c.getOrElse(Int.MaxValue), np) }
     // schema lives in the data files in this implementation, so a
     // version with no data entries has no derivable schema — fail with
     // the contract instead of an opaque empty.reduce
@@ -891,18 +978,35 @@ object Lakehouse {
       "readVersion: version references no data files (fully-emptied " +
         "tables need a schema-bearing manifest, the documented " +
         "production extension)")
-    groups.map { case ((nDels, firstCum), files) =>
+    groups.map { case ((nDels, firstCum, nPdels), files) =>
       // mergeSchema: one group may span pre- and post-evolution files.
       // At fixture scale this reads footers; a production table keeps
       // the schema id in the manifest row and groups by it instead.
-      val data = s.read.option("mergeSchema", "true")
+      val raw = s.read.option("mergeSchema", "true")
         .parquet(files.map(_._2): _*)
+      // POSITION masks first (they reference the physical files, so
+      // they must see every physical row): attach (file, ordinal)
+      // coordinates only when a mask applies or the caller asked for
+      // them — the plain path stays a bare scan
+      val applicablePos = pdelSeqs.takeRight(nPdels).flatMap(pdelBySeq)
+      val data =
+        if (applicablePos.isEmpty && !keepPos) raw
+        else {
+          val withPos = withFilePos(root, raw)
+          if (applicablePos.isEmpty) withPos
+          else withPos.join(
+            broadcast(s.read.parquet(applicablePos: _*)
+              .select(col("fpath").as("__gf"), col("pos").as("__gp"))),
+            Seq("__gf", "__gp"), "left_anti")
+        }
       val applicable =
         delSeqs.takeRight(nDels).flatMap(delBySeq) ++
           firstCum.toSeq.flatMap(cumBySeq)
-      if (applicable.isEmpty) data
-      else data.join(broadcast(s.read.parquet(applicable: _*)
-        .select(keyCol)), Seq(keyCol), "left_anti")
+      val masked =
+        if (applicable.isEmpty) data
+        else data.join(broadcast(s.read.parquet(applicable: _*)
+          .select(keyCol)), Seq(keyCol), "left_anti")
+      if (keepPos) masked else masked.drop("__gf", "__gp")
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1292,6 +1396,43 @@ object Lakehouse {
         java.lang.Integer.toHexString(d.hashCode)
       buildVersionedOrders(s, d, root)
       root
+    }
+
+  // --- the position-delete demonstration table: v1 base load (all
+  // orders), v2 merge-on-read EQUALITY delete (keys ≡ 4 mod 10), v3
+  // merge-on-read POSITION delete (predicate o_custkey ≡ 2 mod 7,
+  // coordinates recorded from the live scan of v2 — so both mask
+  // kinds apply on one snapshot). Built once per (app, sf dir).
+  private val stagedPosRoot = graft.AppCache[String]()
+
+  private[graft] def positionalDemoRoot(s: SparkSession, d: String)
+      : String =
+    stagedPosRoot.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_pd_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+      orders.repartition(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/data/w=1")
+      publishVersion(s, root, 1, Seq.empty,
+        listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1)))
+      val v2 = deleteCommit(s, root, 1,
+        readVersion(s, root, 1, "o_orderkey")
+          .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+          .select("o_orderkey"))
+      positionalDeleteCommit(s, root, v2,
+        pmod(col("o_custkey"), lit(7L)) === 2, "o_orderkey"): Unit
+      root
+    }
+
+  /** Mixed equality + position masking on one snapshot: the v3 read
+    * must equal the plain two-predicate oracle — the position masks
+    * remove exactly the predicate's rows, the equality mask composes
+    * beside them, and no rewritten file exists anywhere. */
+  val qTablePositionalDelete: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val root = positionalDemoRoot(s, d)
+      orderedOrdersRows(readVersion(s, root, 3, "o_orderkey"))
     }
 
   // --- the refs demonstration table: an independent commit history
@@ -2009,6 +2150,10 @@ object Lakehouse {
         "ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
+    // merge-on-read position delete beside an equality delete: the
+    // mixed-mask read must equal the plain two-predicate oracle
+    QueryDef("q_table_positional_delete", qTablePositionalDelete, Some(
+      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 4 AND o_custkey % 7 <> 2 ORDER BY o_orderkey")),
     // delete-file maintenance: the post-rewrite read (one cumulative
     // delete per plan group) must equal the live-state predicate
     QueryDef("q_table_rewrite_deletes", qTableRewriteDeletes, Some(

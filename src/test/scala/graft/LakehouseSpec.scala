@@ -968,4 +968,82 @@ class LakehouseSpec extends SparkSpec {
     val discovered = spark.read.parquet(s"$root/data/w=4")
     assert(discovered.columns.contains("o_orderkey"))
   }
+
+  test("position deletes: metadata-only commit, mixed masks on one " +
+    "snapshot, CDC rows, rewrite/compact/vacuum composition") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_pd").toString + "/t"
+    val orders = Tables.orders(spark, sf)
+      .select(Lakehouse.OrdersCols.map(col): _*)
+    // v1 base load (all orders), v2 equality delete (%10 == 4), v3
+    // POSITION delete (predicate o_custkey %7 == 2, coordinates from
+    // the live scan of v2)
+    orders.repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/data/w=1")
+    Lakehouse.commitVersion(spark, root, 1,
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=1")
+        .map(("data", _, 1)))
+    val v2 = Lakehouse.deleteCommit(spark, root, 1,
+      Lakehouse.readVersion(spark, root, 1, "o_orderkey")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+        .select("o_orderkey"))
+    val v3 = Lakehouse.positionalDeleteCommit(spark, root, v2,
+      pmod(col("o_custkey"), lit(7L)) === 2, "o_orderkey")
+    // metadata-only: v3's data+delete entries identical to v2's, plus
+    // only the pdelete file(s)
+    val e2 = Lakehouse.manifestEntries(spark, root, v2)
+    val e3 = Lakehouse.manifestEntries(spark, root, v3)
+    assert(e3.filter(_._1 != "pdelete") === e2,
+      "position delete rewrote or dropped an existing entry")
+    val pd = e3.filter(_._1 == "pdelete")
+    assert(pd.nonEmpty && pd.forall(_._2.startsWith("pdeletes/w=3")))
+    // mixed masks on one snapshot ≡ the two-predicate state
+    val expect = orders
+      .filter(pmod(col("o_orderkey"), lit(10)) =!= 4 &&
+        pmod(col("o_custkey"), lit(7L)) =!= 2)
+    val got3 = Lakehouse.readVersion(spark, root, v3, "o_orderkey")
+    assert(got3.count() === expect.count())
+    assert(got3.select("o_orderkey").except(expect.select("o_orderkey"))
+      .isEmpty && expect.select("o_orderkey")
+      .except(got3.select("o_orderkey")).isEmpty,
+      "mixed equality+position read diverged from the predicate state")
+    // CDC: the span's positionally-deleted ROWS are reconstructible
+    // from the masks — exactly the live-v2 rows the predicate matched
+    val cdc = Lakehouse.positionalDeletedRows(spark, root, v2, v3)
+    val expectDel = orders
+      .filter(pmod(col("o_orderkey"), lit(10)) =!= 4 &&
+        pmod(col("o_custkey"), lit(7L)) === 2)
+    assert(cdc.count() === expectDel.count())
+    assert(cdc.select("o_orderkey")
+      .except(expectDel.select("o_orderkey")).isEmpty,
+      "positional CDC reported a row the predicate never deleted")
+    // delete-file maintenance CARRIES the positional masks verbatim
+    // (they have no keys to fold into the cumulative files)
+    val v4 = Lakehouse.rewriteDeletes(spark, root, v3, "o_orderkey")
+    assert(Lakehouse.manifestEntries(spark, root, v4)
+      .exists(_._1 == "pdelete"),
+      "rewrite_deletes dropped the position masks")
+    assert(Lakehouse.readVersion(spark, root, v4, "o_orderkey")
+      .count() === expect.count())
+    // compaction materializes both mask kinds away — and is
+    // CDC-invisible (staged files stamp seq = fromV)
+    val v5 = Lakehouse.compactCommit(spark, root, v4, "o_orderkey")
+    assert(Lakehouse.manifestEntries(spark, root, v5)
+      .forall(_._1 == "data"))
+    assert(Lakehouse.readVersion(spark, root, v5, "o_orderkey")
+      .count() === expect.count())
+    val (insC, delC) = Lakehouse.changedFiles(spark, root, v4, v5)
+    assert(insC.isEmpty && delC.isEmpty,
+      "compaction surfaced in the CDC feed")
+    // vacuum from the compacted horizon reclaims the superseded
+    // pdelete file with the pre-compaction data
+    assert(Lakehouse.vacuum(spark, root, retainFrom = v5,
+      graceMs = 0L) > 0)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pdPath = new org.apache.hadoop.fs.Path(s"$root/${pd.head._2}")
+    assert(!fs.exists(pdPath), "vacuum left the superseded pdelete file")
+    assert(Lakehouse.readVersion(spark, root, v5, "o_orderkey")
+      .count() === expect.count(), "retained read broke after vacuum")
+  }
 }
