@@ -1435,6 +1435,199 @@ object Lakehouse {
       orderedOrdersRows(readVersion(s, root, 3, "o_orderkey"))
     }
 
+  // --- FIELD-ID schema evolution (the Iceberg field-id discipline):
+  // every column carries a permanent numeric id in a per-version
+  // schema log; data files store columns under the NAME current at
+  // write time, and reads resolve physical names through the id — so
+  // a RENAME is one metadata commit (no file touched, history stays
+  // readable under both names), a DROP hides the field without
+  // rewriting it, and a re-ADD under a dropped name allocates a NEW
+  // id, so old data never resurrects under the new field. Name-based
+  // union (readVersion) remains the additive-only fast path; this is
+  // the full-evolution read beside it. ---
+
+  /** The schema active AT version v: the newest `_schemalog/v=k ≤ v`
+    * entry set, (field id, name, Spark SQL type), ordered by id. One
+    * tiny parquet read. */
+  private[graft] def schemaAt(s: SparkSession, root: String,
+      v: Int): Seq[(Int, String, String)] = {
+    val fs = hadoopFs(s, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_schemalog")
+    val newest = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt)
+      .filter(_ <= v).max
+    s.read.schema("fid int, name string, dtype string")
+      .parquet(s"$root/_schemalog/v=$newest")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_._1)
+  }
+
+  private[graft] def writeSchemaLog(s: SparkSession, root: String, v: Int,
+      fields: Seq[(Int, String, String)]): Unit = {
+    import s.implicits._
+    fields.toDF("fid", "name", "dtype").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_schemalog/v=$v")
+  }
+
+  /** Metadata-only schema commit: publish fromV+1 with fromV's
+    * manifests inherited untouched and the evolved schema logged.
+    * `evolve` maps the active field list to the new one. */
+  private def schemaCommit(s: SparkSession, root: String, fromV: Int,
+      op: String)(evolve: Seq[(Int, String, String)] =>
+        Seq[(Int, String, String)]): Int = {
+    val v = fromV + 1
+    requireUncommitted(s, root, v, op)
+    writeSchemaLog(s, root, v, evolve(schemaAt(s, root, fromV)))
+    publishVersion(s, root, v, snapshotManifests(s, root, fromV),
+      Seq.empty)
+    v
+  }
+
+  /** RENAME a column: the field keeps its id (and its data files),
+    * only the name moves. Metadata-only. */
+  private[graft] def renameColumn(s: SparkSession, root: String,
+      fromV: Int, oldName: String, newName: String): Int =
+    schemaCommit(s, root, fromV, "renameColumn") { cur =>
+      require(cur.exists(_._2 == oldName),
+        s"renameColumn: no column $oldName")
+      require(!cur.exists(_._2 == newName),
+        s"renameColumn: $newName already exists")
+      cur.map { case (id, n, t) =>
+        (id, if (n == oldName) newName else n, t) }
+    }
+
+  /** DROP a column: the id leaves the schema; files keep the bytes
+    * (time travel before the drop still reads them) but no current or
+    * future read surfaces them. Metadata-only. */
+  private[graft] def dropColumn(s: SparkSession, root: String,
+      fromV: Int, name: String): Int =
+    schemaCommit(s, root, fromV, "dropColumn") { cur =>
+      require(cur.exists(_._2 == name), s"dropColumn: no column $name")
+      cur.filterNot(_._2 == name)
+    }
+
+  /** ADD a column under a FRESH id — one past the max EVER allocated
+    * (scanned over the whole schema log, not just the current schema:
+    * a dropped field may hold the current max, and reusing its id
+    * would resurrect its data under the new name). Pre-existing rows
+    * surface the field as null. Metadata-only. */
+  private[graft] def addColumn(s: SparkSession, root: String,
+      fromV: Int, name: String, dtype: String): Int = {
+    val fs = hadoopFs(s, root)
+    val allLogs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_schemalog"))
+      .map(_.getPath.toString).filter(_.contains("v=")).toSeq
+    val everMax = s.read.schema("fid int, name string, dtype string")
+      .parquet(allLogs: _*).agg(max("fid")).head.getInt(0)
+    schemaCommit(s, root, fromV, "addColumn") { cur =>
+      require(!cur.exists(_._2 == name), s"addColumn: $name exists")
+      cur :+ ((everMax + 1, name, dtype))
+    }
+  }
+
+  /** TYPE-WIDEN a column in place (int→bigint, float→double — the
+    * writer-compatible promotions): the id and name stay, reads cast
+    * old files up. Metadata-only. */
+  private[graft] def widenColumn(s: SparkSession, root: String,
+      fromV: Int, name: String, dtype: String): Int =
+    schemaCommit(s, root, fromV, "widenColumn") { cur =>
+      require(cur.exists(_._2 == name), s"widenColumn: no column $name")
+      cur.map { case (id, n, t) =>
+        (id, n, if (n == name) dtype else t) }
+    }
+
+  /** Field-id-resolved time-travel read: data files group by the
+    * schema epoch they were written under (newest schemalog ≤ seq —
+    * metadata already in hand, no footer reads), each group maps
+    * physical name → field id → the name/type CURRENT at `v`, fields
+    * dropped from the current schema vanish, current fields a group
+    * predates null-fill, widened types cast up — then one
+    * positionally-aligned union. Equality-delete masks compose after
+    * resolution (keys resolve by id like any field). */
+  private[graft] def readVersionByFieldId(s: SparkSession, root: String,
+      v: Int, keyCol: String = ""): DataFrame = {
+    val cur = schemaAt(s, root, v)
+    val ents = manifestEntries(s, root, v)
+    val logVs = {
+      val fs = hadoopFs(s, root)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_schemalog"))
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toInt).sorted.toSeq
+    }
+    val delFiles = ents.collect { case ("delete", p, q) =>
+      (q, s"$root/$p") }
+    val groups = ents.collect { case ("data", p, q) => (q, s"$root/$p") }
+      .groupBy { case (q, _) =>
+        (logVs.filter(_ <= q).max, delFiles.count(_._1 > q)) }
+      .toSeq.sortBy(_._1)
+    groups.map { case ((sv, nDels), files) =>
+      val writeSchema = schemaAt(s, root, sv)
+      val byId = writeSchema.map(f => f._1 -> f._2).toMap
+      val df = s.read.parquet(files.map(_._2): _*)
+      val resolved = df.select(cur.map { case (id, cname, ctype) =>
+        byId.get(id) match {
+          case Some(wname) => col(wname).cast(ctype).as(cname)
+          case None => lit(null).cast(ctype).as(cname)
+        }
+      }: _*)
+      // seq-scoped equality masks, applied post-resolution by id
+      val masks = delFiles.sortBy(_._1).takeRight(nDels).map(_._2)
+      if (masks.isEmpty || keyCol.isEmpty) resolved
+      else resolved.join(broadcast(s.read.parquet(masks: _*)
+        .select(keyCol)), Seq(keyCol), "left_anti")
+    }.reduce(_.unionByName(_))
+  }
+
+  // --- the schema-evolution demonstration table: v1 base load under
+  // (o_orderkey, o_custkey, o_totalprice), v2 RENAME o_totalprice →
+  // price, v3 append written under the new name, v4 DROP o_custkey,
+  // v5 re-ADD o_custkey (fresh field id), v6 append carrying the new
+  // field. Built once per (app, sf dir). ---
+  private val stagedEvoRoot = graft.AppCache[String]()
+
+  private[graft] def schemaEvoDemoRoot(s: SparkSession, d: String)
+      : String =
+    stagedEvoRoot.get(s, d) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_se_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def land(tag: String, df: DataFrame, seq: Int) = {
+        df.repartition(2, col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$root/data/w=$tag")
+        listDataFiles(s, root, s"$root/data/w=$tag").map(("data", _, seq))
+      }
+      writeSchemaLog(s, root, 1, Seq((1, "o_orderkey", "bigint"),
+        (2, "o_custkey", "bigint"), (3, "o_totalprice", "double")))
+      publishVersion(s, root, 1, Seq.empty,
+        land("1", orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), 1))
+      val v2 = renameColumn(s, root, 1, "o_totalprice", "price")
+      publishVersion(s, root, 3, snapshotManifests(s, root, v2),
+        land("3", orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+          .withColumnRenamed("o_totalprice", "price"), 3))
+      val v4 = dropColumn(s, root, 3, "o_custkey")
+      val v5 = addColumn(s, root, v4, "o_custkey", "bigint")
+      publishVersion(s, root, 6, snapshotManifests(s, root, v5),
+        land("6", orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+          .withColumnRenamed("o_totalprice", "price")
+          .withColumn("o_custkey", col("o_custkey") + lit(1000L))
+          .select("o_orderkey", "price", "o_custkey"), 6))
+      root
+    }
+
+  /** Field-id evolution end to end: rename (files readable under both
+    * names across history), drop, and add-after-drop (fresh id — the
+    * dropped field's data must NOT resurrect under the re-added name).
+    * The v6 read must equal the oracle's plain CASE over orders. */
+  val qTableSchemaRename: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val root = schemaEvoDemoRoot(s, d)
+      readVersionByFieldId(s, root, 6)
+        .select(col("o_orderkey"), col("price"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }
+
   // --- the refs demonstration table: an independent commit history
   // over orders exercising write-audit-publish and rollback. Version
   // numbers are linear; PARENTS branch (a snapshot is a closed file
@@ -2150,6 +2343,12 @@ object Lakehouse {
         "ORDER BY o_orderkey")),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
+    // field-id schema evolution: rename is metadata-only (history
+    // readable under both names), add-after-drop gets a fresh id so
+    // dropped data never resurrects — the read resolves physical
+    // names through ids and must equal the plain CASE over orders
+    QueryDef("q_table_schema_rename", qTableSchemaRename, Some(
+      "SELECT o_orderkey, o_totalprice AS price, CAST(NULL AS BIGINT) AS o_custkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT o_orderkey, o_totalprice, o_custkey + 1000 FROM orders WHERE o_orderkey % 3 = 2 ORDER BY o_orderkey")),
     // merge-on-read position delete beside an equality delete: the
     // mixed-mask read must equal the plain two-predicate oracle
     QueryDef("q_table_positional_delete", qTablePositionalDelete, Some(

@@ -1046,4 +1046,69 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.readVersion(spark, root, v5, "o_orderkey")
       .count() === expect.count(), "retained read broke after vacuum")
   }
+
+  test("field-id schema evolution: rename is metadata-only and history " +
+    "reads the old name, widen casts old files up, add-after-drop " +
+    "never resurrects dropped data") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lh_se").toString + "/t"
+    def land(tag: String, df: org.apache.spark.sql.DataFrame, seq: Int) = {
+      df.repartition(2).write.mode("overwrite")
+        .parquet(s"$root/data/w=$tag")
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=$tag")
+        .map(("data", _, seq))
+    }
+    // v1: (k int, amt int) under ids (1, 2)
+    Lakehouse.writeSchemaLog(spark, root, 1,
+      Seq((1, "k", "int"), (2, "amt", "int")))
+    Lakehouse.publishVersion(spark, root, 1, Seq.empty,
+      land("1", spark.range(0, 50)
+        .select(col("id").cast("int").as("k"),
+          (col("id") * 2).cast("int").as("amt")), 1))
+    // v2: RENAME amt -> amount — must inherit v1's manifests untouched
+    val v2 = Lakehouse.renameColumn(spark, root, 1, "amt", "amount")
+    assert(Lakehouse.manifestEntries(spark, root, v2) ===
+      Lakehouse.manifestEntries(spark, root, 1),
+      "rename touched the manifest entries")
+    assert(Lakehouse.readVersionByFieldId(spark, root, v2)
+      .columns.toSeq === Seq("k", "amount"))
+    // time travel BEFORE the rename still reads the OLD name
+    val atV1 = Lakehouse.readVersionByFieldId(spark, root, 1)
+    assert(atV1.columns.toSeq === Seq("k", "amt"))
+    assert(atV1.filter(col("amt") =!= col("k") * 2).isEmpty)
+    // v3: WIDEN amount int -> bigint; old int files cast up in place
+    val v3 = Lakehouse.widenColumn(spark, root, v2, "amount", "bigint")
+    val widened = Lakehouse.readVersionByFieldId(spark, root, v3)
+    assert(widened.schema("amount").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(widened.agg(sum("amount")).as[Long].head === 49L * 50L)
+    // v4: DROP amount — field vanishes from the current read but the
+    // files keep the bytes (v3 time travel above stays valid)
+    val v4 = Lakehouse.dropColumn(spark, root, v3, "amount")
+    assert(Lakehouse.readVersionByFieldId(spark, root, v4)
+      .columns.toSeq === Seq("k"))
+    // v5: re-ADD amount — FRESH field id, so the dropped field's data
+    // must NOT resurrect: pre-existing rows read null
+    val v5 = Lakehouse.addColumn(spark, root, v4, "amount", "bigint")
+    assert(Lakehouse.schemaAt(spark, root, v5)
+      .find(_._2 == "amount").get._1 > 2, "re-add reused the dropped id")
+    val atV5 = Lakehouse.readVersionByFieldId(spark, root, v5)
+    assert(atV5.filter(col("amount").isNotNull).isEmpty,
+      "dropped data resurrected under the re-added name")
+    // v6: append carrying the NEW field — only those rows surface it
+    Lakehouse.publishVersion(spark, root, 6,
+      Lakehouse.snapshotManifests(spark, root, v5),
+      land("6", spark.range(100, 120)
+        .select(col("id").cast("int").as("k"),
+          (col("id") * 7).cast("bigint").as("amount")), 6))
+    val atV6 = Lakehouse.readVersionByFieldId(spark, root, 6)
+    assert(atV6.filter(col("k") < 100 && col("amount").isNotNull).isEmpty)
+    assert(atV6.filter(col("k") >= 100)
+      .filter(col("amount") =!= col("k") * 7L).isEmpty)
+    assert(atV6.count() === 70)
+    // and v3 history is still fully readable AFTER the later evolution
+    assert(Lakehouse.readVersionByFieldId(spark, root, v3)
+      .agg(sum("amount")).as[Long].head === 49L * 50L)
+  }
 }
