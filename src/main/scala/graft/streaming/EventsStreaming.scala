@@ -1876,7 +1876,10 @@ object EventsStreaming {
     * surface exact sums as double. Delta-table-sized, never
     * fact-sized. */
   private[graft] def mvView(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(s"$root/_mv")
+    mvViewDir(s, s"$root/_mv")
+
+  private[graft] def mvViewDir(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
       .groupBy("o_custkey")
       .agg(sum(col("n_orders")).as("n_orders"),
         sum(col("sum_price")).cast("decimal(18,2)").as("sum_price"))
@@ -1933,6 +1936,84 @@ object EventsStreaming {
     maintainMvEpoch(s, root, v1)
     mvView(s, root)
   }
+
+  // --- q_stream_table_source: the table's commit history AS a
+  // streaming SOURCE (graft.sources.TableChangeSource) — the inverse
+  // arc of q_stream_table_ingest and the feed every downstream
+  // consumer of a lakehouse table wants. spark.readStream.format(
+  // "graft-table-changes") replays the commit log: each trigger's
+  // batch is the next version(s)' manifest-diff CDC slice (inserts
+  // from added files, retractions from delete entries resolved
+  // against the prior live view), and the CURSOR IS THE TABLE VERSION,
+  // checkpointed as the stream offset by the engine itself. The key
+  // demonstrates the full contract in one arc: run 1 (AvailableNow)
+  // consumes the staged ingest history and maintains a signed rollup
+  // from the feed; a merge-on-read delete commit lands AFTER the run;
+  // run 2 RESUMES FROM THE SAME CHECKPOINT — the restored version
+  // cursor makes it consume exactly the delete's retraction slice,
+  // nothing replayed, nothing missed. The declared result (the
+  // maintained rollup) must hash-match the direct aggregate over the
+  // final table state — the q_stream_table_mv oracle, reached this
+  // time THROUGH the engine's own offset log rather than an in-commit
+  // maintainer. At 100 TB each trigger plans from metadata: added
+  // files only, broadcast delete keys against a prunable prior view.
+  private val tableSourceInvocation =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** Signed per-batch rollup delta over the CDC feed ('insert' = +1,
+    * 'delete' = −1), exact DECIMAL partials so increments commute. */
+  private def cdcSignedDelta(df: DataFrame): DataFrame =
+    df.withColumn("__sign",
+        when(col(graft.sources.TableChangeSource.ChangeTypeCol) ===
+          "insert", lit(1)).otherwise(lit(-1)))
+      .groupBy("o_custkey")
+      .agg(sum(col("__sign")).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)") * col("__sign"))
+          .cast("decimal(18,2)").as("sum_price"))
+
+  val qStreamTableSource: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Lakehouse
+      val base = stagedTableIngestRoots.get(s, d)(
+        runTableIngestStream(s, d))
+      val inv = tableSourceInvocation.incrementAndGet()
+      val root = s"${sys.props("java.io.tmpdir")}/graft_stream_tsrc_" +
+        s.sparkContext.applicationId + s"_$inv"
+      cloneIndexTree(s, base, root,
+        Seq("_snapshots", "_manifests", "data", "deletes"))
+      val viewDir = s"$root/_cdcview"
+      def drain(): Unit = {
+        // fully-qualified provider name: resolution must not depend on
+        // the META-INF service file having been copied by the build
+        val q = s.readStream
+          .format(classOf[graft.sources.TableChangesProvider].getName)
+          .option("path", root).option("keyCol", "o_orderkey")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            cdcSignedDelta(batch.toDF()).coalesce(1)
+              .write.mode("overwrite").parquet(s"$viewDir/e=$id")
+          }
+          .option("checkpointLocation", s"$root/ckpt_src")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "q_stream_table_source timed out after 300s")
+        q.stop()
+      }
+      drain() // run 1: the ingest history, one insert slice per cursor
+      val v0 = Lakehouse.latestVersion(s, root)
+      Lakehouse.deleteCommit(s, root, v0,
+        Lakehouse.readVersion(s, root, v0, "o_orderkey")
+          .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+          .select("o_orderkey"))
+      drain() // run 2: checkpoint-resumed, exactly the delete slice
+      val out = mvViewDir(s, viewDir).localCheckpoint()
+      deleteCloneTree(s, root)
+      out
+    }
 
   // --- q_stream_table_merge: streaming CDC-UPSERT ingest ---
   // The production change-capture shape (a Debezium-style feed applied
@@ -2082,6 +2163,11 @@ object EventsStreaming {
     // commit's CDC slice (+ one delete-retraction epoch): the
     // maintained view ≡ the direct aggregate over the final state
     QueryDef("q_stream_table_mv", qStreamTableMv, Some(
+      "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 10 <> 4 GROUP BY 1 ORDER BY 1")),
+    // the commit history consumed AS a streaming source (version =
+    // checkpointed offset; run 2 resumes at the delete commit): the
+    // feed-maintained rollup ≡ the direct aggregate over final state
+    QueryDef("q_stream_table_source", qStreamTableSource, Some(
       "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 10 <> 4 GROUP BY 1 ORDER BY 1")),
     // streaming CDC-upsert: base load + two merge-commit epochs ≡ the
     // base table with both update waves applied and all keys present;

@@ -20,4 +20,19 @@ object GraftBridge {
       : Dataset[Row] =
     classic.Dataset.ofRows(
       s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-root a batch DataFrame as a streaming one (`isStreaming=true`)
+    * so a V1 `Source.getBatch` can return an arbitrary Catalyst plan
+    * (parquet scans, joins) and still splice into the micro-batch
+    * execution, which asserts the returned frame is streaming — the
+    * pattern file/lakehouse-style streaming sources use. The inner
+    * plan stays lazy: planning (with pushdown/pruning) happens per
+    * batch when the wrapped RDD is consumed. */
+  def streamingDataFrame(s: SparkSession, df: Dataset[Row])
+      : Dataset[Row] = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

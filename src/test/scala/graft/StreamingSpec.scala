@@ -648,4 +648,88 @@ class StreamingSpec extends SparkSpec {
         .unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("table change source: version-cursored batches, checkpoint " +
+    "restart resumes at the right version, a maintenance-only commit " +
+    "yields an empty batch, positional deletes surface as retractions") {
+    import graft.operators.Lakehouse
+    import graft.sources.TableChangeSource.{ChangeTypeCol, CommitVersionCol}
+    val base = Files.createTempDirectory("graft_tcs").toString
+    val root = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    def land(tag: String, df: org.apache.spark.sql.DataFrame, seq: Int) = {
+      df.repartition(2).write.mode("overwrite")
+        .parquet(s"$root/data/w=$tag")
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=$tag")
+        .map(("data", _, seq))
+    }
+    def rows(n: Long*) = spark.range(n.head, n.last)
+      .select(col("id").as("k"), (col("id") * 3).cast("double").as("amt"))
+    Lakehouse.publishVersion(spark, root, 1, Seq.empty, land("1", rows(0, 50), 1))
+    Lakehouse.publishVersion(spark, root, 2,
+      Lakehouse.snapshotManifests(spark, root, 1), land("2", rows(50, 80), 2))
+    val captured =
+      scala.collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TableChangesProvider].getName)
+        .option("path", root).option("keyCol", "k")
+        .load()
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            captured(id) = b.collect().toSeq
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000)); q.stop()
+    }
+    // run 1: one batch covering v1+v2, all inserts, per-version stamps
+    drain()
+    val b0 = captured(0L)
+    assert(b0.size === 80 &&
+      b0.forall(_.getAs[String](ChangeTypeCol) == "insert"))
+    assert(b0.count(_.getAs[Int](CommitVersionCol) == 1) === 50)
+    assert(b0.count(_.getAs[Int](CommitVersionCol) == 2) === 30)
+    // equality delete AFTER the run; restart from the same checkpoint
+    // must consume EXACTLY the retraction slice (cursor = version)
+    val v3 = Lakehouse.deleteCommit(spark, root, 2,
+      Lakehouse.readVersion(spark, root, 2, "k")
+        .filter(pmod(col("k"), lit(5)) === 0).select("k"))
+    drain()
+    val b1 = captured(1L)
+    assert(b1.nonEmpty &&
+      b1.forall(r => r.getAs[String](ChangeTypeCol) == "delete" &&
+        r.getAs[Int](CommitVersionCol) == v3))
+    assert(b1.map(_.getAs[Long]("k")).sorted ===
+      (0L until 80L).filter(_ % 5 == 0).sorted)
+    // maintenance-only commit (copy-on-write compaction): the cursor
+    // advances but the CDC slice is EMPTY — the seq-invariant
+    val v4 = Lakehouse.compactCommit(spark, root, v3, "k")
+    drain()
+    assert(captured(2L).isEmpty,
+      "compaction leaked rows into the change feed")
+    // positional delete: the masks resolve back to the deleted ROWS
+    val v5 = Lakehouse.positionalDeleteCommit(spark, root, v4,
+      pmod(col("k"), lit(7L)) === 3, "k")
+    drain()
+    val b3 = captured(3L)
+    val expectPd = (0L until 80L)
+      .filter(k => k % 5 != 0 && k % 7 == 3).sorted
+    assert(b3.forall(r => r.getAs[String](ChangeTypeCol) == "delete" &&
+      r.getAs[Int](CommitVersionCol) == v5))
+    assert(b3.map(_.getAs[Long]("k")).sorted === expectPd)
+    // integrity: replaying the whole feed reconstructs the live state
+    val net = captured.values.flatten.toSeq
+      .groupBy(_.getAs[Long]("k"))
+      .collect { case (k, rs) =>
+        (k, rs.map(r => if (r.getAs[String](ChangeTypeCol) == "insert")
+          1 else -1).sum) }
+      .collect { case (k, n) if n > 0 => k }.toSeq.sorted
+    val live = Lakehouse.readVersion(spark, root, v5, "k")
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(net === live, "replayed feed diverged from the live state")
+  }
 }
