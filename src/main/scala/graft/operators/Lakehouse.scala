@@ -191,11 +191,19 @@ object Lakehouse {
     publishVersion(s, root, v, Seq.empty, entries)
 
   /** The manifest list of snapshot `v`: root-relative manifest dirs,
-    * sorted. One tiny parquet read — O(#manifests) rows. */
+    * sorted. One tiny parquet read — O(#manifests) rows. The existence
+    * guard turns a read of an EXPIRED version (retired by
+    * [[expireSnapshots]]) into a crisp refusal instead of a raw
+    * path-not-found from deep inside the parquet reader — the
+    * time-travel-horizon contract every snapshot consumer (readVersion,
+    * CDC spans, the streaming table source) inherits from here. */
   private[graft] def snapshotManifests(s: SparkSession, root: String,
-      v: Int): Seq[String] =
+      v: Int): Seq[String] = {
+    require(versionExists(s, root, v),
+      s"version $v of $root is expired or was never committed")
     s.read.schema(SnapshotSchema).parquet(s"$root/_snapshots/v=$v")
       .collect().map(_.getString(0)).toSeq.sorted
+  }
 
   /** The entries of an explicit manifest set — the unit CDC and
     * metadata-diff reads work in (reading only CHANGED manifests is
@@ -632,8 +640,19 @@ object Lakehouse {
     val now = System.currentTimeMillis()
     def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
       now - st.getModificationTime >= graceMs
-    val retainedManifests = (retainFrom to latestVersion(s, root))
-      .flatMap(v => snapshotManifests(s, root, v)).distinct
+    // the retained set = every SURVIVING snapshot at or above the
+    // horizon, plus any ref-pinned snapshot below it: expireSnapshots
+    // may have retired versions inside the range (skip them — their
+    // files are exactly what this vacuum reclaims), and a version a
+    // named ref still points at (an audit tag, a lagging branch) keeps
+    // its files regardless of the horizon — reclaiming under a live
+    // ref would break the ref-log contract that a pointed-at snapshot
+    // stays readable.
+    val retainedManifests =
+      ((retainFrom to latestVersion(s, root)) ++
+        refHeads(s, root).filter(_ < retainFrom))
+        .distinct.filter(versionExists(s, root, _))
+        .flatMap(v => snapshotManifests(s, root, v)).distinct
     val retained =
       readManifests(s, root, retainedManifests).map(_._2).toSet
     val rootPrefix = new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"
@@ -681,6 +700,49 @@ object Lakehouse {
           aged(st))
         .foreach(st => fs.delete(st.getPath, true))
     reclaimed
+  }
+
+  /** SNAPSHOT EXPIRATION (the Iceberg `expire_snapshots` twin): retire
+    * the snapshot METADATA of every version below `keepFrom`, bounding
+    * the table's metadata growth over its life — without it, a table
+    * committing every few minutes accumulates an unbounded version
+    * history that every vacuum must walk and every `_snapshots`
+    * listing must page through. Only the one-row-per-manifest snapshot
+    * lists are removed here; manifests and data/delete files are
+    * untouched (many are still referenced by surviving snapshots via
+    * manifest reuse) — a FOLLOWING vacuum reclaims exactly the files
+    * and manifests no surviving snapshot references, which is the
+    * two-step Iceberg discipline (expire decides reachability, vacuum
+    * does space).
+    *
+    * Two versions never expire regardless of the horizon:
+    *   - the head (enforced: `keepFrom` ≤ latest), and
+    *   - any version a named ref currently points at ([[refHeads]]) —
+    *     an audit tag or lagging branch keeps its snapshot readable,
+    *     exactly the branch/tag retention rule.
+    * An expired version refuses time travel with a crisp error (the
+    * [[snapshotManifests]] guard), and a CDC/feed span touching one
+    * fails the same way — consumers must hold cursors within the
+    * retention horizon, the contract streaming checkpoints rely on.
+    * Returns the expired versions (ascending). Idempotent: a re-run
+    * over the same horizon finds nothing left to expire. */
+  private[graft] def expireSnapshots(s: SparkSession, root: String,
+      keepFrom: Int): Seq[Int] = {
+    val fs = hadoopFs(s, root)
+    val latest = latestVersion(s, root)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"expireSnapshots: keepFrom $keepFrom outside [1, $latest]")
+    val pinned = refHeads(s, root)
+    val expired = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$root/_snapshots"))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .filter(v => v < keepFrom && !pinned(v)).sorted.toSeq
+    expired.foreach { v =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$root/_snapshots/v=$v"), true): Unit
+    }
+    expired
   }
 
   /** Metadata-only MANIFEST MERGE (the rewrite_manifests maintenance
@@ -881,6 +943,21 @@ object Lakehouse {
   /** The version `name` currently points at. */
   private[graft] def getRef(s: SparkSession, root: String,
       name: String): Int = refLog(s, root, name).last._2
+
+  /** Every ref's CURRENT version — the pin set snapshot expiration and
+    * vacuum honor. Only the HEAD of each ref log pins (the log's older
+    * entries are audit history of where the ref used to point, not
+    * live references — the Iceberg branch/tag retention rule). A ref
+    * dir holding only stranded stagings (no committed r=k entry)
+    * contributes nothing. One listing + one tiny read per ref. */
+  private[graft] def refHeads(s: SparkSession, root: String): Set[Int] = {
+    val fs = hadoopFs(s, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_refs")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(!_.startsWith("."))
+      .flatMap(n => refLog(s, root, n).lastOption.map(_._2)).toSet
+  }
 
   /** WRITE-AUDIT-PUBLISH: audit the STAGED snapshot `v` (committed but
     * not yet referenced by `ref` — invisible to readers of the ref)
@@ -2228,20 +2305,60 @@ object Lakehouse {
   // still the single-writer statement)
   private val stagedVacuumBase = graft.AppCache[String]()
 
-  val qTableVacuum: (SparkSession, String) => DataFrame = (s, d) => {
-    val base = stagedVacuumBase.get(s, d)({
+  /** The six-commit history the RECLAMATION keys (vacuum, expire)
+    * clone per pass — built once per (session, sf), separate from the
+    * read keys' shared root so a maintenance bug could never corrupt
+    * the read surface's fixture. */
+  private def vacuumBase(s: SparkSession, d: String): String =
+    stagedVacuumBase.get(s, d)({
       val r = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_vacb_" +
         s.sparkContext.applicationId + "_" +
         java.lang.Integer.toHexString(d.hashCode)
       buildVersionedOrders(s, d, r)
       r
     })
+
+  val qTableVacuum: (SparkSession, String) => DataFrame = (s, d) => {
+    val base = vacuumBase(s, d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_vac_" +
       s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
     hardLinkTree(base, root,
       Seq("_snapshots", "_manifests", "data", "deletes"))
     vacuum(s, root, retainFrom = 4, graceMs = 0L)
     val out = orderedOrdersRows(readVersion(s, root, 4, "o_orderkey"))
+      .localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
+  /** The RETENTION-POLICY arc end to end, on a hard-link clone of the
+    * staged six-commit history: tag v2 as an audit pin, expire every
+    * snapshot below the keep horizon (v1/v3/v4 retire; v2 survives on
+    * its ref, v5/v6 on the horizon), vacuum at the same horizon (the
+    * superseded v3 delete file is the only newly-unreachable data —
+    * everything else is still referenced by a surviving snapshot
+    * through manifest reuse), then read the head. The declared claim:
+    * the whole policy pass is ROW-INVISIBLE at head — the post-expire,
+    * post-vacuum v6 read hash-matches the plain evolved-state oracle.
+    * LakehouseSpec pins the forensics this key cannot state in SQL:
+    * expired versions refuse time travel, the pinned version stays
+    * readable, reclamation is exactly the v3 delete file, and a
+    * re-run expires nothing (idempotence). */
+  val qTableExpire: (SparkSession, String) => DataFrame = (s, d) => {
+    val base = vacuumBase(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_exp_" +
+      s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
+    hardLinkTree(base, root,
+      Seq("_snapshots", "_manifests", "data", "deletes", "_stats"))
+    setRef(s, root, "audit", 2)
+    expireSnapshots(s, root, keepFrom = 5)
+    vacuum(s, root, retainFrom = 5, graceMs = 0L)
+    val out = readVersion(s, root, 6, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("o_channel"))
+      .orderBy("o_orderkey")
       .localCheckpoint()
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -2315,6 +2432,16 @@ object Lakehouse {
       s"UNION ALL SELECT 5, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ($mergedStateSql) " +
       "ORDER BY version"
 
+  // the v6 evolved head state — shared by the schema-evolution read,
+  // the metadata-only manifest merge, and the retention-policy arc
+  // (all three claim row-invisibility at head, so they answer to the
+  // SAME SQL by reference)
+  private val evolvedStateOracle =
+    "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel FROM (" +
+      mergedStateSql + ") UNION ALL " +
+      "SELECT o_orderkey + 10000000, o_custkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice, 'ch' || CAST((o_orderkey + 10000000) % 3 AS VARCHAR) FROM orders WHERE o_orderkey % 97 = 5 " +
+      "ORDER BY o_orderkey"
+
   private val liveRowsOracle =
     "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 ORDER BY o_orderkey"
 
@@ -2336,11 +2463,11 @@ object Lakehouse {
         mergedStateSql + ") ORDER BY o_orderkey")),
     // additive schema evolution: appended batch carries a new column,
     // pre-evolution rows surface it as null, nothing rewritten
-    QueryDef("q_table_schema_evolution", qTableSchemaEvolution, Some(
-      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel FROM (" +
-        mergedStateSql + ") UNION ALL " +
-        "SELECT o_orderkey + 10000000, o_custkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice, 'ch' || CAST((o_orderkey + 10000000) % 3 AS VARCHAR) FROM orders WHERE o_orderkey % 97 = 5 " +
-        "ORDER BY o_orderkey")),
+    QueryDef("q_table_schema_evolution", qTableSchemaEvolution,
+      Some(evolvedStateOracle)),
+    // retention policy (expire + ref pin + vacuum) is row-invisible at
+    // head: the same evolved-state oracle BY REFERENCE
+    QueryDef("q_table_expire", qTableExpire, Some(evolvedStateOracle)),
     QueryDef("q_table_cdc", qTableCdc, Some(
       "SELECT 2 AS version, 'I' AS op, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'D', o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 4 ORDER BY version, o_orderkey")),
     // field-id schema evolution: rename is metadata-only (history
@@ -2392,11 +2519,8 @@ object Lakehouse {
         "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 1 AND o_orderkey % 7 <> 3 ORDER BY o_orderkey")),
     // metadata-only manifest merge: v7 must read row-identically to v6
     // — the schema-evolution oracle shared BY REFERENCE
-    QueryDef("q_table_manifest_merge", qTableManifestMerge, Some(
-      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel FROM (" +
-        mergedStateSql + ") UNION ALL " +
-        "SELECT o_orderkey + 10000000, o_custkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice, 'ch' || CAST((o_orderkey + 10000000) % 3 AS VARCHAR) FROM orders WHERE o_orderkey % 97 = 5 " +
-        "ORDER BY o_orderkey")),
+    QueryDef("q_table_manifest_merge", qTableManifestMerge,
+      Some(evolvedStateOracle)),
     // write-audit-publish: staged snapshots surface through the ref
     // only after a clean audit; the rejected batch never moves main
     QueryDef("q_table_wap", qTableWap, Some(

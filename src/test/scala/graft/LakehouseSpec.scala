@@ -1111,4 +1111,57 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.readVersionByFieldId(spark, root, v3)
       .agg(sum("amount")).as[Long].head === 49L * 50L)
   }
+
+  test("expireSnapshots: ref-pinned and horizon versions survive, " +
+    "expired versions refuse time travel, vacuum reclaims exactly the " +
+    "newly-unreferenced files, re-run is a no-op") {
+    val root = freshRoot("exp")
+    val preV2 = Lakehouse.readVersion(spark, root, 2, "o_orderkey").count()
+    val preV6 = Lakehouse.readVersion(spark, root, 6, "o_orderkey").count()
+    val v3DeleteFiles = Lakehouse.manifestEntries(spark, root, 3)
+      .collect { case ("delete", p, _) => p }
+    assert(v3DeleteFiles.nonEmpty)
+    // pin v2 with an audit tag; the horizon keeps v5/v6
+    Lakehouse.setRef(spark, root, "audit", 2)
+    assert(Lakehouse.expireSnapshots(spark, root, keepFrom = 5)
+      === Seq(1, 3, 4))
+    // expired: crisp refusal, not a parquet path error
+    Seq(1, 3, 4).foreach { v =>
+      val e = intercept[IllegalArgumentException](
+        Lakehouse.readVersion(spark, root, v, "o_orderkey").count())
+      assert(e.getMessage.contains("expired"), s"v$v: ${e.getMessage}")
+    }
+    // a CDC span touching an expired version fails the same way (the
+    // cursor-within-retention contract feed consumers rely on)
+    assert(intercept[IllegalArgumentException](
+      Lakehouse.changedFiles(spark, root, 3, 5))
+      .getMessage.contains("expired"))
+    // surviving: the pinned tag and the horizon, row-identical
+    assert(Lakehouse.readVersion(spark, root, 2, "o_orderkey").count()
+      === preV2)
+    assert(Lakehouse.getRef(spark, root, "audit") === 2)
+    assert(Lakehouse.latestVersion(spark, root) === 6)
+    // vacuum at the horizon: v3's delete file is the ONLY
+    // newly-unreachable data (v1/v2 files live via the pin, v4's via
+    // v5/v6 manifest reuse) — reclaim count proves exactness
+    val reclaimed = Lakehouse.vacuum(spark, root, retainFrom = 5,
+      graceMs = 0L)
+    assert(reclaimed === v3DeleteFiles.size,
+      s"expected only ${v3DeleteFiles.size} v3 delete file(s) reclaimed")
+    v3DeleteFiles.foreach(p =>
+      assert(!new java.io.File(s"$root/$p").exists(), s"$p not reclaimed"))
+    // post-reclaim reads: pinned and head both byte-stable
+    assert(Lakehouse.readVersion(spark, root, 2, "o_orderkey").count()
+      === preV2)
+    assert(Lakehouse.readVersion(spark, root, 6, "o_orderkey").count()
+      === preV6)
+    // idempotent re-run finds nothing; a horizon past head is refused
+    assert(Lakehouse.expireSnapshots(spark, root, keepFrom = 5).isEmpty)
+    intercept[IllegalArgumentException](
+      Lakehouse.expireSnapshots(spark, root, keepFrom = 7))
+    // moving the pin OFF v2 releases it: the next expire pass takes it
+    Lakehouse.setRef(spark, root, "audit", 6)
+    assert(Lakehouse.expireSnapshots(spark, root, keepFrom = 5)
+      === Seq(2))
+  }
 }
