@@ -63,7 +63,22 @@ final case class MvJoinSpec(
   *     the template's aggregate outputs (counts coalesced to 0);
   *   - `join`: None for a single-table view; Some(spec) for a
   *     star-schema view over fact ⋈ dim (viewInputs may then span
-  *     both sides). */
+  *     both sides);
+  *   - `gate`: a FRESHNESS/IDENTITY check evaluated at rewrite time,
+  *     after the marker binds and before any template work — the
+  *     staleness stamp of an INCREMENTALLY MAINTAINED view. It
+  *     receives the candidate relation's input files; returning false
+  *     keeps the fact scan (the safe fallback — a rewrite is an
+  *     optimization, staleness must degrade to correctness, never to
+  *     a stale answer). A maintained-view registration checks "view
+  *     maintained through = table head AND the candidate reads
+  *     exactly the head's live files"; the default (static rollups,
+  *     re-registered fresh by their materialization step each run)
+  *     is always-fresh. Gates must return false rather than throw —
+  *     the rule treats any failure as no-match for the whole
+  *     candidate. Single-table views only (a star candidate's
+  *     side-file attribution is ambiguous; star views keep the
+  *     default). */
 final case class MvViewDef(
     viewInputs: Set[String],
     overFact: Dataset[org.apache.spark.sql.Row] =>
@@ -72,7 +87,8 @@ final case class MvViewDef(
       Dataset[org.apache.spark.sql.Row],
     reAgg: (Dataset[org.apache.spark.sql.Row], Seq[String]) =>
       Dataset[org.apache.spark.sql.Row],
-    join: Option[MvJoinSpec] = None)
+    join: Option[MvJoinSpec] = None,
+    gate: (SparkSession, Seq[String]) => Boolean = (_, _) => true)
 
 object MvRewrite {
 
@@ -344,7 +360,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
               val source: Option[LogicalPlan] = vd.join match {
                 case None => bareRelation(inner).filter { rel =>
                   relationFiles(rel).exists(atTableBoundary(_, marker)) &&
-                    vd.viewInputs.subsetOf(rel.output.map(_.name).toSet)
+                    vd.viewInputs.subsetOf(rel.output.map(_.name).toSet) &&
+                    vd.gate(spark, relationFiles(rel))
                 }
                 case Some(js) =>
                   matchStarJoin(inner, marker, js).filter(j =>

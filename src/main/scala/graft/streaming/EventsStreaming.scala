@@ -1870,6 +1870,29 @@ object EventsStreaming {
     // yields an empty change slice — no-op instead of .reduce throwing
     (insDelta ++ delDelta).reduceOption(_ unionAll _).foreach(
       _.coalesce(1).write.mode("overwrite").parquet(s"$root/_mv/e=$v"))
+    // MAINTAINED-THROUGH stamp, written for EVERY maintained version —
+    // including empty slices that leave no delta dir (a compaction, a
+    // metadata-only commit), which is exactly why the delta dirs alone
+    // cannot carry the freshness claim. Dot-prefixed ⇒ invisible to
+    // the `_mv` parquet read; mkdirs ⇒ idempotent on epoch re-delivery.
+    // This stamp is what the transparent-rewrite staleness gate
+    // (q_rollup_rewrite_streamed) compares against the table head.
+    val mfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    mfs.mkdirs(
+      new org.apache.hadoop.fs.Path(s"$root/_mv/.through/v=$v")): Unit
+  }
+
+  /** The highest version the view has been maintained through — the
+    * freshness side of the staleness gate. 0 if never maintained. */
+  private[graft] def mvMaintainedThrough(s: SparkSession,
+      root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_mv/.through")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt)
+      .foldLeft(0)(math.max)
   }
 
   /** The maintained view: merge every epoch delta, drop emptied groups,
@@ -1936,6 +1959,111 @@ object EventsStreaming {
     maintainMvEpoch(s, root, v1)
     mvView(s, root)
   }
+
+  // --- q_rollup_rewrite_streamed: the two standing arcs CLOSED INTO A
+  // LOOP — the CDC-maintained streaming view (q_stream_table_mv) is
+  // registered in the optimizer's MV catalog (plans.MvRewriteRule), so
+  // a user's per-customer aggregate WRITTEN AGAINST THE TABLE silently
+  // answers from the maintained delta store instead of the fact scan.
+  // What makes this deployable is the VERSION-STAMP STALENESS GATE:
+  // the registration's gate closure compares the view's
+  // maintained-through stamp (the `.through` marker maintainMvEpoch
+  // lands for every epoch, empty slices included) against the table
+  // HEAD, requires the head to be data-only (an outstanding
+  // merge-on-read delete means the bare file scan the rule matches is
+  // not the live view), and requires the candidate to read exactly the
+  // head's file set — any mismatch keeps the fact scan (staleness
+  // degrades to correctness, never to a stale answer; MvRewriteSpec
+  // advances the table one commit without maintenance and pins the
+  // fallback). At 100 TB: the gate is three metadata reads, the
+  // rewritten query costs the delta store (rollup-sized), and the view
+  // needs no refresh job beyond the maintenance the ingest stream
+  // already does.
+
+  /** The per-customer aggregate BOTH sides share: the registered view
+    * definition (template), and the declared fact query — written from
+    * the same function so the semantic-equality match is exact by
+    * construction, the way a BI tool's semantic layer would emit it. */
+  private[graft] def streamedMvOverFact(df: DataFrame): DataFrame =
+    df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+
+  /** The maintained view as an MvViewDef over the per-epoch delta dirs:
+    * rollupBase merges the signed partials per customer and drops
+    * emptied groups (a fully-retracted customer must not surface —
+    * matching the fact aggregate, which has no rows for it); reAgg
+    * re-aggregates any grouping subset (exact decimal partials).
+    * The gate is the staleness stamp described above. */
+  private[graft] def streamedMvViewDef(root: String): graft.plans.MvViewDef =
+    graft.plans.MvViewDef(
+      viewInputs = Set("o_custkey", "o_totalprice"),
+      overFact = streamedMvOverFact,
+      rollupBase = (s, mvDir) => s.read.parquet(mvDir)
+        .groupBy("o_custkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_price")).cast("decimal(18,2)").as("sum_price"))
+        .filter(col("n_orders") > 0),
+      reAgg = (base, groupNames) =>
+        base.groupBy(groupNames.map(col): _*)
+          .agg(coalesce(sum(col("n_orders")), lit(0L)).as("n_orders"),
+            sum(col("sum_price")).cast("double").as("sum_price")),
+      gate = (s, files) => {
+        import graft.operators.Lakehouse
+        val head = Lakehouse.latestVersion(s, root)
+        mvMaintainedThrough(s, root) == head && {
+          val ents = Lakehouse.manifestEntries(s, root, head)
+          def norm(p: String) =
+            new org.apache.hadoop.fs.Path(p).toUri.getPath
+          ents.forall(_._1 == "data") &&
+            files.map(norm).toSet == ents.collect {
+              case ("data", p, _) => norm(s"$root/$p")
+            }.toSet
+        }
+      })
+
+  /** The staged MV arc, built once per (session, sf): hard-link clone
+    * of the staged ingest history, MV maintenance REPLAYED from the
+    * commit feed (epochs 1..head — the catch-up a maintainer joining
+    * an existing table runs), one delete-retraction epoch, then
+    * copy-on-write compaction with its (empty-slice) maintenance pass
+    * — leaving a data-only head the registered gate accepts. The root
+    * is immutable afterwards: the declared key only reads + registers. */
+  private val stagedMvArcRoots = graft.AppCache[String]()
+
+  private[graft] def mvArcRoot(s: SparkSession, d: String): String =
+    stagedMvArcRoots.get(s, d)({
+      import graft.operators.Lakehouse
+      val base = stagedTableIngestRoots.get(s, d)(
+        runTableIngestStream(s, d))
+      val root = s"${sys.props("java.io.tmpdir")}/graft_stream_tmvarc_" +
+        s.sparkContext.applicationId
+      cloneIndexTree(s, base, root,
+        Seq("_snapshots", "_manifests", "data", "deletes"))
+      val v0 = Lakehouse.latestVersion(s, root)
+      (1 to v0).foreach(maintainMvEpoch(s, root, _))
+      val v1 = Lakehouse.deleteCommit(s, root, v0,
+        Lakehouse.readVersion(s, root, v0, "o_orderkey")
+          .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+          .select("o_orderkey"))
+      maintainMvEpoch(s, root, v1)
+      val v2 = Lakehouse.compactCommit(s, root, v1, "o_orderkey")
+      maintainMvEpoch(s, root, v2)
+      root
+    })
+
+  val qRollupRewriteStreamed: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import graft.operators.Lakehouse
+      val root = mvArcRoot(s, d)
+      graft.plans.MvRewrite.registerView(s, root, s"$root/_mv",
+        streamedMvViewDef(root))
+      val head = Lakehouse.latestVersion(s, root)
+      val files = Lakehouse.manifestEntries(s, root, head)
+        .collect { case ("data", p, _) => s"$root/$p" }
+      streamedMvOverFact(s.read.parquet(files: _*)).orderBy("o_custkey")
+    }
 
   // --- q_stream_table_source: the table's commit history AS a
   // streaming SOURCE (graft.sources.TableChangeSource) — the inverse
@@ -2115,6 +2243,12 @@ object EventsStreaming {
     tableRows(s, root, Lakehouse.latestVersion(s, root))
   }
 
+  // the final table state after the ingest + delete-retraction arc —
+  // shared by the maintained view, the feed-consumed rollup, and the
+  // transparent-rewrite key (all three claim maintained ≡ recomputed)
+  private val tableMvOracle =
+    "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 10 <> 4 GROUP BY 1 ORDER BY 1"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_join", qStreamJoin, Some(
       // stream-stream interval join over a time-ordered replay == the
@@ -2162,13 +2296,19 @@ object EventsStreaming {
     // streaming commits driving incremental MV maintenance from each
     // commit's CDC slice (+ one delete-retraction epoch): the
     // maintained view ≡ the direct aggregate over the final state
-    QueryDef("q_stream_table_mv", qStreamTableMv, Some(
-      "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 10 <> 4 GROUP BY 1 ORDER BY 1")),
+    QueryDef("q_stream_table_mv", qStreamTableMv, Some(tableMvOracle)),
     // the commit history consumed AS a streaming source (version =
     // checkpointed offset; run 2 resumes at the delete commit): the
     // feed-maintained rollup ≡ the direct aggregate over final state
-    QueryDef("q_stream_table_source", qStreamTableSource, Some(
-      "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 10 <> 4 GROUP BY 1 ORDER BY 1")),
+    // — the same oracle BY REFERENCE
+    QueryDef("q_stream_table_source", qStreamTableSource,
+      Some(tableMvOracle)),
+    // the maintained view registered for TRANSPARENT REWRITE behind
+    // the version-stamp staleness gate: the fact-written aggregate,
+    // answered from the delta store, ≡ the same oracle BY REFERENCE
+    // (MvRewriteSpec pins the plan swap and the stale fallback)
+    QueryDef("q_rollup_rewrite_streamed", qRollupRewriteStreamed,
+      Some(tableMvOracle)),
     // streaming CDC-upsert: base load + two merge-commit epochs ≡ the
     // base table with both update waves applied and all keys present;
     // float arithmetic ordered identically on both sides ((p+10)+5)

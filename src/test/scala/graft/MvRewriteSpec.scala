@@ -285,4 +285,89 @@ class MvRewriteSpec extends SparkSpec {
     assert(mScanned.nonEmpty && mScanned.forall(_.contains("graft_rollup_")),
       s"single-table view lost its swap beside the star view: $mScanned")
   }
+
+  test("streamed MV with staleness gate: fresh head swaps to the delta " +
+    "store, an un-maintained commit falls back to the fact scan, and " +
+    "maintenance re-arms the rewrite") {
+    import graft.streaming.EventsStreaming
+    import graft.operators.Lakehouse
+    // FRESH: the declared key's plan reads the _mv delta store, never
+    // the table's data files
+    val viaRule = SparkEntry.queries("q_rollup_rewrite_streamed")(spark, sf)
+    val scanned = scannedFiles(viaRule)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/_mv/")),
+      s"streamed rewrite did not swap to the delta store: $scanned")
+    val arc = EventsStreaming.mvArcRoot(spark, sf)
+    def headDataFiles(root: String): Seq[String] =
+      Lakehouse.manifestEntries(spark, root,
+        Lakehouse.latestVersion(spark, root))
+        .collect { case ("data", p, _) => s"$root/$p" }
+    def candidate(root: String) =
+      EventsStreaming.streamedMvOverFact(
+        spark.read.parquet(headDataFiles(root): _*)).orderBy("o_custkey")
+    // STALE: clone the arc, append one commit WITHOUT maintaining the
+    // view — the gate sees maintained-through < head and keeps the
+    // fact scan, whose rows must equal the rule-free control
+    val stale = arc + "_stale"
+    Lakehouse.hardLinkTree(arc, stale,
+      Seq("_snapshots", "_manifests", "data", "deletes", "_mv"))
+    try {
+      val h0 = Lakehouse.latestVersion(spark, stale)
+      spark.range(1, 4)
+        .select((col("id") + 90000000L).as("o_orderkey"),
+          lit(424242L).as("o_custkey"),
+          lit(java.sql.Date.valueOf("1996-01-01")).as("o_orderdate"),
+          lit(10.0).as("o_totalprice"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stale/data/w=append")
+      Lakehouse.publishVersion(spark, stale, h0 + 1,
+        Lakehouse.snapshotManifests(spark, stale, h0),
+        Lakehouse.listDataFiles(spark, stale, s"$stale/data/w=append")
+          .map(("data", _, h0 + 1)))
+      MvRewrite.registerView(spark, stale, s"$stale/_mv",
+        EventsStreaming.streamedMvViewDef(stale))
+      val fallback = candidate(stale)
+      val fScanned = scannedFiles(fallback)
+      assert(fScanned.exists(_.contains("/data/")) &&
+        !fScanned.exists(_.contains("/_mv/")),
+        s"stale view was wrongly served: $fScanned")
+      assert(fallback.filter(col("o_custkey") === 424242L).count() === 1L)
+      // MAINTAIN the missing epoch from its CDC slice: the gate re-arms
+      // and the same candidate now serves from the delta store, rows
+      // identical to the fact scan (appended customer included)
+      EventsStreaming.maintainMvEpoch(spark, stale, h0 + 1)
+      val served = candidate(stale)
+      val sScanned = scannedFiles(served)
+      assert(sScanned.nonEmpty && sScanned.forall(_.contains("/_mv/")),
+        s"re-armed view did not swap: $sScanned")
+      assert(served.collect().toSeq === fallback.collect().toSeq)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(stale)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    // DATA-ONLY guard: a maintained-through-head table whose head holds
+    // an outstanding merge-on-read delete must NOT rewrite — the bare
+    // file scan the rule matches is not the live view there
+    val mor = arc + "_mor"
+    Lakehouse.hardLinkTree(arc, mor,
+      Seq("_snapshots", "_manifests", "data", "deletes", "_mv"))
+    try {
+      val h0 = Lakehouse.latestVersion(spark, mor)
+      val v1 = Lakehouse.deleteCommit(spark, mor, h0,
+        Lakehouse.readVersion(spark, mor, h0, "o_orderkey")
+          .filter(pmod(col("o_orderkey"), lit(10)) === 7)
+          .select("o_orderkey"))
+      EventsStreaming.maintainMvEpoch(spark, mor, v1)
+      MvRewrite.registerView(spark, mor, s"$mor/_mv",
+        EventsStreaming.streamedMvViewDef(mor))
+      val bare = candidate(mor)
+      assert(!scannedFiles(bare).exists(_.contains("/_mv/")),
+        "merge-on-read head was wrongly answered from the view")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(mor)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+  }
 }
