@@ -382,7 +382,7 @@ object Dedup {
   // below. Deterministic, so the cache is semantics-free.
   private val ngramPairsCache = graft.AppCache[DataFrame]()
 
-  private def cachedNgramPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def cachedNgramPairs(s: SparkSession, d: String): DataFrame =
     ngramPairsCache.get(s, d)(
       ngramJaccardPairs(Tables.documents(s, d)).localCheckpoint())
 
@@ -1191,7 +1191,7 @@ object Dedup {
 
   /** Shared DuckDB CTE producing the verified near-dup pairs with exact
     * Jaccard — the oracle counterpart of qDedupNgramJaccard's plan. */
-  private val ngramPairsCte =
+  private[graft] val ngramPairsCte =
     """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))), i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1])) AS sh FROM documents), cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0 AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4), pairs AS (SELECT doc_a, doc_b, jac FROM (SELECT doc_a, doc_b, CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE) / (len(sh_a) + len(sh_b) - len(list_distinct(list_intersect(sh_a, sh_b)))) AS jac FROM cand) WHERE jac >= 0.8)"""
 
   /** Shared DuckDB CTE for the df-capped containment path: gram df,

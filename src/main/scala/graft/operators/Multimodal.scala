@@ -166,15 +166,19 @@ object Multimodal {
     * an object store; `binaryFile` caps file size by conf, which is the
     * documented reason frame EXTRACTION (q_media_frames) and decode run
     * on the opaque column, not re-reads. */
-  val qScanBinary: (SparkSession, String) => DataFrame = (s, d) => {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scan_binary_" +
-      s.sparkContext.applicationId
+  /** One-file-per-asset blob fixture: land `<stem>_<doc_id>.bin` per
+    * document from EXECUTOR-side partition writers (a driver loop over
+    * assets would be the anti-pattern; each task writes only its
+    * partition), plus a decoy `.txt` per shard that the binaryFile
+    * glob filter must skip. Staged once per (app, fixture), atomic
+    * staging-dir publish. `payload` is the byte column to land. */
+  private def blobFixture(s: SparkSession, tmp: String, stem: String,
+      payloads: DataFrame): String = {
     val dirFile = new java.io.File(tmp)
     if (!dirFile.exists()) {
       val staging = tmp + "_staging"
       new java.io.File(staging).mkdirs()
-      Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      payloads
         .repartition(8)
         .foreachPartition {
           (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -182,7 +186,7 @@ object Multimodal {
             rows.foreach { r =>
               val id = r.getLong(0)
               java.nio.file.Files.write(
-                java.nio.file.Paths.get(staging, s"doc_$id.bin"),
+                java.nio.file.Paths.get(staging, s"${stem}_$id.bin"),
                 r.getAs[Array[Byte]](1)): Unit
               decoy = id
             }
@@ -195,6 +199,16 @@ object Multimodal {
       if (!new java.io.File(staging).renameTo(dirFile))
         require(dirFile.exists(), s"binary fixture publish failed: $tmp")
     }
+    tmp
+  }
+
+  val qScanBinary: (SparkSession, String) => DataFrame = (s, d) => {
+    val tmp = blobFixture(s,
+      s"${sys.props("java.io.tmpdir")}/graft_scan_binary_" +
+        s.sparkContext.applicationId,
+      "doc",
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")))
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
       .load(tmp)
@@ -206,9 +220,99 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --- q_multimodal_dedup: the JOINT pipeline over blobs × text ×
+  // embeddings — one fused dedup decision instead of three parallel
+  // ones. The arc: (1) byte-dedup over the BLOB STORE — each document's
+  // thumbnail rendition lands as a binary asset, is read back via
+  // binaryFile, fingerprinted, and byte-identical renditions pair up
+  // through a fingerprint equi-join (hash-shuffle on the digest — at
+  // 100 TB this is the dedup join, never an all-pairs shape);
+  // (2) CROSS-MODAL pairing — the asset binds to its document by the
+  // path-parsed key, the document to its embedding by id, so all three
+  // modalities speak the same doc_id; (3) the FUSED decision — a pair
+  // from ANY modality (byte-identical rendition OR n-gram-Jaccard text
+  // near-dup OR embedding ε-pair) is an edge, and connected components
+  // over the union assigns one cluster per transitive group (exact-byte
+  // ∪ near-text ∪ near-embedding ⇒ one canonical). The text pairs
+  // reuse the prefix-filtered Jaccard path, the embedding pairs the
+  // bucketed exact ε-join, the components the driver/distributed CC —
+  // every leg is the family's deployed 100 TB shape, composed.
+  //
+  // The thumbnail decode is a STUB like decodeStub (this container has
+  // no image codec): the rendition bytes are the utf-8 of the
+  // normalized 32-char text prefix — deterministic and SQL-computable,
+  // so the DuckDB oracle replays the ENTIRE arc including the store
+  // fingerprints and the recursive closure; a real build swaps the
+  // rendition for a perceptual thumbnail and nothing else changes.
+  // MultimodalSpec pins what the oracle can't see: the fused partition
+  // ≡ an independent union-find over the union of the three pair sets,
+  // every per-modality pair co-clustered, and the store roundtrip
+  // byte-exact.
+
+  /** The stub thumbnail rendition of a document (see above). */
+  private def thumbPayload =
+    encode(substring(
+      lower(regexp_replace(col("text"), "\\s+", " ")), 1, 32), "utf-8")
+
+  private def thumbStore(s: SparkSession, d: String): String =
+    blobFixture(s,
+      s"${sys.props("java.io.tmpdir")}/graft_thumb_store_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(d.hashCode),
+      "thumb",
+      Tables.documents(s, d).select(col("doc_id"),
+        thumbPayload.as("payload")))
+
+  val qMultimodalDedup: (SparkSession, String) => DataFrame = (s, d) => {
+    val blobs = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(thumbStore(s, d))
+      .select(
+        regexp_extract(col("path"), "thumb_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        md5(col("content")).as("thumb_md5"))
+      .localCheckpoint()
+    val bytePairs = blobs
+      .select(col("doc_id").as("doc_a"), col("thumb_md5").as("fp"))
+      .join(blobs.select(col("doc_id").as("doc_b"),
+        col("thumb_md5").as("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val textPairs = Dedup.cachedNgramPairs(s, d).select("doc_a", "doc_b")
+    val embPairs = Similarity.cachedEmbedPairs(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val pairs = bytePairs.unionByName(textPairs).unionByName(embPairs)
+      .distinct()
+    val canon = Dedup.connectedComponents(pairs)
+    Tables.documents(s, d).select("doc_id")
+      .join(blobs, Seq("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("thumb_md5"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  // the fused-dedup oracle replays the whole arc in SQL: the stub
+  // rendition fingerprints, all three pair sets (byte-identical
+  // renditions, the shared n-gram-Jaccard CTE, the embedding ε-pairs),
+  // and the transitive closure over their union
+  private val multimodalDedupOracle =
+    "WITH RECURSIVE th AS (SELECT doc_id, md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 32)) AS thumb_md5 FROM documents), " +
+      "bp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM th a JOIN th b ON a.thumb_md5 = b.thumb_md5 AND a.doc_id < b.doc_id), " +
+      Dedup.ngramPairsCte + ", " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings), " +
+      "ep AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a JOIN e b ON a.vec_id < b.vec_id AND list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) >= 0.4), " +
+      "allp AS (SELECT doc_a, doc_b FROM bp UNION SELECT doc_a, doc_b FROM pairs UNION SELECT doc_a, doc_b FROM ep), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM allp UNION ALL SELECT doc_b, doc_a FROM allp), " +
+      "reach(src, dst) AS (SELECT src, dst FROM edges UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src), " +
+      "canon AS (SELECT src AS doc_id, least(src, MIN(dst)) AS canonical FROM reach GROUP BY src) " +
+      "SELECT d.doc_id, t.thumb_md5, COALESCE(c.canonical, d.doc_id) AS canonical FROM documents d JOIN th t USING (doc_id) LEFT JOIN canon c ON d.doc_id = c.doc_id ORDER BY d.doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_scan_binary", qScanBinary, Some(
       "SELECT doc_id, octet_length(encode(text)) AS length, md5(text) AS content_md5 FROM documents ORDER BY doc_id")),
+    QueryDef("q_multimodal_dedup", qMultimodalDedup,
+      Some(multimodalDedupOracle)),
     QueryDef("q_multimodal_features", qMultimodalFeatures, Some(
       "SELECT doc_id, octet_length(encode(text)) % 640 + 1 AS width, octet_length(encode(text)) % 480 + 1 AS height, CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) * (octet_length(encode(text)) % 480 + 1) AS n_pixels FROM documents ORDER BY doc_id")),
     QueryDef("q_media_frames", qMediaFrames, Some(

@@ -205,7 +205,7 @@ object Similarity {
   // Dedup.cachedMinhashPairs. Deterministic, so semantics-free.
   private val embedPairsCache = graft.AppCache[DataFrame]()
 
-  private def cachedEmbedPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def cachedEmbedPairs(s: SparkSession, d: String): DataFrame =
     embedPairsCache.get(s, d)({
       val threshold = 0.4
       val eps = math.sqrt(2.0 - 2.0 * threshold)

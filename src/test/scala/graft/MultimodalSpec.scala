@@ -92,4 +92,60 @@ class MultimodalSpec extends SparkSpec {
     assert(redecoded.toSeq === Seq((1L, 64, 64), (2L, 64, 64),
       (3L, 64, 64)))
   }
+
+  test("fused multimodal dedup: store fingerprints are byte-exact and " +
+    "the partition is exactly union-find over the union of the byte, " +
+    "text, and embedding pair sets") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_multimodal_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fused = out.map(t => t._1 -> t._3).toMap
+    // the store-read fingerprint must equal the direct md5 of the stub
+    // rendition — the blob write→binaryFile→digest roundtrip is
+    // byte-exact (and the decoy .txt files never leak a doc_id)
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(encode(substring(
+          lower(regexp_replace(col("text"), "\\s+", " ")), 1, 32),
+          "utf-8")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === direct.size)
+    out.foreach { case (id, m, _) => assert(direct(id) === m) }
+    // the three pair sets, independently derived
+    val bytePairs = direct.toSeq.groupBy(_._2).values
+      .filter(_.size > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        ids.combinations(2).map(p => (p(0), p(1)))
+      }.toSeq
+    val textPairs = operators.Dedup.cachedNgramPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val embPairs = operators.Similarity.cachedEmbedPairs(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bytePairs.nonEmpty && textPairs.nonEmpty && embPairs.nonEmpty,
+      "fixture no longer exercises all three modalities")
+    val union = (bytePairs ++ textPairs ++ embPairs).toSet
+    // every per-modality pair is co-clustered in the fused partition
+    union.foreach { case (a, b) =>
+      assert(fused(a) === fused(b), s"pair ($a,$b) split across clusters")
+    }
+    // and the fused labels ARE union-find over the union — no more
+    // merging than the three modalities justify (min-root union keeps
+    // each component's root at its min id, the canonical contract)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    union.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    fused.foreach { case (id, c) =>
+      assert(c === find(id), s"doc $id: fused $c vs union-find ${find(id)}")
+    }
+  }
 }
