@@ -38,7 +38,17 @@ import graft.operators.Lakehouse
   * Registered as `graft-table-changes` (META-INF/services); options:
   * `path` (table root), `keyCol` (delete-key column),
   * `startingVersion` (first version to emit, default 1 — the full
-  * history replay).
+  * history replay), `initialSnapshot` (default false — when true, the
+  * FIRST consumed version emits the full LIVE VIEW of that snapshot
+  * as inserts instead of its manifest diff: the fresh-consumer
+  * bootstrap. A manifest diff needs version v−1's snapshot, so plain
+  * CDC can only start INSIDE the retention horizon — after
+  * [[Lakehouse.expireSnapshots]] retired the early history, a new
+  * consumer starts `startingVersion = <post-horizon version>,
+  * initialSnapshot = true` and gets snapshot-then-CDC, the
+  * Delta/Iceberg bootstrap semantics. A RESUMING consumer whose
+  * checkpointed cursor fell below the horizon fails crisply instead
+  * — the cursor-within-retention contract, spec-pinned).
   */
 class TableChangesProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -60,7 +70,8 @@ class TableChangesProvider extends StreamSourceProvider
       parameters.getOrElse("keyCol",
         sys.error("graft-table-changes: 'keyCol' option is required")),
       parameters.get("startingVersion").map(_.toInt).getOrElse(1),
-      TableChangeSource.tableSchema(ctx.sparkSession, parameters, schema))
+      TableChangeSource.tableSchema(ctx.sparkSession, parameters, schema),
+      parameters.get("initialSnapshot").exists(_.toBoolean))
 }
 
 object TableChangeSource {
@@ -92,7 +103,8 @@ object TableChangeSource {
 }
 
 class TableChangeSource(spark: SparkSession, root: String,
-    keyCol: String, startingVersion: Int, table: StructType)
+    keyCol: String, startingVersion: Int, table: StructType,
+    initialSnapshot: Boolean = false)
     extends Source {
   import TableChangeSource._
 
@@ -124,7 +136,12 @@ class TableChangeSource(spark: SparkSession, root: String,
       df.select(tcols: _*)
         .withColumn(ChangeTypeCol, lit(kind))
         .withColumn(CommitVersionCol, lit(v))
-    if (v == 1) {
+    if (v == startingVersion && initialSnapshot) {
+      // bootstrap: the snapshot's LIVE VIEW as inserts — needs only
+      // version v itself, so it works at the retention horizon where
+      // the v−1 diff below is unreadable
+      Seq(tagged(Lakehouse.readVersion(spark, root, v, keyCol), "insert"))
+    } else if (v == 1) {
       val ins = Lakehouse.manifestEntries(spark, root, 1)
         .collect { case ("data", p, _) => s"$root/$p" }
       if (ins.isEmpty) Seq.empty

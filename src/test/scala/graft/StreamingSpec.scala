@@ -731,5 +731,62 @@ class StreamingSpec extends SparkSpec {
     val live = Lakehouse.readVersion(spark, root, v5, "k")
       .select("k").collect().map(_.getLong(0)).toSeq.sorted
     assert(net === live, "replayed feed diverged from the live state")
+    // --- retention interaction ---
+    // land one more commit, then expire everything below it: the OLD
+    // checkpoint's cursor (v5) now sits below the horizon, and its
+    // resume must fail crisply — the cursor-within-retention contract
+    Lakehouse.publishVersion(spark, root, v5 + 1,
+      Lakehouse.snapshotManifests(spark, root, v5),
+      land("6", rows(80, 90), v5 + 1))
+    Lakehouse.expireSnapshots(spark, root, keepFrom = v5 + 1)
+    val stale = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { drain() }
+    assert(stale.getMessage.contains("expired"),
+      s"resume below the horizon: ${stale.getMessage}")
+    // a FRESH consumer bootstraps at the horizon: initialSnapshot
+    // emits the snapshot's live view as inserts (a manifest diff would
+    // need the expired v5), then CDC resumes normally from there
+    val ckpt2 = s"$base/ckpt2"
+    val captured2 =
+      scala.collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    def drain2(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TableChangesProvider].getName)
+        .option("path", root).option("keyCol", "k")
+        .option("startingVersion", (v5 + 1).toString)
+        .option("initialSnapshot", "true")
+        .load()
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            captured2(id) = b.collect().toSeq
+        }
+        .option("checkpointLocation", ckpt2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000)); q.stop()
+    }
+    drain2()
+    val boot = captured2(0L)
+    val liveAtHorizon = Lakehouse
+      .readVersion(spark, root, v5 + 1, "k")
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(boot.forall(r =>
+      r.getAs[String](ChangeTypeCol) == "insert" &&
+        r.getAs[Int](CommitVersionCol) == v5 + 1))
+    assert(boot.map(_.getAs[Long]("k")).sorted === liveAtHorizon,
+      "bootstrap snapshot diverged from the horizon's live view")
+    // and the bootstrapped checkpoint consumes the NEXT commit as a
+    // plain CDC slice (no re-snapshot)
+    val v7 = Lakehouse.deleteCommit(spark, root, v5 + 1,
+      Lakehouse.readVersion(spark, root, v5 + 1, "k")
+        .filter(col("k") >= 85).select("k"))
+    drain2()
+    val b7 = captured2(1L)
+    assert(b7.forall(r => r.getAs[String](ChangeTypeCol) == "delete" &&
+      r.getAs[Int](CommitVersionCol) == v7))
+    assert(b7.map(_.getAs[Long]("k")).sorted ===
+      liveAtHorizon.filter(_ >= 85))
   }
 }
