@@ -129,6 +129,7 @@ object Bench {
         "q_partition_migrate", "q_partition_compact",
         "q_scan_json", "q_scan_json_corrupt",
         "q_table_lifecycle", "q_table_vacuum", "q_table_expire",
+        "q_table_auto_maintain",
         "q_table_maintenance_lifecycle").contains(name)
     def classJson(pred: String => Boolean): String = {
       val ts = results.collect { case (k, (v, true)) if pred(k) => v }

@@ -890,6 +890,92 @@ object Lakehouse {
     -1 // unreachable
   }
 
+  // --- AUTO-MAINTENANCE: a metrics-driven planner over the three
+  // maintenance ops (the Delta auto-optimize / Iceberg
+  // maintenance-policy pattern). A table that is WRITTEN well still
+  // degrades structurally — delete debt grows the read's anti-join
+  // fan-out, manifest count grows every commit's list rent, small
+  // files grow the scan's open cost — and a deployment cannot hand
+  // schedule per-table ops across thousands of tables. The planner
+  // reads ONLY table metadata, compares against a policy, and runs
+  // exactly the ops the metrics justify; every op is row-invisible, so
+  // the whole pass is too (the declared key's oracle). ---
+
+  /** Structural health of version `v`, all from metadata: live
+    * manifest count (commit list rent), distinct PLAIN delete-commit
+    * count (read fan-out debt — cumulative files from a prior rewrite
+    * are already-paid maintenance and don't count), data-file count
+    * and how many fall under the small-file bound. File sizes come
+    * from per-file metadata calls here; a production manifest schema
+    * records byte sizes in the entries themselves (as
+    * Iceberg/Delta do), making this a pure manifest read. */
+  final case class TableMetrics(manifests: Int, deleteCommits: Int,
+      dataFiles: Int, smallDataFiles: Int, dataBytes: Long)
+
+  private[graft] def tableMetrics(s: SparkSession, root: String, v: Int,
+      smallBytes: Long): TableMetrics = {
+    val ms = snapshotManifests(s, root, v)
+    val ents = readManifests(s, root, ms)
+    val fs = hadoopFs(s, root)
+    val sizes = ents.collect { case ("data", p, _) =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$p")).getLen
+    }
+    TableMetrics(
+      manifests = ms.size,
+      deleteCommits =
+        ents.collect { case ("delete", _, q) => q }.distinct.size,
+      dataFiles = sizes.size,
+      smallDataFiles = sizes.count(_ < smallBytes),
+      dataBytes = sizes.sum)
+  }
+
+  /** The deployment's knobs: when does each structural debt warrant
+    * its op, what is "small", and what file size compaction targets. */
+  final case class MaintenancePolicy(
+      maxDeleteCommits: Int = 2,
+      maxManifests: Int = 4,
+      maxSmallFiles: Int = 8,
+      smallBytes: Long = 1L << 20,
+      targetFileBytes: Long = 128L << 20)
+
+  /** Evaluate the policy and run what the metrics justify, in
+    * subsumption order: small-file COMPACTION first (a copy-on-write
+    * rewrite also retires every delete and resets the manifest list,
+    * so re-measured metrics usually stop there), then DELETE REWRITE
+    * (O(D²)→O(D) read planning), then MANIFEST MERGE (list rent).
+    * Metrics re-measure after each op — the planner never runs an op
+    * whose debt a previous op already cleared. A healthy table is a
+    * metadata read and nothing else. Returns (head version, the ops
+    * run, in order). Compaction sizes its output file count from
+    * total live bytes / targetFileBytes — the bin-pack target; a
+    * production planner compacts the small-file SUBSET per partition
+    * rather than the whole table, same decision logic. */
+  private[graft] def autoMaintain(s: SparkSession, root: String,
+      fromV: Int, keyCol: String,
+      policy: MaintenancePolicy = MaintenancePolicy())
+      : (Int, Seq[String]) = {
+    var v = fromV
+    val acts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var m = tableMetrics(s, root, v, policy.smallBytes)
+    if (m.smallDataFiles > policy.maxSmallFiles) {
+      val nFiles = math.max(1, math.ceil(
+        m.dataBytes.toDouble / policy.targetFileBytes).toInt)
+      v = compactCommit(s, root, v, keyCol, nFiles)
+      acts += "compact"
+      m = tableMetrics(s, root, v, policy.smallBytes)
+    }
+    if (m.deleteCommits > policy.maxDeleteCommits) {
+      v = rewriteDeletes(s, root, v, keyCol)
+      acts += "rewriteDeletes"
+      m = tableMetrics(s, root, v, policy.smallBytes)
+    }
+    if (m.manifests > policy.maxManifests) {
+      v = mergeManifests(s, root, v)
+      acts += "mergeManifests"
+    }
+    (v, acts.toSeq)
+  }
+
   // --- named refs: mutable pointers into the immutable version
   // history (branches/tags). A ref is an APPEND-ONLY LOG under
   // _refs/<name>/r=<k>, each entry one tiny parquet dir holding a
@@ -1858,7 +1944,11 @@ object Lakehouse {
   // the live-state oracle over the post-maintenance version).
   private val rdDemoRoot = graft.AppCache[String]()
 
-  private[graft] def buildRewriteDeletesDemo(s: SparkSession, d: String,
+  /** The PRE-maintenance debt state (2 ingest epochs + 3 delete
+    * commits, nothing rewritten) — shared by the rewriteDeletes demo
+    * and the auto-maintenance planner's staged base. Returns the head
+    * version. */
+  private[graft] def buildDeleteDebtDemo(s: SparkSession, d: String,
       root: String): Int = {
     val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
     ingestCommit(root,
@@ -1873,8 +1963,12 @@ object Lakehouse {
         orders.filter(pmod(col("o_orderkey"), lit(m)) === r)
           .select("o_orderkey"))
     }
-    rewriteDeletes(s, root, v, "o_orderkey")
+    v
   }
+
+  private[graft] def buildRewriteDeletesDemo(s: SparkSession, d: String,
+      root: String): Int =
+    rewriteDeletes(s, root, buildDeleteDebtDemo(s, d, root), "o_orderkey")
 
   private[graft] def rewriteDeletesDemoRoot(s: SparkSession,
       d: String): String =
@@ -1896,6 +1990,48 @@ object Lakehouse {
       val root = rewriteDeletesDemoRoot(s, d)
       orderedOrdersRows(
         readVersion(s, root, latestVersion(s, root), "o_orderkey"))
+    }
+
+  // the auto-maintenance key's staged PRE-maintenance base (delete
+  // debt outstanding) — each pass hard-links it and lets the PLANNER
+  // decide what to run (the vacuum-key staging discipline)
+  private val autoMaintainBase = graft.AppCache[String]()
+
+  /** The planner end to end: clone the delete-debt table, run
+    * [[autoMaintain]] under a policy whose small-file bound is
+    * disabled (the sf-scaled demo files are all tiny — size-triggered
+    * compaction is the spec's scenario, not this key's), and read the
+    * resulting head. The metrics justify exactly the delete rewrite
+    * here (3 plain delete commits > 2; the rewrite snapshot resets the
+    * manifest list, so the merge stage finds nothing) — and the whole
+    * pass must be row-invisible: the read hash-matches the live-state
+    * predicate, the q_table_rewrite_deletes oracle BY REFERENCE.
+    * LakehouseSpec pins the DECISIONS per scenario: rewrite-only
+    * here, merge-only on an append-heavy table, compact-first on a
+    * small-file table (re-measured metrics stopping the later
+    * stages), and all-quiet on a healthy one. */
+  val qTableAutoMaintain: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val base = autoMaintainBase.get(s, d)({
+        val r = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_amb_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        buildDeleteDebtDemo(s, d, r): Unit
+        r
+      })
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_am_" +
+        s.sparkContext.applicationId + "_" +
+        lifecycleRuns.incrementAndGet()
+      hardLinkTree(base, root,
+        Seq("_snapshots", "_manifests", "data", "deletes"))
+      val (v, _) = autoMaintain(s, root, latestVersion(s, root),
+        "o_orderkey",
+        MaintenancePolicy(maxSmallFiles = Int.MaxValue))
+      val out = orderedOrdersRows(readVersion(s, root, v, "o_orderkey"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }
 
   /** CDC across the delete maintenance: the span v2 → post-rewrite
@@ -2445,6 +2581,12 @@ object Lakehouse {
   private val liveRowsOracle =
     "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 ORDER BY o_orderkey"
 
+  // the delete-debt demo's live state — shared by the explicit
+  // rewriteDeletes key and the planner key (both claim row-invisible
+  // maintenance over the same debt shape)
+  private val debtLiveOracle =
+    "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 1 AND o_orderkey % 7 <> 3 AND o_orderkey % 13 <> 5 ORDER BY o_orderkey"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_table_time_travel", qTableTimeTravel, Some(timeTravelOracle)),
     QueryDef("q_table_snapshot_rows", qTableSnapshotRows,
@@ -2482,8 +2624,12 @@ object Lakehouse {
       "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 4 AND o_custkey % 7 <> 2 ORDER BY o_orderkey")),
     // delete-file maintenance: the post-rewrite read (one cumulative
     // delete per plan group) must equal the live-state predicate
-    QueryDef("q_table_rewrite_deletes", qTableRewriteDeletes, Some(
-      "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 10 <> 1 AND o_orderkey % 7 <> 3 AND o_orderkey % 13 <> 5 ORDER BY o_orderkey")),
+    QueryDef("q_table_rewrite_deletes", qTableRewriteDeletes,
+      Some(debtLiveOracle)),
+    // the metrics-driven planner choosing and running the same
+    // maintenance: row-invisible end to end — same oracle BY REFERENCE
+    QueryDef("q_table_auto_maintain", qTableAutoMaintain,
+      Some(debtLiveOracle)),
     // CDC spanning the delete maintenance: the cumulative file reports
     // exactly the span's (distinct) deleted keys
     QueryDef("q_table_cdc_maintained", qTableCdcMaintained, Some(

@@ -1164,4 +1164,87 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.expireSnapshots(spark, root, keepFrom = 5)
       === Seq(2))
   }
+
+  test("auto-maintenance planner: decisions follow the metrics, " +
+    "re-measured after each op, and every pass is row-invisible") {
+    import Lakehouse.MaintenancePolicy
+    val noSize = MaintenancePolicy(maxSmallFiles = Int.MaxValue)
+    // SCENARIO 1 — delete debt: 3 plain delete commits > 2 justify the
+    // rewrite; the rewrite snapshot resets the manifest list, so the
+    // re-measured metrics stop the merge stage
+    val r1 = java.nio.file.Files
+      .createTempDirectory("graft_am_debt").toString + "/t"
+    val v1 = Lakehouse.buildDeleteDebtDemo(spark, sf, r1)
+    val m1 = Lakehouse.tableMetrics(spark, r1, v1, 1L << 20)
+    assert(m1.deleteCommits === 3 && m1.manifests === 5)
+    val before = Lakehouse.readVersion(spark, r1, v1, "o_orderkey")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (nv1, acts1) =
+      Lakehouse.autoMaintain(spark, r1, v1, "o_orderkey", noSize)
+    assert(acts1 === Seq("rewriteDeletes"), s"debt table ran $acts1")
+    val after = Lakehouse.readVersion(spark, r1, nv1, "o_orderkey")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(after === before, "maintenance changed the row set")
+    val m1b = Lakehouse.tableMetrics(spark, r1, nv1, 1L << 20)
+    assert(m1b.deleteCommits === 0 && m1b.manifests === 1)
+    // healthy now: the planner is a metadata read and nothing else
+    val (nv1c, acts1c) =
+      Lakehouse.autoMaintain(spark, r1, nv1, "o_orderkey", noSize)
+    assert(acts1c.isEmpty && nv1c === nv1)
+    // SCENARIO 2 — append-heavy: manifest rent alone justifies only
+    // the merge
+    val r2 = java.nio.file.Files
+      .createTempDirectory("graft_am_app").toString + "/t"
+    def land(root: String, tag: String, from: Long, to: Long,
+        seq: Int): Seq[(String, String, Int)] = {
+      spark.range(from, to)
+        .select(col("id").as("k"), (col("id") * 2).as("x"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/w=$tag")
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=$tag")
+        .map(("data", _, seq))
+    }
+    Lakehouse.publishVersion(spark, r2, 1, Seq.empty,
+      land(r2, "1", 0, 10, 1))
+    (2 to 6).foreach { v =>
+      Lakehouse.publishVersion(spark, r2, v,
+        Lakehouse.snapshotManifests(spark, r2, v - 1),
+        land(r2, v.toString, v * 10L, v * 10L + 10, v))
+    }
+    val (nv2, acts2) =
+      Lakehouse.autoMaintain(spark, r2, 6, "k", noSize)
+    assert(acts2 === Seq("mergeManifests"), s"append table ran $acts2")
+    assert(Lakehouse.tableMetrics(spark, r2, nv2, 1L << 20)
+      .manifests === 1)
+    assert(Lakehouse.readVersion(spark, r2, nv2, "k").count() === 60)
+    // SCENARIO 3 — small files + delete debt: compaction fires FIRST
+    // and its copy-on-write rewrite clears the delete debt and the
+    // manifest rent, so nothing else runs
+    val r3 = java.nio.file.Files
+      .createTempDirectory("graft_am_small").toString + "/t"
+    Lakehouse.publishVersion(spark, r3, 1, Seq.empty,
+      land(r3, "1", 0, 10, 1))
+    (2 to 6).foreach { v =>
+      Lakehouse.publishVersion(spark, r3, v,
+        Lakehouse.snapshotManifests(spark, r3, v - 1),
+        land(r3, v.toString, v * 10L, v * 10L + 10, v))
+    }
+    var v3 = 6
+    Seq(0L, 1L, 2L).foreach { r =>
+      v3 = Lakehouse.deleteCommit(spark, r3, v3,
+        spark.range(0, 70).select(col("id").as("k"))
+          .filter(pmod(col("k"), lit(10)) === r).select("k"))
+    }
+    val (nv3, acts3) = Lakehouse.autoMaintain(spark, r3, v3, "k",
+      MaintenancePolicy(maxSmallFiles = 2, smallBytes = 1L << 20))
+    assert(acts3 === Seq("compact"), s"small-file table ran $acts3")
+    val m3 = Lakehouse.tableMetrics(spark, r3, nv3, 1L << 20)
+    assert(m3.deleteCommits === 0 && m3.manifests === 1 &&
+      m3.dataFiles === 1, s"compaction did not reset the debts: $m3")
+    val live3 = Lakehouse.readVersion(spark, r3, nv3, "k")
+      .select("k").collect().map(_.getLong(0)).sorted
+    val expect3 = ((0L until 10L) ++ (20L until 70L))
+      .filter(_ % 10 > 2).toArray.sorted
+    assert(live3 === expect3, "compaction changed the live row set")
+  }
 }
