@@ -1065,6 +1065,33 @@ object Lakehouse {
     ok
   }
 
+  /** FAST-FORWARD merge of branch `from` into ref `to` (the Iceberg
+    * `fast_forward` procedure): a pure metadata ref move, legal only
+    * while `to` still sits at the branch's CREATION BASE — the first
+    * entry of `from`'s ref log records where the branch forked, so
+    * "has `to` moved since" needs no parent pointers. If `to`
+    * advanced, the histories diverged and a blind move would DROP
+    * `to`'s commits: refuse with [[ConcurrentCommitException]] and let
+    * the caller rebase the branch (re-apply its commits atop the new
+    * head — the commits are immutable snapshots, nothing is lost).
+    * Returns the new head. Snapshot versions stay linear; PARENTAGE is
+    * what branches (a snapshot is a closed file set, so the history is
+    * free to be a DAG — the rollback-divergence property, extended to
+    * named lines of work). */
+  private[graft] def fastForward(s: SparkSession, root: String,
+      to: String, from: String): Int = {
+    val target = getRef(s, root, from)
+    val base = refLog(s, root, from).head._2
+    val cur = getRef(s, root, to)
+    if (cur != base)
+      throw new ConcurrentCommitException(
+        s"fast-forward $to ← $from: $to moved off the branch base " +
+          s"($base → $cur) — the histories diverged; rebase the branch " +
+          "and retry")
+    setRef(s, root, to, target)
+    target
+  }
+
   /** Highest committed version (spec/tooling helper — queries pass
     * explicit versions). Listing `_snapshots` is one metadata call. */
   private[graft] def latestVersion(s: SparkSession, root: String): Int = {
@@ -1841,6 +1868,32 @@ object Lakehouse {
       land("bad5", bad.unionAll(bad), 5))
     require(!auditAndPublish(s, root, 5, "wap_main", "o_orderkey"),
       "refs demo: the duplicate-key batch must fail its audit")
+    // BRANCH arc: a named line of work forked from the published main
+    // head — two commits land on `dev` (versions stay linear, the
+    // commits inherit from the BRANCH head, never main's), main
+    // readers stay isolated on the base, then the audited branch
+    // fast-forwards main in one metadata move.
+    setRef(s, root, "br_main", 2)
+    setRef(s, root, "dev", 2) // branch creation: log entry 1 IS the base
+    // dev commit 1 — merge-on-read delete derived from the BRANCH head
+    readVersion(s, root, 2, "o_orderkey")
+      .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+      .select("o_orderkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes/w=b6")
+    publishVersion(s, root, 6, snapshotManifests(s, root, 2),
+      listDataFiles(s, root, s"$root/deletes/w=b6").map(("delete", _, 6)))
+    setRef(s, root, "dev", 6)
+    // dev commit 2 — append of the never-loaded third, keys offset so
+    // the branch's new rows are self-evidently its own
+    publishVersion(s, root, 7, snapshotManifests(s, root, 6),
+      land("b7", orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(30000000L)), 7))
+    setRef(s, root, "dev", 7)
+    // the merge: main is still at the branch base, so the audited
+    // branch fast-forwards in one metadata move (the ref LOGS retain
+    // every intermediate state the declared key reads back)
+    require(fastForward(s, root, "br_main", "dev") == 7,
+      "refs demo: the branch fast-forward must land on the dev head")
   }
 
   private[graft] def refsDemoRoot(s: SparkSession, d: String): String =
@@ -1875,6 +1928,28 @@ object Lakehouse {
       .unionAll(refStepStats(s, root, "04_rejected_staged", 5))
       .unionAll(refStepStats(s, root, "05_main_after_reject",
         getRef(s, root, "wap_main")))
+      .orderBy("step")
+  }
+
+  /** BRANCH workflow over the same immutable history: a named line of
+    * work forked from the published main head — its commits inherit
+    * from the BRANCH head (never main's), main readers stay isolated
+    * on the base the whole time (step 04 re-reads main's pre-merge
+    * value: identical to step 01 by construction, which is exactly
+    * the isolation claim), and the audited branch lands on main as a
+    * fast-forward ref move. Every step is read back through the ref
+    * LOGS — the logs are the audit history. LakehouseSpec pins the
+    * divergence refusal (main moved off the base → the merge throws
+    * instead of dropping main's commits). */
+  val qTableBranch: (SparkSession, String) => DataFrame = (s, d) => {
+    val root = refsDemoRoot(s, d)
+    val dev = refLog(s, root, "dev").map(_._2)
+    val main = refLog(s, root, "br_main").map(_._2)
+    refStepStats(s, root, "01_main_base", main.head)
+      .unionAll(refStepStats(s, root, "02_branch_deleted", dev(1)))
+      .unionAll(refStepStats(s, root, "03_branch_appended", dev(2)))
+      .unionAll(refStepStats(s, root, "04_main_isolated", main.head))
+      .unionAll(refStepStats(s, root, "05_main_after_ff", main.last))
       .orderBy("step")
   }
 
@@ -2675,6 +2750,18 @@ object Lakehouse {
         "UNION ALL SELECT '03_main_after_publish', 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) " +
         "UNION ALL SELECT '04_rejected_staged', 5, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT o_totalprice FROM orders WHERE o_orderkey % 97 = 5 UNION ALL SELECT o_totalprice FROM orders WHERE o_orderkey % 97 = 5) " +
         "UNION ALL SELECT '05_main_after_reject', 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1)) " +
+        "SELECT * FROM s ORDER BY step")),
+    // branch workflow: two commits on a named branch forked from the
+    // published head, main isolated on the base throughout, then the
+    // audited branch fast-forwards main in one metadata move
+    QueryDef("q_table_branch", qTableBranch, Some(
+      "WITH b AS (SELECT COUNT(*) AS n_rows, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders WHERE o_orderkey % 3 IN (0, 1)), " +
+        "m AS (SELECT COUNT(*) AS n_rows, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 UNION ALL SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 2)), " +
+        "s AS (SELECT '01_main_base' AS step, 2 AS version, n_rows, sum_price FROM b " +
+        "UNION ALL SELECT '02_branch_deleted', 6, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 4 " +
+        "UNION ALL SELECT '03_branch_appended', 7, n_rows, sum_price FROM m " +
+        "UNION ALL SELECT '04_main_isolated', 2, n_rows, sum_price FROM b " +
+        "UNION ALL SELECT '05_main_after_ff', 7, n_rows, sum_price FROM m) " +
         "SELECT * FROM s ORDER BY step")),
     // rollback is a ref move: the delete vanishes from main, the next
     // commit diverges from the rolled-back snapshot, the abandoned

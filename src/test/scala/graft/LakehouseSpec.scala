@@ -1165,6 +1165,44 @@ class LakehouseSpec extends SparkSpec {
       === Seq(2))
   }
 
+  test("fast-forward merge: lands on the branch head while main sits " +
+    "at the base, refuses a diverged main, and a rebase-fresh branch " +
+    "merges cleanly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ff").toString + "/t"
+    def land(tag: String, from: Long, to: Long, seq: Int) = {
+      spark.range(from, to).select(col("id").as("k"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/w=$tag")
+      Lakehouse.listDataFiles(spark, root, s"$root/data/w=$tag")
+        .map(("data", _, seq))
+    }
+    Lakehouse.publishVersion(spark, root, 1, Seq.empty, land("1", 0, 10, 1))
+    Lakehouse.setRef(spark, root, "main", 1)
+    Lakehouse.setRef(spark, root, "dev", 1)
+    Lakehouse.publishVersion(spark, root, 2,
+      Lakehouse.snapshotManifests(spark, root, 1), land("2", 10, 20, 2))
+    Lakehouse.setRef(spark, root, "dev", 2)
+    // main still at the base: the merge is a clean metadata move...
+    // but first, DIVERGE main and pin the refusal
+    Lakehouse.publishVersion(spark, root, 3,
+      Lakehouse.snapshotManifests(spark, root, 1), land("3", 20, 30, 3))
+    Lakehouse.setRef(spark, root, "main", 3)
+    val e = intercept[Lakehouse.ConcurrentCommitException](
+      Lakehouse.fastForward(spark, root, "main", "dev"))
+    assert(e.getMessage.contains("diverged"))
+    assert(Lakehouse.getRef(spark, root, "main") === 3,
+      "a refused merge must not move main")
+    // rebase: a fresh branch from the NEW head carries the work over
+    Lakehouse.setRef(spark, root, "dev2", 3)
+    Lakehouse.publishVersion(spark, root, 4,
+      Lakehouse.snapshotManifests(spark, root, 3), land("4", 10, 20, 4))
+    Lakehouse.setRef(spark, root, "dev2", 4)
+    assert(Lakehouse.fastForward(spark, root, "main", "dev2") === 4)
+    assert(Lakehouse.getRef(spark, root, "main") === 4)
+    assert(Lakehouse.readVersion(spark, root, 4, "k").count() === 30)
+  }
+
   test("auto-maintenance planner: decisions follow the metrics, " +
     "re-measured after each op, and every pass is row-invisible") {
     import Lakehouse.MaintenancePolicy
