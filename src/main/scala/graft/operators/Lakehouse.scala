@@ -1065,6 +1065,52 @@ object Lakehouse {
     ok
   }
 
+  /** Commit timestamps for every SURVIVING snapshot, ascending by
+    * version, made MONOTONIC by running-max (a copied tree or a
+    * skewed writer clock must never make time travel non-monotone —
+    * the same fix-up Delta applies to commit-file mtimes). The
+    * timestamp source is the snapshot dir's mtime: commit time IS
+    * publish time, no extra metadata write. */
+  private[graft] def commitTimestamps(s: SparkSession,
+      root: String): Seq[(Int, Long)] = {
+    val fs = hadoopFs(s, root)
+    val vs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$root/_snapshots"))
+      .filter(_.getPath.getName.startsWith("v="))
+      .map(st => (st.getPath.getName.stripPrefix("v=").toInt,
+        st.getModificationTime))
+      .sortBy(_._1).toSeq
+    var run = 0L
+    vs.map { case (v, t) => run = math.max(run, t); (v, run) }
+  }
+
+  /** Timestamp time travel (`TIMESTAMP AS OF`): the newest surviving
+    * snapshot committed at or before `ts`. Refuses a timestamp older
+    * than the retention horizon (nothing to read there — the
+    * expireSnapshots contract applied to time, not versions). */
+  private[graft] def versionAsOf(s: SparkSession, root: String,
+      ts: Long): Int = {
+    val at = commitTimestamps(s, root).takeWhile(_._2 <= ts)
+    require(at.nonEmpty,
+      s"no snapshot at or before ts=$ts — before table creation or " +
+        "past the retention horizon")
+    at.last._1
+  }
+
+  /** AGE-based retention (`expire_snapshots(older_than => ts)`): expire
+    * every snapshot strictly older than `ts`, keeping — as always —
+    * the head and every ref-pinned version. Resolves the cutoff to a
+    * version horizon and delegates to [[expireSnapshots]], so the two
+    * policies (keep-last-N and keep-younger-than) share one
+    * mechanism. */
+  private[graft] def expireSnapshotsOlderThan(s: SparkSession,
+      root: String, ts: Long): Seq[Int] = {
+    val cts = commitTimestamps(s, root)
+    val keepFrom = cts.find(_._2 >= ts).map(_._1)
+      .getOrElse(latestVersion(s, root))
+    expireSnapshots(s, root, keepFrom)
+  }
+
   /** FAST-FORWARD merge of branch `from` into ref `to` (the Iceberg
     * `fast_forward` procedure): a pure metadata ref move, legal only
     * while `to` still sits at the branch's CREATION BASE — the first

@@ -1165,6 +1165,51 @@ class LakehouseSpec extends SparkSpec {
       === Seq(2))
   }
 
+  test("timestamp time travel and age-based expiry: AS OF resolves " +
+    "monotonically, pre-creation timestamps refuse, and older-than " +
+    "delegates to the version horizon") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ts").toString + "/t"
+    def commit(v: Int, from: Long, to: Long): Unit = {
+      spark.range(from, to).select(col("id").as("k"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/w=$v")
+      Lakehouse.publishVersion(spark, root, v,
+        if (v == 1) Seq.empty
+        else Lakehouse.snapshotManifests(spark, root, v - 1),
+        Lakehouse.listDataFiles(spark, root, s"$root/data/w=$v")
+          .map(("data", _, v)))
+    }
+    val t0 = System.currentTimeMillis() - 5
+    commit(1, 0, 10); Thread.sleep(25)
+    val t12 = System.currentTimeMillis()
+    Thread.sleep(25); commit(2, 10, 20); Thread.sleep(25)
+    val t23 = System.currentTimeMillis()
+    Thread.sleep(25); commit(3, 20, 30)
+    val ts = Lakehouse.commitTimestamps(spark, root)
+    assert(ts.map(_._1) === Seq(1, 2, 3))
+    assert(ts.map(_._2) === ts.map(_._2).sorted, "timestamps not monotone")
+    // AS OF: between commits resolves to the earlier one; now → head
+    assert(Lakehouse.versionAsOf(spark, root, t12) === 1)
+    assert(Lakehouse.versionAsOf(spark, root, t23) === 2)
+    assert(Lakehouse.versionAsOf(spark, root,
+      System.currentTimeMillis()) === 3)
+    intercept[IllegalArgumentException](
+      Lakehouse.versionAsOf(spark, root, t0))
+    // age-based expiry: everything older than t23 retires (v1, v2);
+    // the AS OF read that used to hit v1 now refuses — time travel
+    // respects the retention horizon
+    assert(Lakehouse.expireSnapshotsOlderThan(spark, root, t23)
+      === Seq(1, 2))
+    intercept[IllegalArgumentException](
+      Lakehouse.versionAsOf(spark, root, t12))
+    assert(Lakehouse.versionAsOf(spark, root,
+      System.currentTimeMillis()) === 3)
+    // a cutoff beyond every commit keeps the head (never expire it)
+    assert(Lakehouse.expireSnapshotsOlderThan(spark, root,
+      System.currentTimeMillis() + 60000).isEmpty)
+  }
+
   test("fast-forward merge: lands on the branch head while main sits " +
     "at the base, refuses a diverged main, and a rebase-fresh branch " +
     "merges cleanly") {
