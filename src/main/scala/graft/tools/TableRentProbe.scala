@@ -122,6 +122,52 @@ object TableRentProbe {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
     }
+    if (wants("expire")) {
+    println("== retention rent: full-history metadata walks vs the " +
+      "expired horizon (f=16 synthetic entries per commit — pure " +
+      "metadata; expire keeps the last 8 versions) ==")
+    for (e <- Seq(64, 256)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rent_x$e"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val f = 16
+      for (v <- 1 to e) {
+        val prev = if (v == 1) Seq.empty[String]
+          else Lakehouse.snapshotManifests(spark, root, v - 1)
+        Lakehouse.publishVersion(spark, root, v, prev,
+          (0 until f).map(i => ("data", s"data/w=$v/f$i.parquet", v)))
+      }
+      // the walks a retention-era tool pays: the timestamp index (one
+      // stat per snapshot) and vacuum's retained-set derivation (one
+      // snapshot list + manifest read per retained version)
+      def walks(retainFrom: Int): (Double, Double) = {
+        val (_, tTs) = time {
+          Lakehouse.commitTimestamps(spark, root): Unit }
+        val (_, tVac) = time {
+          Lakehouse.vacuum(spark, root, retainFrom, graceMs = 0L): Unit }
+        (tTs, tVac)
+      }
+      val (tTsPre, tVacPre) = walks(retainFrom = 1)
+      val (_, tExpire) = time {
+        Lakehouse.expireSnapshots(spark, root, keepFrom = e - 7) }
+      val (tTsPost, tVacPost) = walks(retainFrom = e - 7)
+      // expire alone shrinks SNAPSHOT metadata; the E per-commit
+      // MANIFESTS stay referenced by the surviving heads (the data is
+      // live). The composed policy — manifest merge, then expire past
+      // the rewrite, then vacuum — is what resets manifest count to 1:
+      // the maintenance trio again, at the metadata level.
+      val merged = Lakehouse.mergeManifests(spark, root, e)
+      Lakehouse.expireSnapshots(spark, root, keepFrom = merged): Unit
+      Lakehouse.vacuum(spark, root, merged, graceMs = 0L): Unit
+      val mLeft = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_manifests")).length
+      println(f"E=$e%-4d tsWalk=$tTsPre%6.3fs→$tTsPost%6.3fs " +
+        f"vacuumWalk=$tVacPre%6.2fs→$tVacPost%6.2fs " +
+        f"expire=$tExpire%5.2fs manifestsAfterMergeExpireVacuum=$mLeft%3d")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+    }
     if (wants("delete")) {
     println("== delete-count rent: 16 appends + D delete commits ==")
     for (dd <- Seq(1, 4, 16)) {
