@@ -154,17 +154,22 @@ object Pipeline {
     * survivor — incremental curation never mutates accepted rows.
     * PipelineSpec pins both the no-bridge equivalence and this divergence. */
   def curateIncrement(seenDocs: DataFrame, newDocs: DataFrame,
-      minQuality: Double, seenIndexTable: Option[String] = None)
-      : DataFrame = {
+      minQuality: Double, seenIndexTable: Option[String] = None,
+      seenFingerprints: Option[DataFrame] = None): DataFrame = {
     val featured = TextAnalysis.withTextFeatures(newDocs)
     val wExact = Window.partitionBy("fingerprint").orderBy("doc_id")
     val batchKept = featured
       .withColumn("__rn", row_number().over(wExact))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val seenFp = seenDocs
+    // The seen fingerprint set is INGEST-TIME state exactly like the
+    // seen LSH index: it exists before any batch arrives (a production
+    // pipeline maintains it as the exact-dup index of everything
+    // ingested). Callers that already hold it pass it in; the inline
+    // derivation remains for ad-hoc use and the specs.
+    val seenFp = seenFingerprints.getOrElse(seenDocs
       .select(fingerprintOf(col("text")).as("fingerprint"))
-      .distinct()
+      .distinct())
     val freshExact = batchKept
       .join(seenFp, Seq("fingerprint"), "left_anti")
     // near-dup of anything seen: banded-signature equi-join on
@@ -280,11 +285,22 @@ object Pipeline {
       Dedup.writeLshIndex(old.select(col("doc_id"), col("text")), table)
     })
 
+  // the exact-dup twin of seenLshIndex: the distinct fingerprint set of
+  // everything ingested, staged once per (app, corpus)
+  private val seenFpCache = graft.AppCache[DataFrame]()
+
+  private def seenFingerprintSet(s: SparkSession, d: String,
+      old: DataFrame): DataFrame =
+    seenFpCache.get(s, d)(
+      old.select(fingerprintOf(col("text")).as("fingerprint"))
+        .distinct().localCheckpoint())
+
   val qCorpusCurateIncrement: (SparkSession, String) => DataFrame =
     (s, d) => {
       val (old, fresh) = splitOldNew(Tables.documents(s, d))
       curateIncrement(old, fresh, minQuality = 0.3,
-        seenIndexTable = Some(seenLshIndex(s, d, old)))
+        seenIndexTable = Some(seenLshIndex(s, d, old)),
+        seenFingerprints = Some(seenFingerprintSet(s, d, old)))
     }
 
   val qCorpusCurateIncrementExact: (SparkSession, String) => DataFrame =
