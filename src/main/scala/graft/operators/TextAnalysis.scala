@@ -549,19 +549,30 @@ object TextAnalysis {
     * `$path/<name>/epoch=N`). */
   private def writeBm25Artifacts(docs: DataFrame, nBuckets: Int,
       mode: String, pathOf: String => String): Unit = {
-    bm25TfDl(docs)
-      .withColumn("bkt", bm25Bkt(nBuckets))
-      // co-locate buckets before the partitionBy write (the bm25DocLens
-      // fan-out discipline): without this every input task writes up to
-      // nBuckets postings files — a tiny-file storm every probe then
-      // re-opens
-      .repartition(col("bkt"))
-      .write.mode(mode).partitionBy("bkt")
-      .parquet(pathOf("postings"))
+    // The postings pipeline and the doclens/stats pipeline are
+    // independent jobs over the same batch writing to disjoint dirs —
+    // run them concurrently so the doclens work back-fills the cores
+    // the postings stages leave idle (guide §2.6 "overlap independent
+    // jobs"); the scheduler's FIFO default gives the postings job
+    // priority and the small doclens jobs the remainder.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val postings = Future {
+      bm25TfDl(docs)
+        .withColumn("bkt", bm25Bkt(nBuckets))
+        // co-locate buckets before the partitionBy write (the bm25DocLens
+        // fan-out discipline): without this every input task writes up to
+        // nBuckets postings files — a tiny-file storm every probe then
+        // re-opens
+        .repartition(col("bkt"))
+        .write.mode(mode).partitionBy("bkt")
+        .parquet(pathOf("postings"))
+    }
     val dl = bm25DocLens(docs, nBuckets).localCheckpoint()
     dl.write.mode(mode).partitionBy("dbkt").parquet(pathOf("doclens"))
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
       .write.mode(mode).parquet(pathOf("stats"))
+    Await.result(postings, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Build and persist the postings index (postings/bkt=K directories
