@@ -78,8 +78,9 @@ object Lakehouse {
   // re-inserts a key it also deletes would anti-join its own new row
   // away; with it, the delete scopes to history and the fresh row
   // (same seq as the delete) survives.
-  private val ManifestSchema = "kind string, path string, seq int"
-  private val SnapshotSchema = "mpath string"
+  // Manifest rows: (kind string, path string, seq int); snapshot lists:
+  // (mpath string) — read/written driver-side via MetaIO (same parquet
+  // format Spark jobs wrote before; metadata is driver work).
 
   private def hadoopFs(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -141,15 +142,14 @@ object Lakehouse {
     * unreferenced manifest; vacuum reclaims those. */
   private[graft] def publishVersion(s: SparkSession, root: String, v: Int,
       inherited: Seq[String], added: Seq[(String, String, Int)]): Unit = {
-    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
     val fs = hadoopFs(s, root)
     val mine: Option[String] =
       if (added.isEmpty) None
       else {
         val name =
           s"m=$v-${java.util.UUID.randomUUID.toString.take(8)}"
-        added.toDF("kind", "path", "seq").coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/_manifests/$name")
+        MetaIO.writeManifest(conf, s"$root/_manifests/$name", added)
         Some(s"_manifests/$name")
       }
     val list = (inherited ++ mine).sorted
@@ -157,8 +157,7 @@ object Lakehouse {
     val target = s"$root/_snapshots/v=$v"
     val attempt = s".v=$v.staging.${java.util.UUID.randomUUID}"
     val staging = s"$root/_snapshots/$attempt"
-    list.toDF("mpath").coalesce(1)
-      .write.mode("overwrite").parquet(staging)
+    MetaIO.writeSnapshot(conf, staging, list)
     val tgt = new org.apache.hadoop.fs.Path(target)
     val stg = new org.apache.hadoop.fs.Path(staging)
     if (!fs.exists(tgt)) fs.rename(stg, tgt) // may race; read-back decides
@@ -201,8 +200,8 @@ object Lakehouse {
       v: Int): Seq[String] = {
     require(versionExists(s, root, v),
       s"version $v of $root is expired or was never committed")
-    s.read.schema(SnapshotSchema).parquet(s"$root/_snapshots/v=$v")
-      .collect().map(_.getString(0)).toSeq.sorted
+    MetaIO.readSnapshot(s.sparkContext.hadoopConfiguration,
+      s"$root/_snapshots/v=$v").sorted
   }
 
   /** The entries of an explicit manifest set — the unit CDC and
@@ -211,10 +210,8 @@ object Lakehouse {
   private[graft] def readManifests(s: SparkSession, root: String,
       mpaths: Seq[String]): Seq[(String, String, Int)] =
     if (mpaths.isEmpty) Seq.empty
-    else s.read.schema(ManifestSchema)
-      .parquet(mpaths.map(p => s"$root/$p"): _*)
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq.sorted
+    else MetaIO.readManifests(s.sparkContext.hadoopConfiguration,
+      mpaths.map(p => s"$root/$p")).sorted
 
   /** The committed file set of version `v`: (kind, relative path, seq)
     * rows resolved through the manifest list. Two small parquet reads +
@@ -995,8 +992,9 @@ object Lakehouse {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("r=")).map(_.stripPrefix("r=").toInt).sorted
-      .map(k => k -> s.read.schema("version int")
-        .parquet(s"$root/_refs/$name/r=$k").head().getInt(0)).toSeq
+      .map(k => k -> MetaIO.readVersionRow(
+        s.sparkContext.hadoopConfiguration,
+        s"$root/_refs/$name/r=$k")).toSeq
   }
 
   /** Point `name` at `version` (branch move / tag create / rollback —
@@ -1004,15 +1002,14 @@ object Lakehouse {
     * it). Lost races retry at the next log index. */
   private[graft] def setRef(s: SparkSession, root: String, name: String,
       version: Int): Unit = {
-    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
     val fs = hadoopFs(s, root)
     val dir = s"$root/_refs/$name"
     var done = false
     while (!done) {
       val k = refLog(s, root, name).lastOption.map(_._1).getOrElse(0) + 1
       val attempt = s".r=$k.staging.${java.util.UUID.randomUUID}"
-      Seq(version).toDF("version").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/$attempt")
+      MetaIO.writeVersionRow(conf, s"$dir/$attempt", version)
       val tgt = new org.apache.hadoop.fs.Path(s"$dir/r=$k")
       if (!fs.exists(tgt))
         fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$attempt"), tgt)
@@ -1021,8 +1018,7 @@ object Lakehouse {
         .map(_.getPath).filter(_.getName.startsWith(s".r=$k.staging"))
         .foreach(fs.delete(_, true))
       fs.delete(new org.apache.hadoop.fs.Path(s"$tgt/$attempt"), true)
-      done = s.read.schema("version int").parquet(s"$dir/r=$k")
-        .head().getInt(0) == version
+      done = MetaIO.readVersionRow(conf, s"$dir/r=$k") == version
     }
   }
 
@@ -1287,9 +1283,7 @@ object Lakehouse {
     val present = tags.map(t => s"$root/_stats/$t")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (present.isEmpty) Map.empty
-    else s.read.parquet(present: _*)
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    else MetaIO.readKeyStats(s.sparkContext.hadoopConfiguration, present)
   }
 
   /** Range-pruned time-travel read: drop every data file whose recorded
@@ -1361,14 +1355,12 @@ object Lakehouse {
     val present = tags.map(t => s"$root/_stats2/$t")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (present.isEmpty) Map.empty
-    else s.read.parquet(present: _*).collect()
-      // an all-null (or non-long-castable) column records null
-      // min/max; dropping the row leaves the file stats-less for that
-      // column, which the pruner treats as conservative-keep
-      .filter(r => !r.isNullAt(2) && !r.isNullAt(3))
-      .groupBy(_.getString(0))
-      .view.mapValues(_.map(r =>
-        r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap)
+    // an all-null (or non-long-castable) column records null min/max;
+    // MetaIO drops those rows, leaving the file stats-less for that
+    // column, which the pruner treats as conservative-keep
+    else MetaIO.readColStats(s.sparkContext.hadoopConfiguration, present)
+      .groupBy(_._1)
+      .view.mapValues(_.map(r => r._2 -> ((r._3, r._4))).toMap)
       .toMap
   }
 
@@ -1692,18 +1684,14 @@ object Lakehouse {
     val newest = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt)
       .filter(_ <= v).max
-    s.read.schema("fid int, name string, dtype string")
-      .parquet(s"$root/_schemalog/v=$newest")
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-      .toSeq.sortBy(_._1)
+    MetaIO.readSchemaLog(s.sparkContext.hadoopConfiguration,
+      Seq(s"$root/_schemalog/v=$newest")).sortBy(_._1)
   }
 
   private[graft] def writeSchemaLog(s: SparkSession, root: String, v: Int,
-      fields: Seq[(Int, String, String)]): Unit = {
-    import s.implicits._
-    fields.toDF("fid", "name", "dtype").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/_schemalog/v=$v")
-  }
+      fields: Seq[(Int, String, String)]): Unit =
+    MetaIO.writeSchemaLog(s.sparkContext.hadoopConfiguration,
+      s"$root/_schemalog/v=$v", fields)
 
   /** Metadata-only schema commit: publish fromV+1 with fromV's
     * manifests inherited untouched and the evolved schema logged.
@@ -1753,8 +1741,8 @@ object Lakehouse {
     val allLogs = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$root/_schemalog"))
       .map(_.getPath.toString).filter(_.contains("v=")).toSeq
-    val everMax = s.read.schema("fid int, name string, dtype string")
-      .parquet(allLogs: _*).agg(max("fid")).head.getInt(0)
+    val everMax = MetaIO.readSchemaLog(
+      s.sparkContext.hadoopConfiguration, allLogs).map(_._1).max
     schemaCommit(s, root, fromV, "addColumn") { cur =>
       require(!cur.exists(_._2 == name), s"addColumn: $name exists")
       cur :+ ((everMax + 1, name, dtype))
@@ -2260,11 +2248,9 @@ object Lakehouse {
   // surviving partitions).
 
   private[graft] def addPartitionSpec(s: SparkSession, root: String,
-      id: Int, transform: String, column: String): Unit = {
-    import s.implicits._
-    Seq((transform, column)).toDF("transform", "column")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/_specs/s=$id")
-  }
+      id: Int, transform: String, column: String): Unit =
+    MetaIO.writeSpec(s.sparkContext.hadoopConfiguration,
+      s"$root/_specs/s=$id", transform, column)
 
   private[graft] def partitionSpecs(s: SparkSession, root: String)
       : Map[Int, (String, String)] = {
@@ -2274,9 +2260,8 @@ object Lakehouse {
     else fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("s=")).map(_.stripPrefix("s=").toInt)
       .map { id =>
-        val r = s.read.schema("transform string, column string")
-          .parquet(s"$root/_specs/s=$id").head()
-        id -> ((r.getString(0), r.getString(1)))
+        id -> MetaIO.readSpec(s.sparkContext.hadoopConfiguration,
+          s"$root/_specs/s=$id")
       }.toMap
   }
 
