@@ -427,10 +427,21 @@ object Lakehouse {
     val tag = attemptTag()
     val dataDir = s"$root/data/w=merge$v-$tag"
     val delDir = s"$root/deletes/w=$v-$tag"
-    updates.repartition(2, col(keyCol))
-      .write.mode("overwrite").parquet(dataDir)
-    updates.select(keyCol).coalesce(1).write.mode("overwrite")
+    // the fresh-rows landing and the key-file landing are independent
+    // jobs over the same updates frame writing disjoint dirs — overlap
+    // them (guide §2.6); the commit publishes only after both land
+    val fData = scala.concurrent.Future {
+      s.sparkContext.setJobDescription(s"mergeCommit v=$v: data")
+      try updates.repartition(2, col(keyCol))
+        .write.mode("overwrite").parquet(dataDir)
+      finally s.sparkContext.setJobDescription(null)
+    }(stagePool)
+    try updates.select(keyCol).coalesce(1).write.mode("overwrite")
       .parquet(delDir)
+    finally scala.util.Try(scala.concurrent.Await.result(
+      fData, scala.concurrent.duration.Duration.Inf))
+    scala.concurrent.Await.result(fData,
+      scala.concurrent.duration.Duration.Inf)
     publishVersion(s, root, v, snapshotManifests(s, root, fromV),
       listDataFiles(s, root, delDir).map(("delete", _, v)) ++
       listDataFiles(s, root, dataDir).map(("data", _, v)))
@@ -1546,73 +1557,119 @@ object Lakehouse {
         col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** Two-thread pool for overlapping INDEPENDENT staging writes inside
+    * one lifecycle build (guide §2.6: 2–3 jobs in flight fills the task
+    * tail without fighting for executors). Job descriptions are
+    * thread-local, so each staged write labels itself. */
+  private lazy val stagePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-lakehouse-stage")
+          t.setDaemon(true)
+          t
+        }))
+
   private[graft] def buildVersionedOrders(s: SparkSession, d: String,
       root: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
+    // The v1, v2 and v6 batch writes (and the v1/v2 zone-map sidecars)
+    // derive from `orders` alone and land in disjoint dirs — independent
+    // job chains, overlapped from the two-thread pool so one write's
+    // task tail backfills with the next write's tasks (guide §2.6).
+    // COMMITS stay strictly ordered on this thread: v2 inherits v1's
+    // manifests, v6 inherits v5's, and publishVersion's read-back is
+    // the only atomic decision point, exactly as before.
+    def stage(w: Int, df: DataFrame, stats: Boolean): Future[Unit] =
+      Future {
+        s.sparkContext.setJobDescription(s"lakehouse: stage w=$w")
+        try {
+          df.write.mode("overwrite").parquet(s"$root/data/w=$w")
+          if (stats) writeKeyStats(s, root, s"data/w=$w", "o_orderkey")
+        } finally s.sparkContext.setJobDescription(null)
+      }(stagePool)
     // v1: base load. repartition by key — at scale the layout choice
     // (here hash by key into 4 files) is the writer's, invisible to the
     // manifest contract.
     // base/append writes are RANGE-clustered on the key (the layout a
     // writer chooses when point/range reads matter) and record per-file
     // zone maps at commit time — what readVersionPruned skips with.
-    orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
-      .repartitionByRange(4, col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$root/data/w=1")
-    writeKeyStats(s, root, "data/w=1", "o_orderkey")
-    publishVersion(s, root, 1, Seq.empty,
-      listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1)))
+    val f1 = stage(1, orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .repartitionByRange(4, col("o_orderkey")), stats = true)
     // v2: append — the new snapshot reuses v1's manifest by name and
     // adds one manifest for the new files only (the append never
     // rewrites history, data OR metadata).
-    orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
-      .repartitionByRange(4, col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$root/data/w=2")
-    writeKeyStats(s, root, "data/w=2", "o_orderkey")
-    publishVersion(s, root, 2, snapshotManifests(s, root, 1),
-      listDataFiles(s, root, s"$root/data/w=2").map(("data", _, 2)))
-    // v3: merge-on-read delete — derive the keys from the LIVE view of
-    // v2 (the shape a real DELETE WHERE takes), land one key row per
-    // deleted record; the commit's own manifest holds ONLY the delete
-    // files (data manifests inherited untouched).
-    readVersion(s, root, 2, "o_orderkey")
-      .filter(pmod(col("o_orderkey"), lit(10)) === 4)
-      .select("o_orderkey")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes/w=3")
-    publishVersion(s, root, 3, snapshotManifests(s, root, 2),
-      listDataFiles(s, root, s"$root/deletes/w=3").map(("delete", _, 3)))
-    // v4: copy-on-write compaction — materialize v3's live view into
-    // fresh files; the new snapshot references only the fresh manifest
-    // (no delete entries left to merge at read time, manifest-count
-    // rent reset). Older versions still read their own files.
-    readVersion(s, root, 3, "o_orderkey")
-      .repartition(2, col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$root/data/w=4")
-    publishVersion(s, root, 4, Seq.empty,
-      listDataFiles(s, root, s"$root/data/w=4").map(("data", _, 4)))
-    // v5: merge-on-read UPSERT — one commit both UPDATES the live keys
-    // ≡ 0 (mod 7) (price +10) and INSERTS the never-loaded ≡ 2 (mod 3)
-    // third of the table. Sequence scoping is what makes this sound:
-    // the commit's delete file masks only seq<5 rows, so the fresh
-    // rows it lands survive their own delete.
-    val live = pmod(col("o_orderkey"), lit(3)) =!= 2 &&
-      pmod(col("o_orderkey"), lit(10)) =!= 4
-    val updates = orders
-      .filter(pmod(col("o_orderkey"), lit(3)) === 2 ||
-        (live && pmod(col("o_orderkey"), lit(7)) === 0))
-      .withColumn("o_totalprice",
-        when(pmod(col("o_orderkey"), lit(3)) =!= 2,
-          col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
-    mergeCommit(s, root, 4, updates, "o_orderkey")
-    // v6: SCHEMA-EVOLVED append — the new batch carries a column the
-    // table never had (o_channel). Nothing is rewritten: the commit is
-    // an ordinary append, and readers of v6 surface pre-evolution rows
-    // with o_channel null (additive evolution via name-based union).
-    orders.filter(pmod(col("o_orderkey"), lit(97)) === 5)
+    val f2 = stage(2, orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+      .repartitionByRange(4, col("o_orderkey")), stats = true)
+    // v6: SCHEMA-EVOLVED append batch (committed LAST, below) — the
+    // batch itself depends on nothing but `orders`, so it stages now.
+    val f6 = stage(6, orders.filter(pmod(col("o_orderkey"), lit(97)) === 5)
       .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
       .withColumn("o_channel",
         concat(lit("ch"), pmod(col("o_orderkey"), lit(3))))
-      .repartition(2, col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$root/data/w=6")
+      .repartition(2, col("o_orderkey")), stats = false)
+    try {
+      Await.result(f1, Duration.Inf)
+      publishVersion(s, root, 1, Seq.empty,
+        listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 1)))
+      Await.result(f2, Duration.Inf)
+      publishVersion(s, root, 2, snapshotManifests(s, root, 1),
+        listDataFiles(s, root, s"$root/data/w=2").map(("data", _, 2)))
+    } catch {
+      // never leave a staged write running behind a failed build —
+      // await every future before surfacing the error (ADVICE r14)
+      case e: Throwable =>
+        Seq(f1, f2, f6).foreach(f =>
+          scala.util.Try(Await.result(f, Duration.Inf)))
+        throw e
+    }
+    try {
+      // v3: merge-on-read delete — derive the keys from the LIVE view of
+      // v2 (the shape a real DELETE WHERE takes), land one key row per
+      // deleted record; the commit's own manifest holds ONLY the delete
+      // files (data manifests inherited untouched).
+      readVersion(s, root, 2, "o_orderkey")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+        .select("o_orderkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/deletes/w=3")
+      publishVersion(s, root, 3, snapshotManifests(s, root, 2),
+        listDataFiles(s, root, s"$root/deletes/w=3").map(("delete", _, 3)))
+      // v4: copy-on-write compaction — materialize v3's live view into
+      // fresh files; the new snapshot references only the fresh manifest
+      // (no delete entries left to merge at read time, manifest-count
+      // rent reset). Older versions still read their own files.
+      readVersion(s, root, 3, "o_orderkey")
+        .repartition(2, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/data/w=4")
+      publishVersion(s, root, 4, Seq.empty,
+        listDataFiles(s, root, s"$root/data/w=4").map(("data", _, 4)))
+      // v5: merge-on-read UPSERT — one commit both UPDATES the live keys
+      // ≡ 0 (mod 7) (price +10) and INSERTS the never-loaded ≡ 2 (mod 3)
+      // third of the table. Sequence scoping is what makes this sound:
+      // the commit's delete file masks only seq<5 rows, so the fresh
+      // rows it lands survive their own delete.
+      val live = pmod(col("o_orderkey"), lit(3)) =!= 2 &&
+        pmod(col("o_orderkey"), lit(10)) =!= 4
+      val updates = orders
+        .filter(pmod(col("o_orderkey"), lit(3)) === 2 ||
+          (live && pmod(col("o_orderkey"), lit(7)) === 0))
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) =!= 2,
+            col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
+      mergeCommit(s, root, 4, updates, "o_orderkey")
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(Await.result(f6, Duration.Inf))
+        throw e
+    }
+    // v6: SCHEMA-EVOLVED append — the new batch carries a column the
+    // table never had (o_channel), staged concurrently above. Nothing
+    // is rewritten: the commit is an ordinary append, and readers of v6
+    // surface pre-evolution rows with o_channel null (additive
+    // evolution via name-based union).
+    Await.result(f6, Duration.Inf)
     publishVersion(s, root, 6, snapshotManifests(s, root, 5),
       listDataFiles(s, root, s"$root/data/w=6").map(("data", _, 6)))
   }
@@ -2188,17 +2245,26 @@ object Lakehouse {
     val z = graft.functions.ScalePatterns.zValue(
       expr("(o_orderkey - kmin) * 65536 div (kmax - kmin + 1)"),
       expr("(o_custkey - cmin) * 65536 div (cmax - cmin + 1)"))
-    // DETERMINISTIC 16-quantile split of the z values (ntile over one
-    // sorted pass — fixture-sized here; a production clustering job
-    // derives the same boundaries from approx quantiles). NOT
-    // repartitionByRange: RangePartitioner samples with a seed derived
-    // from the session-global RDD id, so its boundaries wobble per
-    // session and a borderline file drifts in/out of a query box —
-    // the round-13 q_table_pruned_read_zorder digest flap, root-caused.
-    orders.crossJoin(broadcast(r))
-      .withColumn("__z", z)
-      .withColumn("__b", ntile(16).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__z"))))
+    // DETERMINISTIC 16-quantile split of the z values via the EXACT
+    // `percentile` aggregate: its value→count map merges commutatively,
+    // so the boundaries are identical on any partitioning/core count —
+    // unlike repartitionByRange, whose sampling seed derives from the
+    // session-global RDD id (boundaries wobble per session; the
+    // round-13 q_table_pruned_read_zorder digest flap), and unlike the
+    // previous ntile-over-a-global-Window pass, which moved the WHOLE
+    // table through one task (WindowExec "No Partition Defined" — a
+    // guaranteed OOM/straggler at scale, guide §2.5/§5). Rows are then
+    // range-ASSIGNED by comparison against the 15 broadcast boundaries:
+    // no global sort anywhere, and the assignment is row-order
+    // independent. A production clustering job derives the same
+    // boundaries from approxQuantile at fixed accuracy.
+    val zd = orders.crossJoin(broadcast(r)).withColumn("__z", z)
+    val bounds = zd.agg(expr(
+        s"percentile(__z, array(${(1 to 15).map(_ / 16.0).mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val bucket = bounds.foldLeft(lit(1))((acc, b) =>
+      acc + when(col("__z") > lit(b), 1).otherwise(0))
+    zd.withColumn("__b", bucket)
       .repartition(col("__b"))
       .select((OrdersCols.map(col) :+ col("__b")): _*)
       .write.partitionBy("__b").mode("overwrite")
@@ -2636,21 +2702,59 @@ object Lakehouse {
     * row-invisible, and they compose. */
   val qTableMaintenanceLifecycle: (SparkSession, String) => DataFrame =
     (s, d) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
       val root = s"${sys.props("java.io.tmpdir")}/graft_lakehouse_mnt_" +
         s.sparkContext.applicationId + "_" + lifecycleRuns.incrementAndGet()
       val orders = Tables.orders(s, d).select(OrdersCols.map(col): _*)
-      ingestCommit(root,
-        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), 0L,
-        "o_orderkey")
-      ingestCommit(root,
-        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), 1L,
-        "o_orderkey")
-      var v = 2
-      Seq((10, 1), (7, 3)).foreach { case (m, rr) =>
-        v = deleteCommit(s, root, v,
-          orders.filter(pmod(col("o_orderkey"), lit(m)) === rr)
-            .select("o_orderkey"))
-      }
+      // The two ingest epochs' batch writes and the two delete commits'
+      // key files all derive from `orders` alone and land in disjoint
+      // dirs — four independent job chains, overlapped (guide §2.6).
+      // The COMMITS then publish in version order through the same
+      // publishVersion protocol ingestCommit/deleteCommit run (same
+      // dirs, same manifest inheritance, same entries — only the
+      // staging wall-clock overlaps).
+      def staged(desc: String)(f: => Unit): Future[Unit] =
+        Future {
+          s.sparkContext.setJobDescription(desc)
+          try f finally s.sparkContext.setJobDescription(null)
+        }(stagePool)
+      val tag = attemptTag()
+      val stages = Seq(
+        staged("maintenance: ingest epoch 0") {
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+            .repartition(2, col("o_orderkey"))
+            .write.mode("overwrite").parquet(s"$root/data/w=0")
+        },
+        staged("maintenance: ingest epoch 1") {
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+            .repartition(2, col("o_orderkey"))
+            .write.mode("overwrite").parquet(s"$root/data/w=1")
+        },
+        staged("maintenance: delete keys v=3") {
+          orders.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+            .select("o_orderkey").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/deletes/w=3-$tag")
+        },
+        staged("maintenance: delete keys v=4") {
+          orders.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+            .select("o_orderkey").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/deletes/w=4-$tag")
+        })
+      val results = stages.map(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)))
+      results.foreach(_.get) // surface the first staging failure
+      publishVersion(s, root, 1, Seq.empty,
+        listDataFiles(s, root, s"$root/data/w=0").map(("data", _, 1)))
+      publishVersion(s, root, 2, snapshotManifests(s, root, 1),
+        listDataFiles(s, root, s"$root/data/w=1").map(("data", _, 2)))
+      publishVersion(s, root, 3, snapshotManifests(s, root, 2),
+        listDataFiles(s, root, s"$root/deletes/w=3-$tag")
+          .map(("delete", _, 3)))
+      publishVersion(s, root, 4, snapshotManifests(s, root, 3),
+        listDataFiles(s, root, s"$root/deletes/w=4-$tag")
+          .map(("delete", _, 4)))
+      var v = 4
       v = rewriteDeletes(s, root, v, "o_orderkey")
       v = mergeManifests(s, root, v)
       vacuum(s, root, retainFrom = v, graceMs = 0L)
