@@ -277,13 +277,18 @@ object Pipeline {
   // the seen corpus per call.
   private val seenIndexCache = graft.AppCache[String]()
 
+  // builds are SIDE-EFFECTING (index write / checkpoint job), so both
+  // stagings are synchronized against TrieMap's double-evaluation under
+  // concurrent first access (ADVICE r14; the bm25IndexCache discipline)
   private def seenLshIndex(s: SparkSession, d: String,
       old: DataFrame): String =
-    seenIndexCache.get(s, d)({
-      val table = "graft_seen_lsh_" + Integer.toHexString(
-        (s.sparkContext.applicationId + "|" + d).hashCode)
-      Dedup.writeLshIndex(old.select(col("doc_id"), col("text")), table)
-    })
+    seenIndexCache.synchronized {
+      seenIndexCache.get(s, d)({
+        val table = "graft_seen_lsh_" + Integer.toHexString(
+          (s.sparkContext.applicationId + "|" + d).hashCode)
+        Dedup.writeLshIndex(old.select(col("doc_id"), col("text")), table)
+      })
+    }
 
   // the exact-dup twin of seenLshIndex: the distinct fingerprint set of
   // everything ingested, staged once per (app, corpus)
@@ -291,9 +296,11 @@ object Pipeline {
 
   private def seenFingerprintSet(s: SparkSession, d: String,
       old: DataFrame): DataFrame =
-    seenFpCache.get(s, d)(
-      old.select(fingerprintOf(col("text")).as("fingerprint"))
-        .distinct().localCheckpoint())
+    seenFpCache.synchronized {
+      seenFpCache.get(s, d)(
+        old.select(fingerprintOf(col("text")).as("fingerprint"))
+          .distinct().localCheckpoint())
+    }
 
   val qCorpusCurateIncrement: (SparkSession, String) => DataFrame =
     (s, d) => {

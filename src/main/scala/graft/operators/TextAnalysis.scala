@@ -439,6 +439,11 @@ object TextAnalysis {
     * sorted before replay so the local relation is deterministic. */
   private val bm25QtermsCache = graft.AppCache[Seq[(Long, String)]]()
 
+  // ASSUMES the corpus fixture is immutable within a session (true for
+  // every current key: mutation arcs clone into per-run roots and never
+  // touch the source dir). A future in-session corpus-mutation key must
+  // key this cache on a corpus snapshot/version token, or every BM25
+  // consumer would silently replay a stale query batch (ADVICE r14).
   private def memoQterms(s: SparkSession, key: String,
       derive: => DataFrame): DataFrame = {
     val rows = bm25QtermsCache.get(s, key)(
@@ -555,24 +560,44 @@ object TextAnalysis {
     // the postings stages leave idle (guide §2.6 "overlap independent
     // jobs"); the scheduler's FIFO default gives the postings job
     // priority and the small doclens jobs the remainder.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // `blocking`: the future parks a global-pool thread on a full Spark
+    // write job; marking it lets the ForkJoinPool grow a replacement so
+    // concurrent micro-batch writers can't starve the shared pool
+    // (ADVICE r14).
     val postings = Future {
-      bm25TfDl(docs)
-        .withColumn("bkt", bm25Bkt(nBuckets))
-        // co-locate buckets before the partitionBy write (the bm25DocLens
-        // fan-out discipline): without this every input task writes up to
-        // nBuckets postings files — a tiny-file storm every probe then
-        // re-opens
-        .repartition(col("bkt"))
-        .write.mode(mode).partitionBy("bkt")
-        .parquet(pathOf("postings"))
+      blocking {
+        bm25TfDl(docs)
+          .withColumn("bkt", bm25Bkt(nBuckets))
+          // co-locate buckets before the partitionBy write (the bm25DocLens
+          // fan-out discipline): without this every input task writes up to
+          // nBuckets postings files — a tiny-file storm every probe then
+          // re-opens
+          .repartition(col("bkt"))
+          .write.mode(mode).partitionBy("bkt")
+          .parquet(pathOf("postings"))
+      }
     }
-    val dl = bm25DocLens(docs, nBuckets).localCheckpoint()
-    dl.write.mode(mode).partitionBy("dbkt").parquet(pathOf("doclens"))
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
-      .write.mode(mode).parquet(pathOf("stats"))
-    Await.result(postings, scala.concurrent.duration.Duration.Inf)
+    // The postings future is ALWAYS awaited — also when the doclens or
+    // stats write throws first (ADVICE r14: an orphaned in-flight
+    // postings job racing a caller's retry/cleanup). A postings failure
+    // behind a doclens failure surfaces as a suppressed exception.
+    try {
+      val dl = bm25DocLens(docs, nBuckets).localCheckpoint()
+      dl.write.mode(mode).partitionBy("dbkt").parquet(pathOf("doclens"))
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
+        .write.mode(mode).parquet(pathOf("stats"))
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(Await.result(postings, Duration.Inf)) match {
+          case scala.util.Failure(pe) if pe ne e => e.addSuppressed(pe)
+          case _ => ()
+        }
+        throw e
+    }
+    Await.result(postings, Duration.Inf)
   }
 
   /** Build and persist the postings index (postings/bkt=K directories

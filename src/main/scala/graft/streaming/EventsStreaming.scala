@@ -1632,15 +1632,22 @@ object EventsStreaming {
   private val stagedIvfIngestCentroids = graft.AppCache[String]()
 
   private def ivfIngestCentroidsDir(s: SparkSession, d: String): String =
-    stagedIvfIngestCentroids.get(s, d)({
-      val p = s"${sys.props("java.io.tmpdir")}/graft_stream_ivfc_" +
-        s.sparkContext.applicationId + "_" +
-        Integer.toHexString(d.hashCode)
-      graft.operators.Similarity.writeIvfCentroids(
-        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
-        p, k = 10, iters = 3)
-      p
-    })
+    // synchronized: the build WRITES the centroid dir, and TrieMap's
+    // getOrElseUpdate may evaluate the thunk twice under concurrent
+    // first access — two overwrite jobs racing on one path (ADVICE r14;
+    // the bm25IndexCache discipline)
+    stagedIvfIngestCentroids.synchronized {
+      stagedIvfIngestCentroids.get(s, d)({
+        val p = s"${sys.props("java.io.tmpdir")}/graft_stream_ivfc_" +
+          s.sparkContext.applicationId + "_" +
+          Integer.toHexString(d.hashCode)
+        graft.operators.Similarity.writeIvfCentroids(
+          Tables.embeddings(s, d)
+            .filter(pmod(col("vec_id"), lit(2L)) === 0),
+          p, k = 10, iters = 3)
+        p
+      })
+    }
 
   private def runIvfIngestStream(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.streaming.Trigger
