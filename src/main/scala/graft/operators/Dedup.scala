@@ -413,21 +413,41 @@ object Dedup {
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     // overlap threshold t = ceil(tau·n) in pure integer arithmetic
     val t = floor((col("n") * tauPct + lit(99)) / lit(100))
-    val prefix = grams.join(dfreq, "g")
+    // ONE df-rank pass feeds BOTH join sides (checkpointed like the
+    // capped path's prefixWindow): the probe prefix filters it, and the
+    // index side keeps every gram WITH its rank for the positional
+    // filter below.
+    val ranked = grams.join(dfreq, "g")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("gdf").asc, col("g").asc)))
+      .localCheckpoint()
+    val prefix = ranked
       .filter(col("rk") <= col("n") - t + 1)
       .select(col("doc_id").as("doc_a"), col("n").as("n_a"),
         col("g").as("pg"))
-    val index = grams.select(col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("g"))
+    val index = ranked.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("g"), col("rk").as("rk_b"))
+    // POSITIONAL filter (the ppjoin family's second prune): order the
+    // grams of A∩B by the shared total order (gdf asc, g asc — g is
+    // distinct within a doc, so the order is total and both docs agree
+    // on it); the FIRST common gram g* has at most n−t non-common grams
+    // before it in EITHER doc, so pos_A(g*) ≤ n_a−t+1 AND
+    // pos_B(g*) ≤ n_b−t+1. Every qualifying pair therefore survives
+    // through its first-common-gram row even when the condition drops
+    // all its other matching rows — candidates shrink (measured 3.14M →
+    // the verified join's real neighborhood at sf0.1), results exactly
+    // unchanged. This is what tames a boilerplate-heavy corpus: a
+    // common gram that sits DEEP in the index doc's rarity order can no
+    // longer mint candidates by itself.
+    val tA = floor((col("n_a") * tauPct + lit(99)) / lit(100))
     val cand = prefix.join(index,
         col("pg") === col("g") &&
           // containment needs |B| ≥ t ≥ tau·|A|; direction: small-in-big,
           // equal sizes tie-broken by id so mirrored pairs appear once
           col("n_b") * 100 >= col("n_a") * tauPct &&
           (col("n_a") < col("n_b") ||
-            (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+            (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))) &&
+          col("rk_b") <= col("n_b") - tA + 1)
       .select("doc_a", "doc_b", "n_a").distinct()
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
     cand
@@ -467,16 +487,18 @@ object Dedup {
       explode(col("sh")).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     val t = floor((col("n") * tauPct + lit(99)) / lit(100))
-    // ONE ranking pass, materialized at prefix size (~(1−τ)·|grams|):
-    // both the overflow decision and the probe prefix read from it, so
-    // the per-doc df-rank window — the step the uncapped join runs once
-    // — is not paid twice (a second full-window pass measured 2–9× the
-    // whole uncapped join on the ×10 Zipf probe).
-    val prefixWindow = grams.join(dfreq, "g")
+    // ONE ranking pass, materialized ONCE: the overflow decision, the
+    // probe prefix AND the index side all read from it, so the per-doc
+    // df-rank window — the step the uncapped join runs once — is not
+    // paid twice (a second full-window pass measured 2–9× the whole
+    // uncapped join on the ×10 Zipf probe). Materialized at FULL gram
+    // size (not prefix size) since the positional filter below needs
+    // every index gram's rank.
+    val ranked = grams.join(dfreq, "g")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("gdf").asc, col("g").asc)))
-      .filter(col("rk") <= col("n") - t + 1)
       .localCheckpoint()
+    val prefixWindow = ranked.filter(col("rk") <= col("n") - t + 1)
     // prunability is decided by the HOTTEST prefix gram — rank n−t+1,
     // the max df inside the prefix window (ranks sort by df asc, so the
     // boundary rank's df is the prefix max, and it is tie-break
@@ -494,13 +516,19 @@ object Dedup {
       .join(overflow.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("doc_a"), col("n").as("n_a"),
         col("g").as("pg"))
-    val index = grams.select(col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("g"))
+    val index = ranked.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("g"), col("rk").as("rk_b"))
+    // positional filter — see containmentPairs: the first common gram
+    // of a qualifying pair lies within BOTH docs' prefix windows, so
+    // the rk_b bound keeps every true pair while pruning spurious
+    // candidate rows; the n·prefixLen·dfCap bound only tightens
+    val tA = floor((col("n_a") * tauPct + lit(99)) / lit(100))
     val cand = prefix.join(index,
         col("pg") === col("g") &&
           col("n_b") * 100 >= col("n_a") * tauPct &&
           (col("n_a") < col("n_b") ||
-            (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))))
+            (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))) &&
+          col("rk_b") <= col("n_b") - tA + 1)
       .select("doc_a", "doc_b", "n_a").distinct()
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
     val pairs = cand
