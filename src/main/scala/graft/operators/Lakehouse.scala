@@ -1557,18 +1557,10 @@ object Lakehouse {
         col("o_totalprice"))
       .orderBy("o_orderkey")
 
-  /** Two-thread pool for overlapping INDEPENDENT staging writes inside
-    * one lifecycle build (guide §2.6: 2–3 jobs in flight fills the task
-    * tail without fighting for executors). Job descriptions are
-    * thread-local, so each staged write labels itself. */
-  private lazy val stagePool: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(2,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-lakehouse-stage")
-          t.setDaemon(true)
-          t
-        }))
+  /** Shared pool for overlapping INDEPENDENT staging writes inside one
+    * lifecycle build (guide §2.6) — see [[graft.StagePool]]. */
+  private def stagePool: scala.concurrent.ExecutionContext =
+    graft.StagePool.ec
 
   private[graft] def buildVersionedOrders(s: SparkSession, d: String,
       root: String): Unit = {

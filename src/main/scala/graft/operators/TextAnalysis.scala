@@ -560,25 +560,23 @@ object TextAnalysis {
     // the postings stages leave idle (guide §2.6 "overlap independent
     // jobs"); the scheduler's FIFO default gives the postings job
     // priority and the small doclens jobs the remainder.
-    import scala.concurrent.{Await, Future, blocking}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    // `blocking`: the future parks a global-pool thread on a full Spark
-    // write job; marking it lets the ForkJoinPool grow a replacement so
-    // concurrent micro-batch writers can't starve the shared pool
-    // (ADVICE r14).
+    // dedicated pool (graft.StagePool), not the scala global ForkJoinPool:
+    // the future parks its thread on a full Spark write job, and parked
+    // writers on the shared global pool could starve every other library
+    // user of it (ADVICE r14)
+    implicit val ec: scala.concurrent.ExecutionContext = graft.StagePool.ec
     val postings = Future {
-      blocking {
-        bm25TfDl(docs)
-          .withColumn("bkt", bm25Bkt(nBuckets))
-          // co-locate buckets before the partitionBy write (the bm25DocLens
-          // fan-out discipline): without this every input task writes up to
-          // nBuckets postings files — a tiny-file storm every probe then
-          // re-opens
-          .repartition(col("bkt"))
-          .write.mode(mode).partitionBy("bkt")
-          .parquet(pathOf("postings"))
-      }
+      bm25TfDl(docs)
+        .withColumn("bkt", bm25Bkt(nBuckets))
+        // co-locate buckets before the partitionBy write (the bm25DocLens
+        // fan-out discipline): without this every input task writes up to
+        // nBuckets postings files — a tiny-file storm every probe then
+        // re-opens
+        .repartition(col("bkt"))
+        .write.mode(mode).partitionBy("bkt")
+        .parquet(pathOf("postings"))
     }
     // The postings future is ALWAYS awaited — also when the doclens or
     // stats write throws first (ADVICE r14: an orphaned in-flight
@@ -746,26 +744,46 @@ object TextAnalysis {
     * (ref-log) publication path. */
   private def stageCompactedBm25(s: SparkSession, from: String,
       to: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.StagePool.ec
     val (livePostings, stats) = bm25Live(s, from)
-    livePostings
-      .select(col("doc_id"), col("tok"), col("tf"), col("dl"), col("bkt"))
-      // co-locate buckets before the write — a compaction's input is
-      // MANY segment files, the worst case of the partitionBy fan-out
-      .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(s"$to/postings")
-    val liveDl = {
-      val raw = s.read.parquet(s"$from/doclens")
-        .select(col("doc_id"), col("dl"), col("dbkt"))
-      if (!hadoopExists(s, s"$from/tombstones")) raw
-      else raw.join(s.read.parquet(s"$from/tombstones")
-        .select("doc_id"), Seq("doc_id"), "left_anti")
+    // The postings re-land, the audit's independent live recount, and
+    // the doclens/stats writes are four independent job chains over the
+    // immutable source tree writing disjoint outputs — overlap them
+    // (guide §2.6, the writeBm25Artifacts discipline); the audit compare
+    // and the swap wait for all of them.
+    val fPostings = Future {
+      livePostings
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"), col("bkt"))
+        // co-locate buckets before the write — a compaction's input is
+        // MANY segment files, the worst case of the partitionBy fan-out
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(s"$to/postings")
     }
-    liveDl.repartition(col("dbkt"))
-      .write.partitionBy("dbkt").parquet(s"$to/doclens")
-    stats.select(col("n_docs").cast("long").as("n_docs"),
-        col("tot_tok").cast("long").as("tot_tok"))
-      .write.parquet(s"$to/stats")
-    val expected = livePostings.count()
+    val fExpected = Future { livePostings.count() }
+    try {
+      val liveDl = {
+        val raw = s.read.parquet(s"$from/doclens")
+          .select(col("doc_id"), col("dl"), col("dbkt"))
+        if (!hadoopExists(s, s"$from/tombstones")) raw
+        else raw.join(s.read.parquet(s"$from/tombstones")
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      }
+      liveDl.repartition(col("dbkt"))
+        .write.partitionBy("dbkt").parquet(s"$to/doclens")
+      stats.select(col("n_docs").cast("long").as("n_docs"),
+          col("tot_tok").cast("long").as("tot_tok"))
+        .write.parquet(s"$to/stats")
+    } catch {
+      // never leave the staged writes running behind a failure
+      case e: Throwable =>
+        Seq(fPostings, fExpected).foreach(f =>
+          scala.util.Try(Await.result(f, Duration.Inf)))
+        throw e
+    }
+    Await.result(fPostings, Duration.Inf)
+    val expected = Await.result(fExpected, Duration.Inf)
     val got = s.read.parquet(s"$to/postings").count()
     require(got == expected,
       s"stageCompactedBm25: staged $got postings, expected $expected")
