@@ -292,7 +292,12 @@ object Similarity {
     * for the per-cluster means — the standard cluster-scale k-means shape.
     * Returns (c_id, centroid, cn2). */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    val wInit = Window.orderBy("vec_id")
+    // constant partition key: the window runs over the k init rows only
+    // (k ≤ a few hundred), but an EMPTY partition spec trips Spark's
+    // "moving all data to a single partition" warning on every kmeans
+    // build, drowning the driver tail in noise — the explicit constant
+    // states the single tiny partition is intended, same semantics
+    val wInit = Window.partitionBy(lit(0)).orderBy("vec_id")
     var centroids = e.orderBy("vec_id").limit(k)
       .withColumn("c_id", row_number().over(wInit) - 1)
       .select(col("c_id"), col("ce").as("centroid"))
